@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one (spark, sf_dir) -> DataFrame per implemented
+operator from SURVEY.md §2.
+``oracle_sql()`` — matching ANSI SQL for DuckDB (same column names;
+double aggregates rounded to 4 decimals on both sides; collected
+arrays sorted on both sides).
 """
 
 from __future__ import annotations
@@ -13,26 +14,48 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spark_ext_spark.plans import gather_queries as gq
+from spark_ext_spark.plans import relational as rel
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Gather (long→wide reshape into array<struct>) on events."""
+    return gq.gather_user_events(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # A1/A3 — collect_array + Gather (SURVEY §2A)
+        "collect_array": rel.user_event_types,
+        "collect_array_distinct": rel.user_distinct_event_types,
+        "gather": gq.gather_user_events,
+        "gather_flat": gq.gather_user_events_flat,
+        "gather_count": gq.gather_user_event_counts,
+        # §2B dataflow surface
+        "pricing_summary": rel.pricing_summary,
+        "global_agg": rel.global_agg,
+        "join_revenue_by_nation": rel.revenue_by_nation,
+        "topk_users": rel.top_users_by_value,
+        "window_cumsum": rel.cumulative_user_value,
+        "distinct_pairs": rel.distinct_user_event_pairs,
+        "union_all_counts": rel.union_all_keys,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "collect_array": rel.USER_EVENT_TYPES_SQL,
+        "collect_array_distinct": rel.USER_DISTINCT_EVENT_TYPES_SQL,
+        "gather": gq.GATHER_USER_EVENTS_SQL,
+        "gather_flat": gq.GATHER_USER_EVENTS_FLAT_SQL,
+        "gather_count": gq.GATHER_USER_EVENT_COUNTS_SQL,
+        "pricing_summary": rel.PRICING_SUMMARY_SQL,
+        "global_agg": rel.GLOBAL_AGG_SQL,
+        "join_revenue_by_nation": rel.REVENUE_BY_NATION_SQL,
+        "topk_users": rel.TOP_USERS_BY_VALUE_SQL,
+        "window_cumsum": rel.CUMULATIVE_USER_VALUE_SQL,
+        "distinct_pairs": rel.DISTINCT_USER_EVENT_PAIRS_SQL,
+        "union_all_counts": rel.UNION_ALL_KEYS_SQL,
+    }

@@ -1,0 +1,68 @@
+"""SQL expression surface.
+
+Rebuilds the reference's ``org.apache.spark.sql.ext.functions`` façade
+(reference: sparkext-sql/src/main/scala/org/apache/spark/sql/ext/
+functions.scala:15 and .../catalyst/expressions/aggregates.scala:7-188)
+on modern Spark built-ins. The reference's hand-rolled partial/final
+aggregation split (aggregates.scala:17-22) is what Catalyst's
+ObjectHashAggregate does automatically for ``collect_list`` today, so
+the whole 205-LoC Scala expression tree collapses to composed
+built-ins — which also keeps the aggregation inside the JVM and
+eligible for whole-stage codegen around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "collect_array",
+    "collect_array_sorted",
+    "collect_array_distinct",
+    "gather_struct",
+]
+
+
+def collect_array(col: Column | str) -> Column:
+    """Collect all non-null values of ``col`` into an array.
+
+    Contract (reference aggregates.scala:38-39, 128-188; asserted in
+    ExtAggregatesSpec.scala:28,60):
+
+    - nulls are skipped, duplicates kept, order unspecified;
+    - an all-null / empty group yields an EMPTY array, never null.
+
+    ``F.collect_list`` already skips nulls and keeps duplicates; the
+    ``coalesce(..., array())`` wrapper pins the empty-group contract
+    (collect_list of zero rows in a global aggregate returns an empty
+    array already, but coalesce keeps the invariant explicit and free —
+    it folds into the same aggregate expression).
+    """
+    return F.coalesce(F.collect_list(col), F.array())
+
+
+def collect_array_sorted(col: Column | str) -> Column:
+    """``collect_array`` with deterministic (ascending) element order.
+
+    Collection order is unspecified in both the reference and Spark;
+    queries that need reproducible output (tests, oracles) declare
+    sorted arrays.
+    """
+    return F.sort_array(collect_array(col))
+
+
+def collect_array_distinct(col: Column | str) -> Column:
+    """Collect distinct non-null values (reference usage pattern
+    ``df.distinct().select(collectArray(...))``,
+    ExtAggregatesSpec.scala:41-47) as a single aggregate."""
+    return F.coalesce(F.collect_set(col), F.array())
+
+
+def gather_struct(key_col: Column | str, value_col: Column | str,
+                  key_name: str = "key", value_name: str = "value") -> Column:
+    """``struct(key, value)`` as used by Gather (Gather.scala:81-84):
+    value is always cast to double."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.struct(key.alias(key_name), value.cast("double").alias(value_name))

@@ -1,0 +1,80 @@
+"""Gather-family headline queries (flagship shape, SURVEY.md §7 Phase 0).
+
+The flagship runs the reference's central reshape (Gather.scala:65-85)
+over the ``events`` table: two-level hash aggregation ending in an
+``array<struct<event_type, value:double>>`` per user.
+
+For oracle comparison the gathered values are rounded to 4 decimals and
+the arrays sorted on both engines (float sums differ in ULPs across
+engines; collection order is unspecified in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ext_spark.operators.gather import Gather
+from spark_ext_spark.plans.relational import load
+
+
+def _gather_events(spark: SparkSession, sf_dir: str, value_agg: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = Gather(primaryKeyCols=["user_id"], keyCol="event_type",
+               valueCol="value", valueAgg=value_agg, outputCol="gathered")
+    return g.transform(ev)
+
+
+def gather_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested flagship output: user_id, sorted array<struct<event_type,value>>."""
+    out = _gather_events(spark, sf_dir, "sum")
+    rounded = F.transform(
+        "gathered",
+        lambda x: F.struct(x["event_type"].alias("event_type"),
+                           F.round(x["value"], 4).alias("value")))
+    return out.select("user_id", F.sort_array(rounded).alias("gathered"))
+
+
+GATHER_USER_EVENTS_SQL = """
+SELECT user_id,
+       list_sort(list(struct_pack(event_type := event_type, value := value)))
+         AS gathered
+FROM (
+  SELECT user_id, event_type, round(sum(value), 4) AS value
+  FROM events GROUP BY user_id, event_type
+)
+GROUP BY user_id
+"""
+
+
+def gather_user_events_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat (exploded) view of the flagship gather — same aggregation,
+    scalar columns for the strictest oracle hash."""
+    out = _gather_events(spark, sf_dir, "sum")
+    return (out
+            .select("user_id", F.explode("gathered").alias("kv"))
+            .select("user_id",
+                    F.col("kv.event_type").alias("event_type"),
+                    F.round("kv.value", 4).alias("value")))
+
+
+GATHER_USER_EVENTS_FLAT_SQL = """
+SELECT user_id, event_type, round(sum(value), 4) AS value
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def gather_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gather with valueAgg=count (Gather.scala:72-75 count branch)."""
+    out = _gather_events(spark, sf_dir, "count")
+    return (out
+            .select("user_id", F.explode("gathered").alias("kv"))
+            .select("user_id",
+                    F.col("kv.event_type").alias("event_type"),
+                    F.col("kv.value").alias("value")))
+
+
+GATHER_USER_EVENT_COUNTS_SQL = """
+SELECT user_id, event_type, CAST(count(value) AS DOUBLE) AS value
+FROM events GROUP BY user_id, event_type
+"""

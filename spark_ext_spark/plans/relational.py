@@ -1,0 +1,215 @@
+"""Relational query plans over the TESTDATA tables.
+
+Covers SURVEY.md §2B's dataflow operator surface (scan, projection,
+filter, inner equi-join, two-level aggregation, global aggregation,
+distinct, union-all, sort, top-k, window cumulative sums, explode)
+expressed declaratively so Catalyst plans partial aggregation,
+predicate pushdown, column pruning and broadcast joins for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_ext_spark.functions import collect_array_sorted
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+    # (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
+    # timestamps — the same truncation DuckDB applies, so oracle
+    # comparisons and orderings agree. Integer DIV keeps full precision
+    # (a double division would lose bits above 2^53).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+# --- aggregation ----------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → hash agg with partial combine.
+    Exercises scan+filter pushdown, groupBy().agg(sum/avg/count)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li
+            .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                            AS sum_qty,
+       round(sum(l_extendedprice), 4)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       round(avg(l_discount), 4)                            AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no grouping) aggregate — GatherEncoder.scala:203 shape."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users"),
+                  F.round(F.sum("value"), 4).alias("total_value"))
+
+
+GLOBAL_AGG_SQL = """
+SELECT count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS total_value
+FROM events
+"""
+
+
+# --- joins ----------------------------------------------------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner equi-join (SparkMlExtExample.scala:53-60 shape) with
+    explicitly broadcast dimensions — at 100 TB customer/nation are tiny
+    next to orders, so the join runs map-side with zero extra shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (orders
+            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       round(sum(o_totalprice), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- sort / top-k ---------------------------------------------------------
+
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k top-k: agg → orderBy(desc, tie-break asc) → limit.
+    Spark executes this as TakeOrderedAndProject — no global sort."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy(F.desc("total_value"), F.asc("user_id"))
+            .limit(10))
+
+
+TOP_USERS_BY_VALUE_SQL = """
+SELECT user_id, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 10
+"""
+
+
+# --- window ---------------------------------------------------------------
+
+def cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative sum ordered by time — the window shape behind
+    BinaryModelMetrics' cumulative counts (BinaryModelMetrics.scala:
+    198-216), here partitioned by user so it scales (no single-partition
+    global window)."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.select("user_id", "event_id",
+                      F.round(F.sum("value").over(w), 4).alias("cum_value")))
+
+
+CUMULATIVE_USER_VALUE_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+FROM events
+"""
+
+
+# --- distinct / union -----------------------------------------------------
+
+def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct() — ExtAggregatesSpec.scala:42-44 shape."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+DISTINCT_USER_EVENT_PAIRS_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionAll keeps duplicates (Downsampling.scala:130 shape):
+    customer and supplier nation keys stacked, duplicates counted."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    u = (customer.select(F.col("c_nationkey").alias("nationkey"))
+         .unionByName(supplier.select(F.col("s_nationkey").alias("nationkey"))))
+    return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+UNION_ALL_KEYS_SQL = """
+SELECT nationkey, count(*) AS n_rows FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
+# --- collect / explode ----------------------------------------------------
+
+def user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_array (A1): per-user sorted array of event types seen.
+    Null skipping is part of the contract (aggregates.scala:38-39)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(collect_array_sorted("event_type").alias("event_types")))
+
+
+USER_EVENT_TYPES_SQL = """
+SELECT user_id,
+       list_sort(list(event_type) FILTER (event_type IS NOT NULL)) AS event_types
+FROM events
+GROUP BY user_id
+"""
+
+
+def user_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_array over distinct rows (ExtAggregatesSpec.scala:41-47)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.select("user_id", "event_type").distinct()
+            .groupBy("user_id")
+            .agg(collect_array_sorted("event_type").alias("event_types")))
+
+
+USER_DISTINCT_EVENT_TYPES_SQL = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL))
+         AS event_types
+FROM events
+GROUP BY user_id
+"""

@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design target (AQE on, skew-join
+handling, partial aggregation pushdown) while remaining correct on
+``local[N]`` test runs. Every knob is overridable via ``extra_conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    # Adaptive execution: runtime re-plan of shuffle partition counts,
+    # skew-join splitting, and broadcast-join demotion/promotion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / mapInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # At 100 TB this is set per-cluster; local default keeps tests fast.
+    "spark.sql.shuffle.partitions": "32",
+    # Auto-broadcast small dimension tables (region/nation/... at any SF
+    # below ~10; explicit broadcast() hints are still used in operators).
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.files.maxPartitionBytes": "128MB",
+    # The testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark
+    # rejects by default; read as long and normalize in sources.load.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "spark_ext_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
