@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spark_ext_spark.plans import feature_queries as fq
 from spark_ext_spark.plans import gather_queries as gq
 from spark_ext_spark.plans import relational as rel
 
@@ -33,6 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather": gq.gather_user_events,
         "gather_flat": gq.gather_user_events_flat,
         "gather_count": gq.gather_user_event_counts,
+        # A4/A5 — GatherEncoder fit + encode (SURVEY §2A)
+        "gather_encoder_top": fq.gather_encoder_top,
+        "gather_encoder_top_allother": fq.gather_encoder_top_allother,
+        "gather_encoder_index": fq.gather_encoder_index,
+        # A8/A9/A10 — Binning, StringToShortIndexer, Downsampling
+        "string_indexer": fq.string_indexer,
+        "downsampling_hash": fq.downsampling_hash,
+        "binning": fq.binning_quantity,
         # §2B dataflow surface
         "pricing_summary": rel.pricing_summary,
         "global_agg": rel.global_agg,
@@ -51,6 +60,12 @@ def oracle_sql() -> dict[str, str]:
         "gather": gq.GATHER_USER_EVENTS_SQL,
         "gather_flat": gq.GATHER_USER_EVENTS_FLAT_SQL,
         "gather_count": gq.GATHER_USER_EVENT_COUNTS_SQL,
+        "gather_encoder_top": fq.GATHER_ENCODER_TOP_SQL,
+        "gather_encoder_top_allother": fq.GATHER_ENCODER_TOP_ALLOTHER_SQL,
+        "gather_encoder_index": fq.GATHER_ENCODER_INDEX_SQL,
+        "string_indexer": fq.STRING_INDEXER_SQL,
+        "downsampling_hash": fq.DOWNSAMPLING_HASH_SQL,
+        "binning": fq.BINNING_QUANTITY_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "global_agg": rel.GLOBAL_AGG_SQL,
         "join_revenue_by_nation": rel.REVENUE_BY_NATION_SQL,

@@ -1,0 +1,291 @@
+"""GatherEncoder — encode gathered ``array<struct<key,value>>`` as
+sparse feature vectors using a fitted key dictionary.
+
+Rebuild of the reference's ``org.apache.spark.ml.feature.GatherEncoder``
+(/root/reference/sparkext-mllib/src/main/scala/org/apache/spark/ml/
+feature/GatherEncoder.scala:115-408). Two dictionary-selection modes
+(GatherEncoder.scala:151-221):
+
+- ``top`` (top coverage): keys sorted by distinct-row count descending;
+  keep the shortest prefix whose counts cover ``cover``% of the total.
+  The reference implements this as scanLeft-prefix-sums-takeWhile on
+  the driver (GatherEncoder.scala:183-186); the equivalent predicate is
+  ``exclusive_prefix_sum < cover% * total``, which at cover=100 also
+  reproduces the reference's collect-all-keys special case
+  (GatherEncoder.scala:160-165) since every count is positive.
+- ``index`` (min support): keys whose count ≥ ``support``% of the total
+  count (GatherEncoder.scala:190-221). NOTE the reference asymmetry,
+  kept here: excludeKeys are removed AFTER the threshold for ``index``
+  (total includes excluded keys) but BEFORE for ``top``.
+
+Determinism contract (the reference inherits Spark-1.5 hash order for
+ties; we pin): count DESC, then key ASC.
+
+Scale design (100 TB): the fit is fully distributed —
+``explode → groupBy(key).count()`` with map-side partial aggregation,
+then a window cumsum over the *compacted distinct-key table* (whose
+cardinality is the dictionary size, ≤ ``maxKeys``), and one bounded
+collect of the final dictionary. The transform broadcasts the
+dictionary explicitly (``sc.broadcast``) instead of closure-capturing
+it per task (the reference ships keys in the UDF closure,
+GatherEncoder.scala:304,326-370).
+"""
+
+from __future__ import annotations
+
+from pyspark import keyword_only
+from pyspark.ml import Estimator, Model
+from pyspark.ml.linalg import SparseVector, VectorUDT
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+from pyspark.sql.window import Window
+
+TRANSFORMATIONS = ("top", "index")
+
+
+class _GatherEncoderParams(Params):
+    inputCol = Param(Params._dummy(), "inputCol",
+                     "gathered array<struct> input column",
+                     typeConverter=TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol", "feature vector output",
+                      typeConverter=TypeConverters.toString)
+    keyCol = Param(Params._dummy(), "keyCol", "key field inside the struct",
+                   typeConverter=TypeConverters.toString)
+    valueCol = Param(Params._dummy(), "valueCol",
+                     "value field inside the struct",
+                     typeConverter=TypeConverters.toString)
+    transformation = Param(Params._dummy(), "transformation",
+                           "dictionary selection: top|index",
+                           typeConverter=TypeConverters.toString)
+    support = Param(Params._dummy(), "support",
+                    "min support percent in [0,100] (index mode)",
+                    typeConverter=TypeConverters.toFloat)
+    cover = Param(Params._dummy(), "cover",
+                  "top coverage percent in [0,100] (top mode)",
+                  typeConverter=TypeConverters.toFloat)
+    allOther = Param(Params._dummy(), "allOther",
+                     "append an 'all other' slot accumulating unseen keys",
+                     typeConverter=TypeConverters.toBoolean)
+    keepInputCol = Param(Params._dummy(), "keepInputCol",
+                         "keep the input column in the output",
+                         typeConverter=TypeConverters.toBoolean)
+    failOnEmptyKeys = Param(Params._dummy(), "failOnEmptyKeys",
+                            "raise if the fitted key set is empty",
+                            typeConverter=TypeConverters.toBoolean)
+    excludeKeys = Param(Params._dummy(), "excludeKeys",
+                        "keys excluded from the dictionary")
+    maxKeys = Param(Params._dummy(), "maxKeys",
+                    "hard cap on dictionary size (100 TB guardrail; the "
+                    "reference collects unboundedly at cover=100)",
+                    typeConverter=TypeConverters.toInt)
+
+    def _validate_schema(self, schema: StructType) -> StructType:
+        """GatherEncoder.scala:52-80: input must be array<struct>, key
+        numeric-or-string, value numeric."""
+        in_field = schema[self.getOrDefault(self.inputCol)]
+        dt = in_field.dataType
+        if not (isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType)):
+            raise TypeError(
+                f"Input column data type {dt.simpleString()} is not supported")
+        elem = dt.elementType
+        key_t = elem[self.getOrDefault(self.keyCol)].dataType.typeName()
+        if key_t not in ("string", "byte", "short", "integer", "long",
+                         "float", "double", "decimal"):
+            raise TypeError(f"Key column data type {key_t} is not supported")
+        val_t = elem[self.getOrDefault(self.valueCol)].dataType.typeName()
+        if val_t not in ("byte", "short", "integer", "long", "float",
+                         "double", "decimal"):
+            raise TypeError(f"Value data type {val_t} is not supported")
+        return elem
+
+
+class GatherEncoder(Estimator, _GatherEncoderParams):
+    """Learn a key dictionary from a gathered column (top-coverage or
+    min-support), producing a :class:`GatherEncoderModel`."""
+
+    @keyword_only
+    def __init__(self, *, inputCol=None, outputCol=None, keyCol=None,
+                 valueCol=None, transformation="top", support=0.1,
+                 cover=100.0, allOther=False, keepInputCol=True,
+                 failOnEmptyKeys=True, excludeKeys=None, maxKeys=1 << 20):
+        super().__init__()
+        self._setDefault(transformation="top", support=0.1, cover=100.0,
+                         allOther=False, keepInputCol=True,
+                         failOnEmptyKeys=True, excludeKeys=frozenset(),
+                         maxKeys=1 << 20)
+        kwargs = self._input_kwargs
+        if kwargs.get("excludeKeys") is not None:
+            kwargs["excludeKeys"] = frozenset(kwargs["excludeKeys"])
+        self._set(**{k: v for k, v in kwargs.items() if v is not None})
+
+    def key_counts(self, dataset: DataFrame) -> DataFrame:
+        """Distributed per-key distinct-row counts of the gathered column."""
+        in_col = self.getOrDefault(self.inputCol)
+        key = self.getOrDefault(self.keyCol)
+        return (dataset
+                .select(F.explode(F.col(f"{in_col}.{key}")).alias("key"))
+                .groupBy("key").count())
+
+    def selected_keys(self, dataset: DataFrame) -> DataFrame:
+        """Dictionary as a DataFrame (key, count, slot) — stays
+        distributed; ``fit`` does the final bounded collect."""
+        transformation = self.getOrDefault(self.transformation)
+        if transformation not in TRANSFORMATIONS:
+            raise ValueError(
+                f"Invalid gather transformation type: {transformation}")
+        exclude = self.getOrDefault(self.excludeKeys)
+        counts = self.key_counts(dataset)
+
+        order = [F.desc("count"), F.asc("key")]
+        if transformation == "top":
+            # Exclusion BEFORE the coverage total (GatherEncoder.scala:178-183).
+            if exclude:
+                counts = counts.filter(~F.col("key").isin(list(exclude)))
+            cover = self.getOrDefault(self.cover)
+            w_excl = (Window.orderBy(*order)
+                      .rowsBetween(Window.unboundedPreceding, -1))
+            total = counts.select(F.sum("count")).first()[0] or 0
+            threshold = (cover / 100.0) * total
+            selected = (counts
+                        .withColumn("cum", F.coalesce(
+                            F.sum("count").over(w_excl), F.lit(0)))
+                        .filter(F.col("cum") < F.lit(threshold))
+                        .drop("cum"))
+        else:
+            # Threshold over the UNFILTERED total; exclusion after
+            # (GatherEncoder.scala:200-220).
+            support = self.getOrDefault(self.support)
+            total = counts.select(F.sum("count")).first()[0] or 0
+            threshold = (support / 100.0) * total
+            selected = counts.filter(F.col("count") >= F.lit(threshold))
+            if exclude:
+                selected = selected.filter(~F.col("key").isin(list(exclude)))
+
+        w_rank = Window.orderBy(*order)
+        return selected.withColumn(
+            "slot", F.row_number().over(w_rank) - F.lit(1))
+
+    def _fit(self, dataset: DataFrame) -> "GatherEncoderModel":
+        self._validate_schema(dataset.schema)
+        max_keys = self.getOrDefault(self.maxKeys)
+        rows = (self.selected_keys(dataset)
+                .orderBy("slot").limit(max_keys + 1).collect())
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"Fitted dictionary exceeds maxKeys={max_keys}; raise "
+                f"maxKeys or lower cover/raise support")
+        keys = [r["key"] for r in rows]
+        model = GatherEncoderModel(keys=keys)
+        model._resetUid(self.uid)
+        self._copyValues(model)
+        model._set(allOther=self.getOrDefault(self.allOther))
+        return model
+
+
+class GatherEncoderModel(Model, _GatherEncoderParams):
+    """Encode gathered arrays into ``SparseVector(len(keys)+allOther)``.
+
+    Contract (GatherEncoder.scala:326-370, asserted in
+    GatherEncoderModelSpec.scala:67-162):
+    - slot position = fitted key order; last value wins for duplicate keys;
+    - unseen keys are SUMMED into the trailing 'all other' slot when
+      enabled, ignored otherwise;
+    - null/empty gathered array → all-zero sparse vector;
+    - empty dictionary and allOther=false → size-0 dense vector;
+    - empty dictionary + failOnEmptyKeys → error at transform.
+    """
+
+    def __init__(self, keys=None):
+        super().__init__()
+        self._setDefault(transformation="top", support=0.1, cover=100.0,
+                         allOther=True, keepInputCol=True,
+                         failOnEmptyKeys=True, excludeKeys=frozenset(),
+                         maxKeys=1 << 20)
+        self.keys = list(keys) if keys is not None else []
+
+    @property
+    def labels(self) -> list[str]:
+        lbls = [str(k) for k in self.keys]
+        if self.getOrDefault(self.allOther):
+            lbls.append("all other")
+        return lbls
+
+    def _output_metadata(self) -> dict:
+        """AttributeGroup-style metadata (GatherEncoder.scala:388-401)."""
+        attrs = [{"idx": i, "name": lbl} for i, lbl in enumerate(self.labels)]
+        return {"ml_attr": {"attrs": {"numeric": attrs},
+                            "num_attrs": len(attrs)}}
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        fail_on_empty = self.getOrDefault(self.failOnEmptyKeys)
+        if not self.keys and fail_on_empty:
+            raise ValueError(
+                "Can't encode gathered data with empty model keys. Check "
+                f"that input column '{self.getOrDefault(self.inputCol)}' has data.")
+        in_col = self.getOrDefault(self.inputCol)
+        key = self.getOrDefault(self.keyCol)
+        value = self.getOrDefault(self.valueCol)
+        all_other = self.getOrDefault(self.allOther)
+        n_keys = len(self.keys)
+        feature_size = n_keys + (1 if all_other else 0)
+
+        sc = dataset.sparkSession.sparkContext
+        key_index_bc = sc.broadcast({k: i for i, k in enumerate(self.keys)})
+
+        @F.udf(returnType=VectorUDT())
+        def encode(keys, values):
+            if feature_size == 0:
+                return SparseVector(0, {})
+            if keys is None or values is None:
+                return SparseVector(feature_size, {})
+            key_index = key_index_bc.value
+            elements: dict[int, float] = {}
+            for k, v in zip(keys, values):
+                idx = key_index.get(k)
+                if idx is not None:
+                    elements[idx] = v            # last value wins
+                elif all_other:
+                    elements[n_keys] = elements.get(n_keys, 0.0) + (v or 0.0)
+            return SparseVector(feature_size, elements)
+
+        out = self.getOrDefault(self.outputCol)
+        encoded = encode(
+            F.col(f"{in_col}.{key}"),
+            F.col(f"{in_col}.{value}").cast("array<double>")
+        ).alias(out, metadata=self._output_metadata())
+
+        if self.getOrDefault(self.keepInputCol):
+            return dataset.select("*", encoded)
+        cols = [F.col(c) for c in dataset.columns if c != in_col]
+        return dataset.select(*cols, encoded)
+
+    def transform_exploded(self, dataset: DataFrame, pk_cols: list[str]) -> DataFrame:
+        """SQL-checkable flat encoding: one (pk..., slot, value) row per
+        non-zero vector element. Pure DataFrame ops (broadcast join on
+        the dictionary), no UDF — this is also the faster path at scale
+        when the consumer wants long-form features."""
+        spark = dataset.sparkSession
+        in_col = self.getOrDefault(self.inputCol)
+        key = self.getOrDefault(self.keyCol)
+        value = self.getOrDefault(self.valueCol)
+        all_other = self.getOrDefault(self.allOther)
+        n_keys = len(self.keys)
+
+        dict_df = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(self.keys)], ["key", "slot"])
+        exploded = (dataset
+                    .select(*pk_cols, F.explode(in_col).alias("kv"))
+                    .select(*pk_cols,
+                            F.col(f"kv.{key}").alias("key"),
+                            F.col(f"kv.{value}").cast("double").alias("value")))
+        joined = exploded.join(F.broadcast(dict_df), "key", "left")
+        if all_other:
+            joined = joined.withColumn(
+                "slot", F.coalesce(F.col("slot"), F.lit(n_keys)))
+        else:
+            joined = joined.filter(F.col("slot").isNotNull())
+        return (joined
+                .groupBy(*pk_cols, "slot")
+                .agg(F.sum("value").alias("value")))

@@ -10,6 +10,7 @@ here before it ships.
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
 
@@ -29,6 +30,8 @@ def _norm(v):
     """Normalize a cell for order-insensitive comparison."""
     if v is None:
         return ("none",)
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)

@@ -1,0 +1,100 @@
+"""Ported from BinningSpec.scala:13-111 (uniform ctr splits ±0.5;
+exact bin membership for double and int inputs; type failure; nulls)."""
+
+from __future__ import annotations
+
+import random
+import uuid
+
+import pytest
+
+from spark_ext_spark.operators.binning import Binning, OptimalBinning
+
+N = 1000
+
+
+@pytest.fixture(scope="module")
+def users(spark):
+    rng = random.Random(42)
+    rows = [(str(uuid.uuid4()), i, rng.random(),
+             10 * rng.random() if rng.random() > 0.5 else None)
+            for i in range(1, N + 1)]
+    return spark.createDataFrame(
+        rows, "cookie_id string, num_days int, ctr double, actions double"
+    ).cache()
+
+
+def test_optimal_binning_uniform_ctr(users):
+    binning = OptimalBinning(inputCol="ctr", outputCol="ctr_bin",
+                             numBins=5).fit(users)
+    splits = binning.splits
+    assert len(splits) == 6
+    # BinningSpec.scala:36-41 asserts ±0.5; uniform(0,1) quantiles land
+    # much closer — assert a tighter ±0.1.
+    for i, expected in enumerate([0.2, 0.4, 0.6, 0.8], start=1):
+        assert splits[i] == pytest.approx(expected, abs=0.1)
+    assert binning.transform(users).count() == N
+
+
+def test_binning_double_column(users):
+    binning = Binning(splits=[0.0, 0.25, 0.5, 0.75, 1.0])
+    binning._set(inputCol="ctr", outputCol="ctr_bin")
+    for row in binning.transform(users).collect():
+        ctr, vec = row["ctr"], row["ctr_bin"]
+        arr = list(vec.toArray())
+        assert len(arr) == 4 and sum(arr) == 1.0
+        idx = arr.index(1.0)
+        assert idx == min(int(ctr / 0.25), 3)
+
+
+def test_binning_integer_column(users):
+    binning = Binning(splits=[0.0, 400.0, 800.0, 1000.0])
+    binning._set(inputCol="num_days", outputCol="days_bin")
+    for row in binning.transform(users).collect():
+        days, arr = row["num_days"], list(row["days_bin"].toArray())
+        idx = arr.index(1.0)
+        if days < 400:
+            assert idx == 0
+        elif days < 800:
+            assert idx == 1
+        else:
+            assert idx == 2  # 1000 == top split -> last bin (inclusive)
+
+
+def test_binning_string_column_fails(users):
+    binning = Binning(splits=[0.0, 400.0, 800.0, 1000.0])
+    binning._set(inputCol="cookie_id", outputCol="bins")
+    with pytest.raises(TypeError):
+        binning.transform(users)
+
+
+def test_binning_nulls_give_zero_vector(users):
+    binning = Binning(splits=[0.0, 4.0, 8.0, 10.0])
+    binning._set(inputCol="actions", outputCol="actions_bin")
+    out = binning.transform(users).collect()
+    for row in out:
+        arr = list(row["actions_bin"].toArray())
+        if row["actions"] is None:
+            assert sum(arr) == 0.0
+        else:
+            assert sum(arr) == 1.0
+
+
+def test_bin_labels_metadata(users):
+    binning = Binning(splits=[float("-inf"), 0.5, float("inf")])
+    binning._set(inputCol="ctr", outputCol="b")
+    out = binning.transform(users)
+    attrs = out.schema["b"].metadata["ml_attr"]["attrs"]["binary"]
+    assert [a["name"] for a in attrs] == \
+        ["[-Infinity, 0.5)", "[0.5, Infinity)"]
+
+
+def test_splits_must_increase():
+    with pytest.raises(ValueError):
+        Binning(splits=[0.0, 0.0, 1.0])
+
+
+def test_optimal_binning_too_few_points(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(20)], "x double")
+    with pytest.raises(ValueError, match="too small"):
+        OptimalBinning(inputCol="x", outputCol="b", numBins=5).fit(df)
