@@ -14,8 +14,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spark_ext_spark.plans import evaluation_queries as eq
 from spark_ext_spark.plans import feature_queries as fq
 from spark_ext_spark.plans import gather_queries as gq
+from spark_ext_spark.plans import ml_queries as mq
 from spark_ext_spark.plans import relational as rel
 
 SF0001 = "/root/testdata/sf0.001"
@@ -42,6 +44,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_indexer": fq.string_indexer,
         "downsampling_hash": fq.downsampling_hash,
         "binning": fq.binning_quantity,
+        # A13-A19 — BinaryModelMetrics curves + AUCs
+        "gains_curve": eq.gains_curve,
+        "roc_curve": eq.roc_curve,
+        "lift_curve": eq.lift_curve,
+        "auc_metrics": eq.auc_metrics,
+        # A6/A12 — S2 cells, LocalLogisticRegression (rows-only checks:
+        # not SQL-expressible; goldens in tests/)
+        "s2_cells": mq.s2_cells,
+        "local_lr_model": mq.local_lr_model,
         # §2B dataflow surface
         "pricing_summary": rel.pricing_summary,
         "global_agg": rel.global_agg,
@@ -66,6 +77,10 @@ def oracle_sql() -> dict[str, str]:
         "string_indexer": fq.STRING_INDEXER_SQL,
         "downsampling_hash": fq.DOWNSAMPLING_HASH_SQL,
         "binning": fq.BINNING_QUANTITY_SQL,
+        "gains_curve": eq.GAINS_CURVE_SQL,
+        "roc_curve": eq.ROC_CURVE_SQL,
+        "lift_curve": eq.LIFT_CURVE_SQL,
+        "auc_metrics": eq.AUC_METRICS_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "global_agg": rel.GLOBAL_AGG_SQL,
         "join_revenue_by_nation": rel.REVENUE_BY_NATION_SQL,

@@ -1,0 +1,127 @@
+"""BinaryModelMetrics headline queries (A13-A19) with SQL oracles.
+
+Score/label derived deterministically from ``events``: score = value,
+label = (event_type = 'purchase'). The oracle replays the cumulative
+confusion-matrix math with standard SQL windows. Ratios are rounded to
+6 decimals on both sides (single-division ratios are bit-identical
+across engines, but AUC trapezoid SUMS are order-dependent → rounded
+to 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ext_spark.operators.evaluation import BinaryModelMetrics
+from spark_ext_spark.plans.relational import load
+
+
+def _metrics(spark: SparkSession, sf_dir: str, num_bins: int = 0) -> BinaryModelMetrics:
+    ev = load(spark, sf_dir, "events")
+    sl = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+         .alias("label"))
+    return BinaryModelMetrics(sl, num_bins=num_bins)
+
+
+_SL_CTE = """
+WITH sl AS (
+  SELECT value AS score,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS label
+  FROM events
+),
+counts AS (
+  SELECT score, sum(label) AS pos, count(*) - sum(label) AS neg
+  FROM sl GROUP BY score
+),
+cum AS (
+  SELECT score,
+         sum(pos) OVER (ORDER BY score DESC) AS tp,
+         sum(neg) OVER (ORDER BY score DESC) AS fp
+  FROM counts
+),
+tot AS (
+  SELECT sum(pos) AS tot_pos, sum(neg) AS tot_neg FROM counts
+)
+"""
+
+
+def gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _metrics(spark, sf_dir).gains()
+    return g.select(F.round("reach", 6).alias("reach"),
+                    F.round("recall", 6).alias("recall"))
+
+
+GAINS_CURVE_SQL = _SL_CTE + """
+SELECT round((tp + fp) / (tot_pos + tot_neg), 6) AS reach,
+       round(tp / tot_pos, 6) AS recall
+FROM cum, tot
+UNION ALL SELECT 0.0, 0.0
+UNION ALL SELECT 1.0, 1.0
+"""
+
+
+def roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _metrics(spark, sf_dir).roc()
+    return r.select(F.round("fpr", 6).alias("fpr"),
+                    F.round("tpr", 6).alias("tpr"))
+
+
+ROC_CURVE_SQL = _SL_CTE + """
+SELECT round(fp / tot_neg, 6) AS fpr,
+       round(tp / tot_pos, 6) AS tpr
+FROM cum, tot
+UNION ALL SELECT 0.0, 0.0
+UNION ALL SELECT 1.0, 1.0
+"""
+
+
+def lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lc = _metrics(spark, sf_dir).lift()
+    return lc.select(F.round("reach", 6).alias("reach"),
+                     F.round("lift", 6).alias("lift"))
+
+
+LIFT_CURVE_SQL = _SL_CTE + """
+SELECT round((tp + fp) / (tot_pos + tot_neg), 6) AS reach,
+       round((tp / tot_pos) / ((tp + fp) / (tot_pos + tot_neg)), 6) AS lift
+FROM cum, tot
+"""
+
+
+def auc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _metrics(spark, sf_dir)
+    roc_auc = m.area_under_roc()
+    pr_auc = m.area_under_pr()
+    return spark.createDataFrame(
+        [(round(roc_auc, 4), round(pr_auc, 4))],
+        "auc_roc double, auc_pr double")
+
+
+AUC_METRICS_SQL = _SL_CTE + """
+, roc AS (
+  SELECT fp / tot_neg AS fpr, tp / tot_pos AS tpr, 1 AS ord, score
+  FROM cum, tot
+  UNION ALL SELECT 0.0, 0.0, 0, 1e308
+  UNION ALL SELECT 1.0, 1.0, 2, -1e308
+),
+pr AS (
+  SELECT tp / tot_pos AS recall,
+         CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp) END AS precision,
+         1 AS ord, score
+  FROM cum, tot
+  UNION ALL SELECT 0.0, 1.0, 0, 1e308
+),
+roc_tr AS (
+  SELECT (fpr - lag(fpr) OVER w) * (tpr + lag(tpr) OVER w) / 2.0 AS trap
+  FROM roc WINDOW w AS (ORDER BY ord, score DESC)
+),
+pr_tr AS (
+  SELECT (recall - lag(recall) OVER w) * (precision + lag(precision) OVER w) / 2.0 AS trap
+  FROM pr WINDOW w AS (ORDER BY ord, score DESC)
+)
+SELECT round((SELECT sum(trap) FROM roc_tr), 4) AS auc_roc,
+       round((SELECT sum(trap) FROM pr_tr), 4) AS auc_pr
+"""

@@ -1,0 +1,95 @@
+"""Ported from BinaryModelMetricsSpec.scala:13-50 (curve point counts
+incl. the binned 1+ceil(7/(7/3))+1 formula) and
+BinaryModelMetricComputerSpec.scala:9-41 (closed-form Reach/Lift),
+plus parity checks against pyspark.ml's BinaryClassificationEvaluator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.feature import VectorAssembler  # noqa: F401 (ml import smoke)
+
+from spark_ext_spark.operators.evaluation import BinaryModelMetrics
+
+SCORE_AND_LABELS = [
+    (0.8, 0.0), (0.7, 1.0), (0.3, 0.0), (0.9, 1.0), (0.6, 0.0),
+    (0.6, 1.0), (0.6, 0.0), (0.8, 1.0), (0.2, 0.0), (0.5, 1.0),
+]  # 10 rows, 7 distinct scores
+
+
+@pytest.fixture(scope="module")
+def sl(spark):
+    return spark.createDataFrame(SCORE_AND_LABELS,
+                                 "score double, label double").cache()
+
+
+def test_gains_point_count(sl):
+    m = BinaryModelMetrics(sl)
+    assert m.gains().count() == 9  # 7 distinct + 2 endpoints
+
+
+def test_gains_point_count_binned(sl):
+    m = BinaryModelMetrics(sl, num_bins=3)
+    # grouping = 7 // 3 = 2 -> ceil(7/2) = 4 bins -> 6 points
+    assert m.gains().count() == 6
+
+
+def test_gains_endpoints_and_monotonicity(sl):
+    pts = [(r["reach"], r["recall"]) for r in
+           BinaryModelMetrics(sl).gains().collect()]
+    assert (0.0, 0.0) in (pts[0],) and pts[-1] == (1.0, 1.0)
+    xs = sorted(p[0] for p in pts)
+    assert xs == sorted(xs)
+
+
+def test_reach_and_lift_closed_form(sl):
+    # Fixture: 5 pos / 5 neg. At threshold 0.8: tp=2 (0.9,0.8 pos),
+    # fp=1 (0.8 neg) -> reach=3/10, recall=2/5, lift=(2/5)/(3/10)=4/3.
+    m = BinaryModelMetrics(sl)
+    lift_pts = {round(r["reach"], 6): r["lift"] for r in m.lift().collect()}
+    assert lift_pts[0.3] == pytest.approx((2 / 5) / (3 / 10))
+    # At the loosest threshold reach=1 and lift=recall=1.
+    assert lift_pts[1.0] == pytest.approx(1.0)
+
+
+def test_roc_matches_builtin_evaluator(sl):
+    m = BinaryModelMetrics(sl)
+    ours = m.area_under_roc()
+    df = sl.selectExpr("score AS rawPrediction", "label")
+    ref = BinaryClassificationEvaluator(
+        rawPredictionCol="rawPrediction",
+        metricName="areaUnderROC").evaluate(df)
+    assert ours == pytest.approx(ref, abs=1e-9)
+
+
+def test_pr_matches_builtin_evaluator(sl):
+    m = BinaryModelMetrics(sl)
+    df = sl.selectExpr("score AS rawPrediction", "label")
+    ref = BinaryClassificationEvaluator(
+        rawPredictionCol="rawPrediction",
+        metricName="areaUnderPR").evaluate(df)
+    assert m.area_under_pr() == pytest.approx(ref, abs=1e-9)
+
+
+def test_threshold_curves(sl):
+    m = BinaryModelMetrics(sl)
+    thresholds = [r["threshold"] for r in m.thresholds().collect()]
+    assert thresholds == sorted(thresholds, reverse=True)
+    assert len(thresholds) == 7
+    prec = {r["threshold"]: r["precision"]
+            for r in m.precision_by_threshold().collect()}
+    # top threshold 0.9: tp=1, fp=0 -> precision 1.0
+    assert prec[0.9] == 1.0
+    rec = {r["threshold"]: r["recall"]
+           for r in m.recall_by_threshold().collect()}
+    assert rec[0.9] == pytest.approx(1 / 5)
+    assert rec[0.2] == pytest.approx(1.0)
+    f1 = {r["threshold"]: r["f_measure"]
+          for r in m.f_measure_by_threshold().collect()}
+    p, r_ = 1.0, 0.2
+    assert f1[0.9] == pytest.approx(2 * p * r_ / (p + r_))
+
+
+def test_num_bins_validation(sl):
+    with pytest.raises(ValueError):
+        BinaryModelMetrics(sl, num_bins=-1)

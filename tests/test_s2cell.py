@@ -1,0 +1,84 @@
+"""Ported from S2CellTransformerSpec.scala:11-43 plus structural
+invariants of the S2 cell scheme (face bits, parent containment,
+scalar/vectorized equivalence, known geography prefixes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_ext_spark.functions.s2 import (cell_id_from_lat_lng, cell_token,
+                                          cell_tokens, parent_id, token)
+from spark_ext_spark.operators.s2cell import S2CellTransformer
+
+CITIES = [
+    ("New York", 40.7142700, -74.0059700),
+    ("London", 51.50722, -0.12750),
+    ("Princeton", 40.3487200, -74.6590500),
+]
+
+
+@pytest.fixture(scope="module")
+def cities(spark):
+    return spark.createDataFrame(CITIES, "city string, lat double, lon double")
+
+
+def test_level6_ny_princeton_share_cell(cities):
+    t = S2CellTransformer(level=6)
+    cells = {r["city"]: r["cell"] for r in t.transform(cities).collect()}
+    assert cells["New York"] == cells["Princeton"]
+    assert cells["London"] != cells["New York"]
+
+
+def test_level12_all_distinct(cities):
+    t = S2CellTransformer(level=12)
+    cells = {r["city"]: r["cell"] for r in t.transform(cities).collect()}
+    assert len(set(cells.values())) == 3
+
+
+def test_known_geography_prefixes():
+    # NYC leaf cells live under face-4 token prefix 89c2..., central
+    # London under 4876... (public S2 region-coverer examples).
+    assert cell_token(40.71427, -74.00597, 12).startswith("89c2")
+    assert cell_token(51.50722, -0.12750, 12).startswith("4876")
+
+
+def test_face_cells():
+    # (0,0) is the center of face 0 -> level-0 token "1";
+    # the north pole is on face 2 -> level-0 token "5".
+    assert cell_token(0.0, 0.0, 0) == "1"
+    assert cell_token(90.0, 0.0, 0) == "5"
+    assert cell_token(-90.0, 0.0, 0) == "b"  # face 5
+
+
+def test_leaf_ids_are_odd_and_parents_nest():
+    leaf = cell_id_from_lat_lng(40.71427, -74.00597)
+    assert leaf & 1 == 1
+    p12, p6 = parent_id(leaf, 12), parent_id(leaf, 6)
+    # parent at coarser level strips finer bits: p6 is an ancestor of p12
+    lsb6 = p6 & (~p6 + 1) & 0xFFFFFFFFFFFFFFFF
+    assert (p12 & ~(2 * lsb6 - 1)) == (p6 & ~(2 * lsb6 - 1))
+    assert token(p12) != token(p6)
+
+
+def test_vectorized_matches_scalar():
+    rng = np.random.default_rng(42)
+    lats = rng.uniform(-89.9, 89.9, 500)
+    lons = rng.uniform(-180, 180, 500)
+    for level in (0, 6, 12, 30):
+        vec = cell_tokens(lats, lons, level)
+        for la, lo, tok in zip(lats, lons, vec):
+            assert tok == cell_token(float(la), float(lo), level)
+
+
+def test_default_params_and_validation(cities):
+    t = S2CellTransformer()
+    out = t.transform(cities)
+    assert "cell" in out.columns  # default cellCol
+    with pytest.raises(ValueError):
+        S2CellTransformer(level=31).transform(cities)
+    with pytest.raises(ValueError, match="already exists"):
+        S2CellTransformer(cellCol="lat").transform(cities)
+    bad = cities.withColumn("lat", cities.lat.cast("string"))
+    with pytest.raises(TypeError):
+        S2CellTransformer().transform(bad)
