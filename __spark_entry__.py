@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_ext_spark.plans import evaluation_queries as eq
 from spark_ext_spark.plans import feature_queries as fq
 from spark_ext_spark.plans import gather_queries as gq
+from spark_ext_spark.plans import llm_queries as lq
 from spark_ext_spark.plans import ml_queries as mq
 from spark_ext_spark.plans import relational as rel
 
@@ -53,6 +54,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # not SQL-expressible; goldens in tests/)
         "s2_cells": mq.s2_cells,
         "local_lr_model": mq.local_lr_model,
+        # LLM-pipeline ops: dedup family
+        "exact_dedup": lq.exact_dedup,
+        "ngram_jaccard": lq.ngram_jaccard,
+        "minhash_lsh": lq.minhash_lsh,          # rows-only
+        "simhash_pairs": lq.simhash_pairs,      # rows-only
+        # LLM-pipeline ops: text analysis
+        "text_stats": lq.doc_text_stats,
+        "fingerprints": lq.doc_fingerprints,
+        "language_id": lq.doc_language_id,
+        # LLM-pipeline ops: similarity search
+        "cosine_topk": lq.cosine_topk_bruteforce,
+        "ann_lsh_topk": lq.ann_lsh_topk,        # rows-only
+        # LLM-pipeline ops: multimodal plumbing
+        "media_byte_stats": lq.media_byte_stats,
+        "media_pipeline": lq.media_pipeline,    # rows-only
         # §2B dataflow surface
         "pricing_summary": rel.pricing_summary,
         "global_agg": rel.global_agg,
@@ -81,6 +97,13 @@ def oracle_sql() -> dict[str, str]:
         "roc_curve": eq.ROC_CURVE_SQL,
         "lift_curve": eq.LIFT_CURVE_SQL,
         "auc_metrics": eq.AUC_METRICS_SQL,
+        "exact_dedup": lq.EXACT_DEDUP_SQL,
+        "ngram_jaccard": lq.NGRAM_JACCARD_SQL,
+        "text_stats": lq.DOC_TEXT_STATS_SQL,
+        "fingerprints": lq.DOC_FINGERPRINTS_SQL,
+        "language_id": lq.DOC_LANGUAGE_ID_SQL,
+        "cosine_topk": lq.COSINE_TOPK_SQL,
+        "media_byte_stats": lq.MEDIA_BYTE_STATS_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "global_agg": rel.GLOBAL_AGG_SQL,
         "join_revenue_by_nation": rel.REVENUE_BY_NATION_SQL,

@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All four return DataFrames and keep every step distributed:
+
+- exact: hash groupBy on a normalized-text digest — one shuffle on the
+  digest, map-side combined.
+- n-gram Jaccard: shingle-blocked self-join (pairs only materialize for
+  docs sharing ≥1 shingle) with a document-frequency cap on shingles so
+  stop-shingles can't create quadratic buckets.
+- MinHash+LSH: k permutation minima via an Arrow-batched pandas_udf
+  (md5-derived 64-bit base hash, k affine permutations), banded into
+  LSH buckets; candidate pairs come from a bucket equi-join and are
+  optionally verified with exact Jaccard on the signatures.
+- SimHash: 64-bit weighted-token fingerprint; near pairs blocked on
+  16-bit bands (Hamming ≤ 3 ⇒ at least one of 4 bands equal).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text", "exact_duplicates", "word_shingles",
+    "jaccard_similar_pairs", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash", "simhash_near_pairs",
+]
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, trimmed, whitespace
+    collapsed. Pure JVM expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct normalized text with
+    the canonical (minimum) id, member count, and sorted member ids.
+    Single digest-keyed shuffle; sha256 keeps collisions negligible at
+    any corpus size."""
+    digest = F.sha2(normalize_text(text_col), 256)
+    return (df
+            .select(F.col(id_col).alias("member_id"), digest.alias("digest"))
+            .groupBy("digest")
+            .agg(F.min("member_id").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_members"),
+                 F.sort_array(F.collect_list("member_id")).alias("member_ids")))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Distinct (id, n-word shingle) pairs, built with JVM array
+    expressions (split → sequence → transform) — no Python."""
+    words = F.split(normalize_text(text_col), " ")
+    # sequence(0, negative) would DESCEND in Spark — guard short texts
+    # to an explicitly empty index array instead.
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(0), F.size(words) - F.lit(n))
+                 ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]))
+    return (df
+            .select(F.col(id_col).alias("doc"), F.explode(shingle).alias("shingle"))
+            .distinct())
+
+
+def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
+                          n: int = 3, threshold: float = 0.5,
+                          max_shingle_df: int | None = 1000) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    Blocking: docs pair only if they share a shingle (equi-join on the
+    shingle), so cost is Σ_s df(s)² over shared shingles — bounded by
+    dropping shingles with document frequency > max_shingle_df (a
+    shingle that common carries no dedup signal but would create a
+    quadratic bucket at scale).
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    if max_shingle_df is not None:
+        rare = (sh.groupBy("shingle").count()
+                .filter(F.col("count") <= max_shingle_df).drop("count"))
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    return (shared
+            .join(sizes.withColumnRenamed("doc", "doc_a")
+                       .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc", "doc_b")
+                       .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.col("shared")
+                        / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def _hash64(token: str) -> int:
+    """Deterministic 64-bit token hash (md5 low 8 bytes)."""
+    return struct.unpack("<Q", hashlib.md5(token.encode()).digest()[:8])[0]
+
+
+def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE61, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE61, num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 64,
+                       seed: int = 42) -> DataFrame:
+    """(id, signature array<long>) — k-permutation MinHash over n-word
+    shingles. One Arrow batch per partition chunk; the k affine
+    permutations (a·h + b mod 2^61-1) run as a vectorized numpy outer
+    product per document."""
+    a_params, b_params = _minhash_params(num_hashes, seed)
+
+    @F.pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        a = a_params.astype(object)  # python ints: exact mod-2^61 math
+        b = b_params.astype(object)
+        for t in texts:
+            words = " ".join((t or "").lower().split()).split(" ")
+            shingles = {" ".join(words[i:i + n])
+                        for i in range(max(0, len(words) - n + 1))}
+            if not shingles:
+                out.append([0] * num_hashes)
+                continue
+            hs = np.array([_hash64(s) for s in shingles], dtype=object)
+            mins = np.min((hs[:, None] * a + b) % _MERSENNE61, axis=0)
+            out.append([int(m) for m in mins])
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc"),
+                     sig(F.col(text_col)).alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, seed: int = 42,
+                      verify: bool = True) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH; optionally
+    verified with the signature-estimated Jaccard ≥ threshold.
+
+    bands=16 × rows=4 at num_hashes=64 targets the classic S-curve
+    crossover around jaccard ≈ (1/16)^(1/4) ≈ 0.5. Everything after
+    the signature UDF is joins/aggregations on (band, band_hash)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).cache()
+
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = (sigs.select("doc", "signature", band_idx)
+              .select("doc", "band",
+                      F.sha2(F.concat_ws(
+                          ",", F.slice("signature",
+                                       F.col("band") * rows + 1, rows)
+                          .cast("array<string>")), 256).alias("band_hash")))
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "band_hash")
+    cand = (a.join(b, ["band", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    if not verify:
+        return cand
+
+    sa = sigs.select(F.col("doc").alias("doc_a"),
+                     F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"),
+                     F.col("signature").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(num_hashes)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard_est", est)
+            .filter(F.col("jaccard_est") >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round("jaccard_est", 4).alias("jaccard_est")))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, 64-bit SimHash as long) — token-frequency-weighted majority
+    vote per bit; near-identical texts land within a few bits."""
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = " ".join((t or "").lower().split()).split(" ")
+            if not words or words == [""]:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for w in set(words):
+                h = np.uint64(_hash64(w))
+                weight = words.count(w)
+                bits = ((h >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.int64)
+                acc += np.where(bits == 1, weight, -weight)
+            val = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    val |= 1 << i
+            # to signed 64-bit
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming, blocked on 16-bit
+    bands (pigeonhole: ≤3 differing bits over 4 bands ⇒ ≥1 equal band),
+    so candidates come from an equi-join, not a cross join."""
+    hashes = simhash(df, id_col, text_col).cache()
+    bands = [(F.shiftrightunsigned("simhash", 16 * i)
+              .bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}")
+             for i in range(4)]
+    banded = hashes.select("doc", "simhash", *bands)
+    banded = banded.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("key"))
+            for i in range(4)])).alias("bk")
+    ).select("doc", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+    a = banded.select(F.col("doc").alias("doc_a"),
+                      F.col("simhash").alias("h_a"), "band", "key")
+    b = banded.select(F.col("doc").alias("doc_b"),
+                      F.col("simhash").alias("h_b"), "band", "key")
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "h_a", "h_b").distinct()
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,116 @@
+"""Text-analysis operators: token counting, quality stats/score,
+language ID, document fingerprinting. All pure JVM expressions (or a
+broadcast join against a tiny profile table) — no Python in the row
+path, so they fuse into whole-stage codegen with the rest of the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_ext_spark.llm.dedup import normalize_text
+
+__all__ = ["tokens", "text_stats", "quality_score", "language_id",
+           "fingerprint", "STOPWORDS"]
+
+# Tiny per-language stopword profiles (top function words) for the
+# n-gram/stopword language-ID heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace+punctuation tokenizer (BPE-ish regex split) as a JVM
+    expression; empty strings filtered."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"[\s\p{Punct}]+"),
+                    lambda t: t != "")
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: char length, token count, distinct-token
+    ratio, punctuation/digit/whitespace ratios, mean token length."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c)
+    nz = F.greatest(n_chars, F.lit(1))
+    n_tokens = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks))
+                / F.greatest(n_tokens, F.lit(1)).cast("double"), 4)
+         .alias("distinct_ratio"),
+        F.round(F.length(F.regexp_replace(c, r"[^\p{Punct}]", "")) / nz, 4)
+         .alias("punct_ratio"),
+        F.round(F.length(F.regexp_replace(c, r"[^0-9]", "")) / nz, 4)
+         .alias("digit_ratio"),
+        F.round(F.length(F.regexp_replace(c, r"\S", "")) / nz, 4)
+         .alias("space_ratio"),
+        F.round((n_chars - F.length(F.regexp_replace(c, r"\s", "")))
+                .cast("double"), 4).alias("n_spaces"))
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str,
+                  min_chars: int = 50, max_chars: int = 10000) -> DataFrame:
+    """Heuristic [0,1] quality score: length window, token diversity,
+    low punctuation/digit noise — the standard cheap pre-filter in a
+    training-data pipeline."""
+    stats = text_stats(df, id_col, text_col)
+    length_ok = ((F.col("n_chars") >= min_chars)
+                 & (F.col("n_chars") <= max_chars)).cast("double")
+    diversity = F.least(F.col("distinct_ratio") * 2, F.lit(1.0))
+    noise = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - (F.col("punct_ratio") + F.col("digit_ratio")) * 5)
+    score = F.round(0.4 * length_ok + 0.3 * diversity + 0.3 * noise, 4)
+    return stats.select(id_col, score.alias("quality_score"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str,
+                profiles: dict[str, list[str]] | None = None) -> DataFrame:
+    """Stopword-profile language ID: explode tokens, broadcast-join the
+    (word → lang) profile table, argmax hit count per doc with
+    deterministic tie-break (count desc, lang asc); 'und' when no
+    profile word occurs. Scales as one explode + broadcast join +
+    two-level agg."""
+    profiles = profiles or STOPWORDS
+    spark = df.sparkSession
+    profile_rows = [(w, lang) for lang, ws in profiles.items() for w in ws]
+    prof = F.broadcast(
+        spark.createDataFrame(profile_rows, "word string, lang string"))
+
+    exploded = df.select(F.col(id_col),
+                         F.explode(tokens(text_col)).alias("word"))
+    hits = (exploded.join(prof, "word")
+            .groupBy(id_col, "lang").agg(F.count(F.lit(1)).alias("hits")))
+    best = (hits
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy(id_col)
+                .orderBy(F.desc("hits"), F.asc("lang"))))
+            .filter(F.col("rk") == 1)
+            .select(id_col, F.col("lang").alias("lang_pred"), "hits"))
+    return (df.select(id_col).join(best, id_col, "left")
+            .select(id_col,
+                    F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+                    F.coalesce("hits", F.lit(0)).alias("hits")))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (matching md5() in any other engine) plus a locality-insensitive
+    sorted-token variant that survives word reordering."""
+    norm = normalize_text(text_col)
+    sorted_tokens = F.concat_ws(" ", F.array_sort(tokens(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.md5(sorted_tokens).alias("bag_fingerprint"))

@@ -1,0 +1,234 @@
+"""LLM-pipeline headline queries over documents/embeddings.
+
+Oracle-checked where ANSI-SQL-expressible (exact dedup via sha256,
+n-gram Jaccard via pure set arithmetic, text stats via regexps,
+fingerprints via md5, language-ID via a stopword VALUES table,
+brute-force cosine via list_cosine_similarity); hash-based ops
+(MinHash-LSH, SimHash, LSH ANN) are rows-only with goldens in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ext_spark.llm import dedup, multimodal, similarity, text
+from spark_ext_spark.plans.relational import load
+
+
+# --- dedup ------------------------------------------------------------------
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.exact_duplicates(docs, "doc_id", "text")
+    return out.select("digest", "canonical_id", "n_members")
+
+
+EXACT_DEDUP_SQL = """
+SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_members
+FROM documents
+GROUP BY 1
+"""
+
+_SHINGLE_CTE = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM norm WHERE len(w) >= 3)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.jaccard_similar_pairs(docs, "doc_id", "text", n=3,
+                                       threshold=0.12,
+                                       max_shingle_df=None)
+
+
+NGRAM_JACCARD_SQL = _SHINGLE_CTE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(count(*) / (any_value(sa.n) + any_value(sb.n) - count(*)), 4)
+         AS jaccard
+FROM sh a
+JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) / (any_value(sa.n) + any_value(sb.n) - count(*)) >= 0.12
+"""
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (hashlib-based signatures aren't SQL-expressible);
+    verified pairs at the same τ as ngram_jaccard for cross-checking."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3,
+                                   num_hashes=64, bands=32, threshold=0.12)
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: 64-bit SimHash near pairs (Hamming ≤ 8)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# --- text analysis -----------------------------------------------------------
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = text.text_stats(docs, "doc_id", "text")
+    return out.select("doc_id", "n_chars", "n_tokens", "distinct_ratio",
+                      "digit_ratio")
+
+
+DOC_TEXT_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[\\s[:punct:]]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(tk) AS n_tokens,
+       round(len(list_distinct(tk)) / greatest(len(tk), 1), 4)
+         AS distinct_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / greatest(length(text), 1), 4) AS digit_ratio
+FROM toks
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+DOC_FINGERPRINTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[\\s[:punct:]]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       md5(array_to_string(list_sort(tk), ' ')) AS bag_fingerprint
+FROM toks
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.language_id(docs, "doc_id", "text")
+
+
+def _stopword_values() -> str:
+    rows = ", ".join(f"('{w}', '{lang}')"
+                     for lang, ws in text.STOPWORDS.items() for w in ws)
+    return f"(VALUES {rows}) AS prof(word, lang)"
+
+
+DOC_LANGUAGE_ID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text),
+                '[\\s[:punct:]]+'), t -> t <> '')) AS word
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM toks JOIN {_stopword_values()} USING (word)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang ASC) AS rk
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS lang_pred,
+       coalesce(b.hits, 0) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+  ON d.doc_id = b.doc_id
+"""
+
+
+# --- similarity --------------------------------------------------------------
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb, k=5, round_to=4)
+
+
+COSINE_TOPK_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH-bucketed approximate top-k (recall vs exact is
+    asserted in tests/test_llm_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, k=5, n_planes=8)
+
+
+# --- multimodal ---------------------------------------------------------------
+
+def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: documents' bytes treated as opaque media payloads →
+    attach → stub-decode → per-format size stats (the full multimodal
+    plumbing end-to-end)."""
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.attach_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "doc_id", "payload")
+    decoded = multimodal.decode_media(media)
+    return (decoded
+            .groupBy(F.col("media_meta.format").alias("format"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("media_meta.byte_len").alias("total_bytes"),
+                 F.round(F.avg("media_meta.width"), 4).alias("avg_width")))
+
+
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of the multimodal plumbing: binary length
+    and hex prefix agree with DuckDB's blob functions."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("byte_len"),
+        F.lower(F.hex(F.substring("text", 1, 4))).alias("hex_prefix"))
+
+
+MEDIA_BYTE_STATS_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       lower(to_hex(encode(substring(text, 1, 4)))) AS hex_prefix
+FROM documents
+"""

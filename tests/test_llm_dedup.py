@@ -1,0 +1,93 @@
+"""Dedup-family behavior tests: exact groups, Jaccard pairs, MinHash
+LSH recall on engineered near-duplicates, SimHash Hamming blocking."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_ext_spark.llm.dedup import (exact_duplicates,
+                                       jaccard_similar_pairs,
+                                       minhash_lsh_pairs,
+                                       minhash_signatures, simhash,
+                                       simhash_near_pairs, word_shingles)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single afternoon")
+NEAR = BASE.replace("warm", "cold")  # one-word change
+FAR = ("completely different content about distributed query engines "
+       "processing petabytes of shuffle data with vectorized readers")
+
+DOCS = [
+    (1, BASE),
+    (2, "  The   QUICK brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single afternoon  "),  # exact after normalize
+    (3, NEAR),
+    (4, FAR),
+    (5, BASE),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates_groups(docs):
+    groups = {r["canonical_id"]: r for r in
+              exact_duplicates(docs, "doc_id", "text").collect()}
+    assert groups[1]["n_members"] == 3
+    assert groups[1]["member_ids"] == [1, 2, 5]
+    assert groups[3]["n_members"] == 1
+    assert groups[4]["n_members"] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = {r["shingle"] for r in word_shingles(df, "doc_id", "text", 3).collect()}
+    assert got == {"a b c", "b c d"}
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert word_shingles(short, "doc_id", "text", 3).count() == 0
+
+
+def test_jaccard_pairs_find_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             jaccard_similar_pairs(docs, "doc_id", "text",
+                                   threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0  # exact dups
+    assert 0.5 <= pairs[(1, 3)] < 1.0                      # near dup
+    assert (1, 4) not in pairs and (3, 4) not in pairs     # unrelated
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r["doc"]: r["signature"] for r in
+            minhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] == sigs[5]   # identical shingle sets
+    assert sigs[1] != sigs[4]
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3])) / len(sigs[1])
+    assert agree > 0.5                      # near dup mostly agrees
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in
+             minhash_lsh_pairs(docs, "doc_id", "text",
+                               threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs                 # near dup above S-curve
+    assert all(b != 4 and a != 4 for a, b in pairs)
+
+
+def test_simhash_hamming(docs):
+    hashes = {r["doc"]: r["simhash"] for r in
+              simhash(docs, "doc_id", "text").collect()}
+    assert hashes[1] == hashes[2] == hashes[5]
+    ham_near = bin((hashes[1] ^ hashes[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((hashes[1] ^ hashes[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_near_pairs(docs, "doc_id", "text",
+                                max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
+    assert all(4 not in p for p in pairs)

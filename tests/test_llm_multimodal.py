@@ -1,0 +1,72 @@
+"""Multimodal-column plumbing tests: schema, magic sniffing, stubbed
+decode determinism, pseudo-features, frame sampling shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_ext_spark.llm.multimodal import (attach_media, decode_media,
+                                            media_features, sample_frames)
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"fakepngdata" * 10
+JPEG = b"\xff\xd8\xff\xe0" + b"fakejpegdata" * 10
+MP3 = b"ID3\x04" + b"fakemp3" * 5
+RAW = b"justsomebytes"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, PNG), (2, JPEG), (3, MP3), (4, RAW)],
+        "item_id long, payload binary")
+    return attach_media(df, "item_id", "payload").cache()
+
+
+def test_attach_media_schema_and_sniffing(media):
+    assert dict(media.dtypes)["media"] == "binary"
+    rows = {r["media_id"]: r["media_meta"] for r in media.collect()}
+    assert rows[1]["format"] == "png"
+    assert rows[2]["format"] == "jpeg"
+    assert rows[3]["format"] == "mp3"
+    assert rows[4]["format"] == "unknown"
+    assert rows[1]["byte_len"] == len(PNG)
+    assert rows[1]["width"] is None  # not decoded yet
+
+
+def test_decode_media_stub_is_deterministic(media):
+    d1 = {r["media_id"]: r["media_meta"] for r in decode_media(media).collect()}
+    d2 = {r["media_id"]: r["media_meta"] for r in decode_media(media).collect()}
+    assert d1 == d2
+    for meta in d1.values():
+        assert 16 <= meta["width"] <= 255 and 16 <= meta["height"] <= 255
+        assert meta["n_frames"] >= 1
+    assert d1[1]["format"] == "png"  # sniffed format survives decode
+
+
+def test_real_decode_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, real_decode=True)
+
+
+def test_media_features_unit_norm_and_stable(media):
+    f1 = {r["media_id"]: r["features"] for r in media_features(media).collect()}
+    f2 = {r["media_id"]: r["features"] for r in media_features(media).collect()}
+    assert f1 == f2
+    for v in f1.values():
+        assert len(v) == 16
+        assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-9)
+    assert f1[1] != f1[2]
+
+
+def test_sample_frames_shape(media):
+    decoded = decode_media(media)
+    frames = sample_frames(decoded, every_n=5)
+    rows = frames.collect()
+    assert {c for c in frames.columns} == {"media_id", "frame_idx", "frame_stub"}
+    metas = {r["media_id"]: r["media_meta"] for r in decoded.collect()}
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in by_id.items():
+        expected = list(range(0, max(metas[mid]["n_frames"] - 1, 0) + 1, 5))
+        assert sorted(idxs) == expected

@@ -1,0 +1,60 @@
+"""Text-analysis operator tests: stats, quality, language ID,
+fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_ext_spark.llm.text import (fingerprint, language_id,
+                                      quality_score, text_stats)
+
+DOCS = [
+    (1, "The cat sat on the mat, and it was happy for a while."),
+    (2, "el perro corre por la calle y la gente mira con los ojos"),
+    (3, "le chat est sur le toit et les oiseaux du jardin"),
+    (4, "1234 5678 9999 0000 !!!! ???? ###"),
+    (5, "word " * 40),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_text_stats(docs, spark):
+    stats = {r["doc_id"]: r for r in
+             text_stats(docs, "doc_id", "text").collect()}
+    assert stats[1]["n_tokens"] == 13
+    assert stats[1]["n_chars"] == len(DOCS[0][1])
+    assert stats[4]["digit_ratio"] > 0.4
+    assert stats[4]["punct_ratio"] > 0.2
+    assert stats[5]["distinct_ratio"] == pytest.approx(1 / 40, abs=1e-4)
+
+
+def test_quality_score_ranks_noise_low(docs):
+    q = {r["doc_id"]: r["quality_score"] for r in
+         quality_score(docs, "doc_id", "text").collect()}
+    assert q[1] > q[4]           # clean English beats digit noise
+    assert q[1] > q[5]           # diverse beats repeated single word
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+
+
+def test_language_id(docs):
+    langs = {r["doc_id"]: r["lang_pred"] for r in
+             language_id(docs, "doc_id", "text").collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "es"
+    assert langs[3] == "fr"
+    assert langs[4] == "und"     # no stopword hits
+
+
+def test_fingerprint_normalization_and_bag(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "world hello")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: (r["fingerprint"], r["bag_fingerprint"])
+           for r in fingerprint(df, "doc_id", "text").collect()}
+    assert fps[1][0] == fps[2][0]          # normalization-invariant
+    assert fps[2][0] != fps[3][0]          # order-sensitive
+    assert fps[1][1] == fps[2][1] == fps[3][1]  # bag ignores order
