@@ -21,7 +21,31 @@ __all__ = [
     "collect_array_sorted",
     "collect_array_distinct",
     "gather_struct",
+    "register_sql_functions",
 ]
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the engine's scalar functions to pure-SQL users:
+
+    - ``s2_token(lat, lon, level)`` — S2 cell token (pandas UDF);
+    - ``normalize_text(s)`` / ``text_quality-style`` helpers are plain
+      expressions, usable directly; the aggregate surface
+      (``collect_array``) maps to built-in ``collect_list`` wrapped in
+      ``coalesce(..., array())`` as documented on :func:`collect_array`.
+    """
+    import pandas as pd
+
+    from spark_ext_spark.functions.s2 import cell_tokens
+
+    # no type hints: PEP-563 string annotations (module-level future
+    # import) are unresolvable by pyspark's hint inspection
+    @F.pandas_udf("string")
+    def s2_token(lat, lon, level):
+        lvl = int(level.iloc[0]) if len(level) else 10
+        return pd.Series(cell_tokens(lat.to_numpy(), lon.to_numpy(), lvl))
+
+    spark.udf.register("s2_token", s2_token)
 
 
 def collect_array(col: Column | str) -> Column:

@@ -93,11 +93,14 @@ class BinaryModelMetrics:
                .withColumn("fp", F.sum("neg").over(w)))
         totals = counts.agg(F.sum("pos").alias("tot_pos"),
                             F.sum("neg").alias("tot_neg"))
+        # Cached like the reference persists cumulativeCounts
+        # (BinaryModelMetrics.scala:216): every curve/AUC reuses it.
         return (cum.crossJoin(F.broadcast(totals))
                 .select("score", "tp", "fp",
                         (F.col("tot_pos") - F.col("tp")).alias("fn"),
                         (F.col("tot_neg") - F.col("fp")).alias("tn"),
-                        "tot_pos", "tot_neg"))
+                        "tot_pos", "tot_neg")
+                .cache())
 
     # -- metric expressions -------------------------------------------------
 

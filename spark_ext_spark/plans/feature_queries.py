@@ -28,7 +28,9 @@ def _gathered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _encode(spark, sf_dir, **encoder_kw) -> DataFrame:
-    g = _gathered(spark, sf_dir)
+    # fit (2 jobs) and transform both consume the gathered table —
+    # cache it so the scan+two-level agg runs once, not three times.
+    g = _gathered(spark, sf_dir).cache()
     enc = GatherEncoder(inputCol="gathered", outputCol="features",
                         keyCol="event_type", valueCol="value", **encoder_kw)
     model = enc.fit(g)

@@ -17,15 +17,11 @@ from spark_ext_spark.functions import collect_array_sorted
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-    # (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
-    # timestamps — the same truncation DuckDB applies, so oracle
-    # comparisons and orderings agree. Integer DIV keeps full precision
-    # (a double division would lose bits above 2^53).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    """TESTDATA loader; events.ts arrives as parquet TIMESTAMP(NANOS)
+    and is normalized to µs timestamps (the same truncation DuckDB
+    applies, so oracle comparisons and orderings agree)."""
+    from spark_ext_spark.sources import read_table
+    return read_table(spark, sf_dir, name)
 
 
 # --- aggregation ----------------------------------------------------------

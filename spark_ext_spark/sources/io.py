@@ -1,0 +1,71 @@
+"""Readers/writers with the engine's conventions baked in.
+
+- Parquet nano-timestamps (unreadable by stock Spark 4) are normalized
+  to microsecond timestamps at load (see session.py nanosAsLong).
+- Writers default to snappy parquet with explicit partition sizing —
+  at 100 TB the difference between 200 and 20,000 output files is an
+  operational incident, so ``target_file_rows``/``partition_by`` are
+  first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str,
+                 nano_ts_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Parquet scan; pass nano_ts_cols for columns stored as
+    TIMESTAMP(NANOS) to get µs timestamps back."""
+    df = spark.read.parquet(path)
+    for c in nano_ts_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """TESTDATA table loader (the driver's layout: {sf_dir}/{name}.parquet)."""
+    nano = ("ts",) if name == "events" else ()
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet", nano_ts_cols=nano)
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: StructType | str | None = None,
+             header: bool = True, **options) -> DataFrame:
+    """CSV reader (replaces the reference's hand-rolled line splits);
+    explicit schema strongly preferred — inference is a full extra scan."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: StructType | str | None = None, **options) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None,
+                  target_partitions: int | None = None,
+                  compression: str = "snappy") -> None:
+    """Parquet writer with explicit output-partition control: set
+    target_partitions ≈ total_bytes / 512MB for healthy file sizes."""
+    if target_partitions is not None:
+        df = df.repartition(target_partitions, *(partition_by or []))
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

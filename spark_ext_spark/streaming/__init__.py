@@ -1,0 +1,22 @@
+"""Structured Streaming variants of the engine's operators.
+
+The reference predates Structured Streaming entirely (Spark 1.5); these
+are the stream-native re-expressions of its batch semantics plus the
+LLM-pipeline ops that matter on a live ingest path:
+
+- ``streaming_gather``: windowed Gather — the two-level aggregation
+  collapses into one update-mode groupBy per event-time window.
+- ``streaming_dedup_exact``: exact dedup on a normalized-text digest
+  with ``dropDuplicatesWithinWatermark`` (bounded state).
+- ``streaming_text_quality``: stateless per-row text stats/quality —
+  pure expressions, so they run identically on a stream.
+- ``streaming_event_counts``: watermarked sliding-window event rollup
+  (the canonical late-data-tolerant aggregate).
+
+All builders take/return streaming DataFrames and never call an
+action; sinks are the caller's choice (tests use the memory sink).
+"""
+
+from spark_ext_spark.streaming.ops import (  # noqa: F401
+    streaming_dedup_exact, streaming_event_counts, streaming_gather,
+    streaming_text_quality)

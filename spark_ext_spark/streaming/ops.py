@@ -1,0 +1,89 @@
+"""Streaming operator builders (see package docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_ext_spark.llm.dedup import normalize_text
+from spark_ext_spark.llm.text import tokens
+
+
+def streaming_event_counts(events: DataFrame, ts_col: str = "ts",
+                           key_col: str = "event_type",
+                           value_col: str = "value",
+                           window: str = "10 minutes",
+                           slide: str | None = None,
+                           watermark: str = "20 minutes") -> DataFrame:
+    """Watermarked (sliding) window rollup: count + sum per key per
+    window. Late rows beyond the watermark are dropped; state is
+    bounded by (windows in watermark horizon × keys)."""
+    win = (F.window(ts_col, window, slide) if slide
+           else F.window(ts_col, window))
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(win.alias("win"), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(value_col).alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    key_col, "n_events", "total_value"))
+
+
+def streaming_gather(events: DataFrame, ts_col: str = "ts",
+                     pk_col: str = "user_id", key_col: str = "event_type",
+                     value_col: str = "value", window: str = "10 minutes",
+                     watermark: str = "20 minutes") -> DataFrame:
+    """Stream-native Gather: per (window, pk) the gathered
+    array<struct<key,value>> — batch Gather's two groupBys fuse into
+    one windowed aggregation (collect over pre-summed pairs via
+    map_from_entries of a pivot-free map aggregate).
+
+    Uses sum-by-key inside the aggregate (map_concat pattern is not
+    associative-safe in agg), so: first level (window, pk, key) sums,
+    second level collects — same shape as batch, both watermarked."""
+    win = F.window(ts_col, window)
+    level1 = (events
+              .withWatermark(ts_col, watermark)
+              .groupBy(win.alias("win"), F.col(pk_col), F.col(key_col))
+              .agg(F.sum(value_col).cast("double").alias("__v")))
+    # Second aggregation over the append-mode output of the first is
+    # supported in Spark 4 (multiple stateful operators) as long as the
+    # window column is carried through.
+    struct_col = F.struct(F.col(key_col).alias(key_col),
+                          F.col("__v").alias(value_col))
+    return (level1
+            .groupBy("win", pk_col)
+            .agg(F.collect_list(struct_col).alias("gathered"))
+            .select(F.col("win.start").alias("window_start"),
+                    pk_col, "gathered"))
+
+
+def streaming_dedup_exact(docs: DataFrame, ts_col: str, id_col: str,
+                          text_col: str,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Exact streaming dedup: keep the first document per normalized-
+    text digest within the watermark horizon; state size is bounded by
+    the horizon (dropDuplicatesWithinWatermark)."""
+    digested = (docs
+                .withColumn("digest", F.sha2(normalize_text(text_col), 256))
+                .withWatermark(ts_col, watermark))
+    return digested.dropDuplicatesWithinWatermark(["digest"])
+
+
+def streaming_text_quality(docs: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """Stateless per-row text stats — identical expressions to the
+    batch path, legal on any stream with no watermark needed."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    nz = F.greatest(F.length(c), F.lit(1))
+    return docs.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks))
+                / F.greatest(F.size(toks), F.lit(1)).cast("double"), 4)
+         .alias("distinct_ratio"),
+        F.round(F.length(F.regexp_replace(c, r"[^0-9]", "")) / nz, 4)
+         .alias("digit_ratio"))

@@ -1,0 +1,44 @@
+"""Source/sink helper tests + SQL function registration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ext_spark.functions import register_sql_functions
+from spark_ext_spark.functions.s2 import cell_token
+from spark_ext_spark.sources import (read_csv, read_parquet, read_table,
+                                     write_parquet)
+
+
+def test_read_table_normalizes_event_nanos(spark, sf_small):
+    ev = read_table(spark, sf_small, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    path = str(tmp_path / "csv")
+    df.write.option("header", True).mode("overwrite").csv(path)
+    back = read_csv(spark, path, schema="k string, v int")
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == \
+        [("a", 1), ("b", 2)]
+
+
+def test_write_parquet_partitioning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(100)],
+        "id long, parity string")
+    path = str(tmp_path / "pq")
+    write_parquet(df, path, partition_by=["parity"], target_partitions=2)
+    back = read_parquet(spark, path)
+    assert back.count() == 100
+    assert set(r["parity"] for r in back.select("parity").distinct().collect()) \
+        == {"even", "odd"}
+
+
+def test_register_sql_functions(spark):
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT s2_token(40.7142700D, -74.0059700D, 12) AS tok").first()
+    assert row["tok"] == cell_token(40.71427, -74.00597, 12)

@@ -1,0 +1,109 @@
+"""Structured Streaming operator tests: drive each builder with a
+file/memory stream and check the materialized results against the
+equivalent batch computation."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ext_spark.streaming import (streaming_dedup_exact,
+                                       streaming_event_counts,
+                                       streaming_gather,
+                                       streaming_text_quality)
+
+ROWS = [
+    ("2024-01-01 00:01:00", 1, "view", 1.0),
+    ("2024-01-01 00:02:00", 1, "view", 2.0),
+    ("2024-01-01 00:03:00", 2, "click", 3.0),
+    ("2024-01-01 00:11:00", 1, "view", 4.0),
+    ("2024-01-01 00:12:00", 2, "click", 5.0),
+    # Late "flush" row: advances the watermark past the windows above
+    # so append-mode emits their final results.
+    ("2024-01-01 02:00:00", 99, "flush", 0.0),
+]
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    df = spark.createDataFrame(ROWS, "ts string, user_id long, "
+                                     "event_type string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in"), df
+
+
+def _run_to_memory(stream_df, name, mode="append", timeout=60):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(timeout)
+    assert not q.isActive
+    return q
+
+
+def test_streaming_event_counts(spark, event_stream_dir):
+    path, batch_df = event_stream_dir
+    stream = (spark.readStream.schema(batch_df.schema).parquet(path))
+    out = streaming_event_counts(stream, window="10 minutes",
+                                 watermark="30 minutes")
+    _run_to_memory(out, "ev_counts")
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM ev_counts").collect()}
+    assert got[("2024-01-01 00:00:00", "view")] == (2, 3.0)
+    assert got[("2024-01-01 00:00:00", "click")] == (1, 3.0)
+    assert got[("2024-01-01 00:10:00", "view")] == (1, 4.0)
+    assert got[("2024-01-01 00:10:00", "click")] == (1, 5.0)
+    # the flush row's own window never finalizes
+    assert not any(k[1] == "flush" for k in got)
+
+
+def test_streaming_gather(spark, event_stream_dir):
+    path, batch_df = event_stream_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = streaming_gather(stream, window="10 minutes",
+                           watermark="30 minutes")
+    _run_to_memory(out, "gathered_stream")
+    rows = spark.sql("SELECT * FROM gathered_stream").collect()
+    got = {(str(r["window_start"]), r["user_id"]):
+           sorted((kv["event_type"], kv["value"]) for kv in r["gathered"])
+           for r in rows}
+    assert got[("2024-01-01 00:00:00", 1)] == [("view", 3.0)]
+    assert got[("2024-01-01 00:00:00", 2)] == [("click", 3.0)]
+    assert got[("2024-01-01 00:10:00", 1)] == [("view", 4.0)]
+
+
+def test_streaming_dedup_exact(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    docs = spark.createDataFrame(
+        [("2024-01-01 00:00:01", 1, "hello world"),
+         ("2024-01-01 00:00:02", 2, "HELLO   world"),   # dup after norm
+         ("2024-01-01 00:00:03", 3, "something else")],
+        "ts string, doc_id long, text string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "in"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(d / "in"))
+    out = streaming_dedup_exact(stream, "ts", "doc_id", "text")
+    _run_to_memory(out, "dedup_stream")
+    kept = {r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM dedup_stream").collect()}
+    assert len(kept) == 2 and 3 in kept
+    assert len(kept & {1, 2}) == 1  # exactly one of the dups survives
+
+
+def test_streaming_text_quality_stateless(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_q")
+    docs = spark.createDataFrame(
+        [(1, "The cat sat on the mat"), (2, "123 456 789")],
+        "doc_id long, text string")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "in"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(d / "in"))
+    out = streaming_text_quality(stream, "doc_id", "text")
+    _run_to_memory(out, "quality_stream")
+    got = {r["doc_id"]: r for r in
+           spark.sql("SELECT * FROM quality_stream").collect()}
+    assert got[1]["n_tokens"] == 6
+    assert got[2]["digit_ratio"] > 0.7
