@@ -94,6 +94,26 @@ def test_splits_must_increase():
         Binning(splits=[0.0, 0.0, 1.0])
 
 
+def test_optimal_binning_skewed_lognormal(spark):
+    # SplitOptimizerSpec.scala:28-45: equal-frequency splits on skewed
+    # exp(N(0,1)) data — per-bin counts near ideal n/bins.
+    rng = random.Random(13)
+    import math
+    vals = [math.exp(rng.gauss(0, 1)) for _ in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    model = OptimalBinning(inputCol="x", outputCol="b", numBins=5).fit(df)
+    counts = [0] * 5
+    splits = model.splits
+    for v in vals:
+        for i in range(5):
+            hi = splits[i + 1]
+            if v < hi or i == 4:
+                counts[i] += 1
+                break
+    for c in counts:
+        assert abs(c - 200) <= 10, (counts, splits)
+
+
 def test_optimal_binning_too_few_points(spark):
     df = spark.createDataFrame([(float(i),) for i in range(20)], "x double")
     with pytest.raises(ValueError, match="too small"):
