@@ -77,6 +77,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_cumsum": rel.cumulative_user_value,
         "distinct_pairs": rel.distinct_user_event_pairs,
         "union_all_counts": rel.union_all_keys,
+        "left_join_order_counts": rel.left_join_order_counts,
+        "semi_join_urgent": rel.semi_join_active_customers,
+        "anti_join_no_orders": rel.anti_join_inactive_customers,
+        "rollup_revenue": rel.rollup_order_revenue,
+        "intersect_buyers": rel.intersect_high_value_buyers,
+        "except_non_urgent": rel.except_low_priority_only,
     }
 
 
@@ -111,4 +117,10 @@ def oracle_sql() -> dict[str, str]:
         "window_cumsum": rel.CUMULATIVE_USER_VALUE_SQL,
         "distinct_pairs": rel.DISTINCT_USER_EVENT_PAIRS_SQL,
         "union_all_counts": rel.UNION_ALL_KEYS_SQL,
+        "left_join_order_counts": rel.LEFT_JOIN_ORDER_COUNTS_SQL,
+        "semi_join_urgent": rel.SEMI_JOIN_ACTIVE_CUSTOMERS_SQL,
+        "anti_join_no_orders": rel.ANTI_JOIN_INACTIVE_CUSTOMERS_SQL,
+        "rollup_revenue": rel.ROLLUP_ORDER_REVENUE_SQL,
+        "intersect_buyers": rel.INTERSECT_HIGH_VALUE_BUYERS_SQL,
+        "except_non_urgent": rel.EXCEPT_LOW_PRIORITY_ONLY_SQL,
     }

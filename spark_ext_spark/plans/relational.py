@@ -209,3 +209,127 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+# --- join variants (beyond the reference's inner joins) -------------------
+
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer with their order count (0 when
+    none) — null-producing joins feed GatherEncoder's null contract."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    counts = (orders.groupBy("o_custkey")
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   F.round(F.sum("o_totalprice"), 4).alias("total_spent")))
+    return (customer
+            .join(counts, customer.c_custkey == counts.o_custkey, "left")
+            .select("c_custkey",
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("total_spent", F.lit(0.0)).alias("total_spent")))
+
+
+LEFT_JOIN_ORDER_COUNTS_SQL = """
+SELECT c_custkey,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(total_spent, 0.0) AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 4) AS total_spent
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one urgent order."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (customer
+            .join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment"))
+
+
+SEMI_JOIN_ACTIVE_CUSTOMERS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (customer
+            .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_nationkey"))
+
+
+ANTI_JOIN_INACTIVE_CUSTOMERS_SQL = """
+SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --- multi-dimensional aggregation ----------------------------------------
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status): subtotals + grand total, the
+    standard OLAP rollup (NULL marks each subtotal level, same
+    convention in both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    return (orders
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
+ROLLUP_ORDER_REVENUE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --- set operations --------------------------------------------------------
+
+def intersect_high_value_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who placed an order over 100k AND hold a
+    positive account balance."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    big_buyers = (orders.filter(F.col("o_totalprice") > 100000)
+                  .select(F.col("o_custkey").alias("custkey")))
+    positive = (customer.filter(F.col("c_acctbal") > 0)
+                .select(F.col("c_custkey").alias("custkey")))
+    return big_buyers.intersect(positive)
+
+
+INTERSECT_HIGH_VALUE_BUYERS_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+"""
+
+
+def except_low_priority_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with orders but never an urgent one."""
+    orders = load(spark, sf_dir, "orders")
+    all_buyers = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("custkey")))
+    return all_buyers.subtract(urgent)  # EXCEPT (distinct) semantics
+
+
+EXCEPT_LOW_PRIORITY_ONLY_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
