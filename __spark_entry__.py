@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_urgent": rel.semi_join_active_customers,
         "anti_join_no_orders": rel.anti_join_inactive_customers,
         "rollup_revenue": rel.rollup_order_revenue,
+        "price_percentiles": rel.price_percentiles,
         "intersect_buyers": rel.intersect_high_value_buyers,
         "except_non_urgent": rel.except_low_priority_only,
     }
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_urgent": rel.SEMI_JOIN_ACTIVE_CUSTOMERS_SQL,
         "anti_join_no_orders": rel.ANTI_JOIN_INACTIVE_CUSTOMERS_SQL,
         "rollup_revenue": rel.ROLLUP_ORDER_REVENUE_SQL,
+        "price_percentiles": rel.PRICE_PERCENTILES_SQL,
         "intersect_buyers": rel.INTERSECT_HIGH_VALUE_BUYERS_SQL,
         "except_non_urgent": rel.EXCEPT_LOW_PRIORITY_ONLY_SQL,
     }

@@ -143,28 +143,56 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
              multiprobe: bool = True) -> DataFrame:
     """Approximate top-k within LSH buckets; multiprobe also searches
     the n_planes 1-bit-adjacent buckets (recall boost without widening
-    the join fan-out asymptotically)."""
+    the join fan-out asymptotically).
+
+    IVF-style execution: bucket members ('c' rows) plus probing
+    queries ('q' rows) are co-grouped per bucket, and each group does
+    ONE numpy GEMM (queries × members) emitting per-query bucket-local
+    top-k; a final groupBy merges bucket-local candidates into global
+    top-k. Vectors materialize once per probe, never per pair."""
+    import pandas as pd
+
     b = lsh_buckets(df, n_planes, seed, id_col, vec_col).cache()
     if multiprobe:
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
                            for p in range(n_planes)])
-        q = (b.select("vec_id", "vec", F.explode(probes).alias("bucket"))
-             .withColumnRenamed("vec_id", "query_id")
-             .withColumnRenamed("vec", "qv"))
+        q = b.select("vec_id", "vec", F.explode(probes).alias("bucket"),
+                     F.lit("q").alias("role"))
     else:
-        q = b.select(F.col("vec_id").alias("query_id"),
-                     F.col("vec").alias("qv"), "bucket")
-    c = b.select(F.col("vec_id").alias("neighbor_id"),
-                 F.col("vec").alias("cv"), "bucket")
-    sim = cosine_similarity_col(F.col("qv"), F.col("cv"))
-    pairs = (q.join(c, "bucket")
-             .filter(F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "neighbor_id", sim.alias("sim"))
-             .groupBy("query_id", "neighbor_id")
-             .agg(F.max("sim").alias("sim")))  # dedup multiprobe hits
+        q = b.select("vec_id", "vec", "bucket", F.lit("q").alias("role"))
+    c = b.select("vec_id", "vec", "bucket", F.lit("c").alias("role"))
+    both = q.unionByName(c)
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["role"] == "q"]
+        cs = pdf[pdf["role"] == "c"]
+        if qs.empty or cs.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "sim"])
+        qm = np.array(qs["vec"].tolist(), dtype=np.float64)
+        cm = np.array(cs["vec"].tolist(), dtype=np.float64)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = qm @ cm.T
+        c_ids = cs["vec_id"].to_numpy()
+        q_ids = qs["vec_id"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(q_ids):
+            s = sims[i]
+            valid = c_ids != qid
+            order = np.lexsort((c_ids[valid], -s[valid]))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(c_ids[valid][order].tolist())
+            out_s.extend(s[valid][order].tolist())
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "sim": out_s})
+
+    local = both.groupBy("bucket").applyInPandas(
+        bucket_topk, schema="query_id long, neighbor_id long, sim double")
+    merged = (local.groupBy("query_id", "neighbor_id")
+              .agg(F.max("sim").alias("sim")))  # dedup multiprobe hits
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                F.asc("neighbor_id"))
-    return (pairs.withColumn("rank", F.row_number().over(w))
+    return (merged.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "sim", "rank"))

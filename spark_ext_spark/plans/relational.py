@@ -298,6 +298,30 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per return flag —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition. At 100 TB prefer approx_percentile
+    (t-digest sketch, no sort); the exact version is the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+                 .alias("p90"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --- set operations --------------------------------------------------------
 
 def intersect_high_value_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
