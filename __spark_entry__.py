@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline ops: similarity search
         "cosine_topk": lq.cosine_topk_bruteforce,
         "ann_lsh_topk": lq.ann_lsh_topk,        # rows-only
+        "embedding_near_dups": lq.embedding_near_dup_pairs,
+        "token_counts": lq.token_counts,
+        "asof_join_orders": lq.asof_join_orders,
         # LLM-pipeline ops: multimodal plumbing
         "media_byte_stats": lq.media_byte_stats,
         "media_pipeline": lq.media_pipeline,    # rows-only
@@ -110,6 +113,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": lq.DOC_FINGERPRINTS_SQL,
         "language_id": lq.DOC_LANGUAGE_ID_SQL,
         "cosine_topk": lq.COSINE_TOPK_SQL,
+        "embedding_near_dups": lq.EMBEDDING_NEAR_DUPS_SQL,
+        "token_counts": lq.TOKEN_COUNTS_SQL,
+        "asof_join_orders": lq.ASOF_JOIN_ORDERS_SQL,
         "media_byte_stats": lq.MEDIA_BYTE_STATS_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "global_agg": rel.GLOBAL_AGG_SQL,

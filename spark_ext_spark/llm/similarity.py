@@ -18,7 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_similarity_col", "cosine_topk", "lsh_buckets", "lsh_topk"]
+__all__ = ["cosine_similarity_col", "cosine_topk", "lsh_buckets",
+           "lsh_topk", "embedding_near_dups"]
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
@@ -107,6 +108,69 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                           F.col(vec_col).cast("array<double>").alias("qv"))
     return q_in.mapInPandas(
         topk, schema="query_id long, neighbor_id long, sim double, rank int")
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        method: str = "exact",
+                        n_planes: int = 8, seed: int = 42,
+                        round_to: int | None = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
+
+    method="exact": all-pairs via the broadcast-corpus GEMM (oracle
+    path; N bounded by the broadcast budget).
+    method="lsh": hyperplane-bucket blocking then exact cosine within
+    buckets (+1-bit multiprobe) — the 100 TB path; recall follows the
+    LSH S-curve, candidates come from equi-joins only."""
+    import pandas as pd
+
+    if method == "lsh":
+        b = lsh_buckets(df, n_planes, seed, id_col, vec_col).cache()
+        probes = F.array(F.col("bucket"),
+                         *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                           for p in range(n_planes)])
+        a = (b.select("vec_id", "vec", F.explode(probes).alias("bucket"))
+             .withColumnRenamed("vec_id", "id_a")
+             .withColumnRenamed("vec", "va"))
+        c = b.select(F.col("vec_id").alias("id_b"),
+                     F.col("vec").alias("vb"), "bucket")
+        sim = cosine_similarity_col(F.col("va"), F.col("vb"))
+        if round_to is not None:
+            sim = F.round(sim, round_to)
+        return (a.join(c, "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", sim.alias("sim"))
+                .groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
+                .filter(F.col("sim") >= threshold))
+
+    rows = (df.select(F.col(id_col).alias("nid"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+            .collect())
+    ids = np.array([r["nid"] for r in rows])
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def pairs(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            q_ids = pdf["id_a"].to_numpy()
+            q = np.array(pdf["va"].tolist(), dtype=np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ c_mat.T
+            if round_to is not None:
+                sims = np.round(sims, round_to)
+            out_a, out_b, out_s = [], [], []
+            for i, qid in enumerate(q_ids):
+                mask = (c_ids > qid) & (sims[i] >= threshold)
+                out_a.extend([qid] * int(mask.sum()))
+                out_b.extend(c_ids[mask].tolist())
+                out_s.extend(sims[i][mask].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    q_in = df.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).cast("array<double>").alias("va"))
+    return q_in.mapInPandas(pairs, schema="id_a long, id_b long, sim double")
 
 
 def _projections(dim: int, n_planes: int, seed: int) -> np.ndarray:

@@ -1,0 +1,62 @@
+"""As-of join — for each left row, the latest right row with
+``right_ts <= left_ts`` per key (the time-series point-in-time join
+Spark lacks as a built-in).
+
+Spark-first implementation (no per-row subqueries, no range
+cross-join): union the two sides tagged by origin, sort within each
+key by (ts, right-before-left on ties), and carry the right side's
+values forward with ``last(..., ignorenulls=True)`` over an
+unbounded-preceding window. One shuffle on the key — the same cost as
+a plain equi-join — and skew behaves like any keyed window.
+
+Matches DuckDB/kdb ASOF JOIN semantics (inclusive: a right row at
+exactly left_ts matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              value_cols: list[str] | None = None,
+              right_on: str | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Append, to every left row, ``value_cols`` (default: all non-key,
+    non-ts right columns) from the latest right row at or before the
+    left row's timestamp; nulls when no prior right row exists."""
+    right_key = right_on or on
+    if value_cols is None:
+        value_cols = [c for c in right.columns
+                      if c not in (right_key, right_ts)]
+
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),                      # left sorts AFTER
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols])
+    r_tagged = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),                      # right sorts FIRST
+        F.lit(None).cast(
+            l_tagged.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows at the same ts sort before left rows → inclusive match
+    w = (Window.partitionBy("__key").orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.select(
+        "__side", "__l",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w)
+          .alias(f"__c_{c}") for c in value_cols])
+    out = carried.filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols])

@@ -199,6 +199,81 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- multimodal ---------------------------------------------------------------
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact method (oracle-checked);
+    the LSH-blocked variant is exercised in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.4,
+                                          method="exact", round_to=4)
+
+
+EMBEDDING_NEAR_DUPS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.4
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (word pieces + isolated non-word glyphs), plus the chars/4
+    subword-count estimate used for quick budget math."""
+    docs = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    ws = F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.lower(c), F.lit(r"\w+|[^\w\s]"), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.ceil(F.length(c) / 4).cast("bigint").alias("n_subword_est"))
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+         AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]'))
+         AS n_bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+FROM documents
+"""
+
+
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event annotated with the
+    user's latest order total at-or-before the event time."""
+    from spark_ext_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (load(spark, sf_dir, "orders")
+              .groupBy("o_custkey", "o_orderdate")
+              .agg(F.max("o_totalprice").alias("o_totalprice")))
+    joined = asof_join(ev, orders, on="user_id", left_ts="ts",
+                       right_ts="o_orderdate", right_on="o_custkey",
+                       value_cols=["o_totalprice"])
+    return joined.select("event_id", "user_id",
+                         F.round("o_totalprice_asof", 4)
+                         .alias("last_order_price"))
+
+
+ASOF_JOIN_ORDERS_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       round(o.o_totalprice, 4) AS last_order_price
+FROM events e
+ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: documents' bytes treated as opaque media payloads →
     attach → stub-decode → per-format size stats (the full multimodal

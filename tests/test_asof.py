@@ -1,0 +1,48 @@
+"""As-of join golden tests: inclusive match, carry-forward, no-prior
+nulls, per-key isolation — checked against a hand-computed model."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ext_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return F.to_timestamp(F.lit(s))
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "e1"),
+         (1, "2024-01-01 12:00:00", "e2"),
+         (1, "2024-01-01 09:00:00", "e0"),   # before any right row
+         (2, "2024-01-01 11:00:00", "e3"),
+         (3, "2024-01-01 11:00:00", "e4")],  # key with no right rows
+        "k long, ts string, name string").withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100.0),  # ties with e1 -> inclusive
+         (1, "2024-01-01 11:30:00", 200.0),
+         (2, "2024-01-01 10:30:00", 300.0)],
+        "k long, rts string, price double").withColumn("rts", F.to_timestamp("rts"))
+
+    out = {r["name"]: r["price_asof"] for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                     value_cols=["price"]).collect()}
+    assert out["e0"] is None          # nothing at or before 09:00
+    assert out["e1"] == 100.0         # inclusive: right row at same ts
+    assert out["e2"] == 200.0         # latest prior wins
+    assert out["e3"] == 300.0         # key isolation
+    assert out["e4"] is None          # key with no right side
+
+
+def test_asof_join_keeps_all_left_columns(spark):
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00", 7)],
+                                 "k long, ts string, extra int") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([(1, "2024-01-01 09:00:00", 1.5)],
+                                  "k long, rts string, v double") \
+        .withColumn("rts", F.to_timestamp("rts"))
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    assert set(out.columns) == {"k", "ts", "extra", "v_asof"}
+    assert out.first()["v_asof"] == 1.5

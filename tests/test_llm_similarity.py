@@ -6,7 +6,9 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from spark_ext_spark.llm.similarity import cosine_topk, lsh_buckets, lsh_topk
+from spark_ext_spark.llm.similarity import (cosine_topk,
+                                            embedding_near_dups,
+                                            lsh_buckets, lsh_topk)
 
 N, DIM = 60, 8
 
@@ -57,6 +59,26 @@ def test_lsh_buckets_deterministic(vecs):
     b2 = {r["vec_id"]: r["bucket"] for r in lsh_buckets(vecs).collect()}
     assert b1 == b2
     assert all(0 <= v < 256 for v in b1.values())  # 8 planes
+
+
+def test_embedding_near_dups_exact_vs_numpy(vecs, vecs_np):
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups(vecs, threshold=0.9, method="exact").collect()}
+    v = vecs_np / np.linalg.norm(vecs_np, axis=1, keepdims=True)
+    sims = np.round(v @ v.T, 4)
+    want = {(i, j) for i in range(N) for j in range(i + 1, N)
+            if sims[i, j] >= 0.9}
+    assert got == want and len(want) > 0
+
+
+def test_embedding_near_dups_lsh_recall(vecs, vecs_np):
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(vecs, threshold=0.9, method="exact").collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups(vecs, threshold=0.9, method="lsh",
+                               n_planes=6).collect()}
+    assert lsh <= exact                      # no false positives
+    assert len(lsh & exact) / len(exact) >= 0.5
 
 
 def test_lsh_topk_recall_against_exact(vecs, vecs_np):
