@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_no_orders": rel.anti_join_inactive_customers,
         "rollup_revenue": rel.rollup_order_revenue,
         "price_percentiles": rel.price_percentiles,
+        "hourly_rollup": rel.hourly_rollup,
+        "shipping_priority": rel.shipping_priority,
+        "range_join_windows": rel.events_in_order_windows,
         "intersect_buyers": rel.intersect_high_value_buyers,
         "except_non_urgent": rel.except_low_priority_only,
     }
@@ -129,6 +132,9 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_no_orders": rel.ANTI_JOIN_INACTIVE_CUSTOMERS_SQL,
         "rollup_revenue": rel.ROLLUP_ORDER_REVENUE_SQL,
         "price_percentiles": rel.PRICE_PERCENTILES_SQL,
+        "hourly_rollup": rel.HOURLY_ROLLUP_SQL,
+        "shipping_priority": rel.SHIPPING_PRIORITY_SQL,
+        "range_join_windows": rel.EVENTS_IN_ORDER_WINDOWS_SQL,
         "intersect_buyers": rel.INTERSECT_HIGH_VALUE_BUYERS_SQL,
         "except_non_urgent": rel.EXCEPT_LOW_PRIORITY_ONLY_SQL,
     }

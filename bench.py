@@ -41,6 +41,9 @@ def main() -> None:
             t0 = time.monotonic()
             force(fn(spark, sf_dir))
             samples.append(time.monotonic() - t0)
+        # queries cache intermediates; drop them between queries so
+        # copies don't accumulate across the whole bench
+        spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)

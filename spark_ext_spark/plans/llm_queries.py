@@ -38,21 +38,29 @@ WITH norm AS (
          string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
   FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id,
          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
         FROM norm WHERE len(w) >= 3)
+),
+sh AS (  -- document-frequency cap = 500, mirroring max_shingle_df
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all
+                    GROUP BY shingle HAVING count(*) <= 500)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency cap (500) applied in BOTH engines: a shingle
+    shared by >500 docs carries no dedup signal but makes its join
+    bucket quadratic — the SCALE.md stop-shingle guard, oracle-checked."""
     docs = load(spark, sf_dir, "documents")
     return dedup.jaccard_similar_pairs(docs, "doc_id", "text", n=3,
                                        threshold=0.12,
-                                       max_shingle_df=None)
+                                       max_shingle_df=500)
 
 
 NGRAM_JACCARD_SQL = _SHINGLE_CTE + """

@@ -298,6 +298,96 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket (hypertable-style) rollup: per-hour per-type counts
+    and sums — date_trunc keyed aggregation, the continuous-aggregate
+    shape."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+HOURLY_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → revenue agg →
+    deterministic top-10."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, cust.c_custkey == orders.o_custkey)
+            .filter(F.col("o_orderdate") < cutoff)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .filter(F.col("l_shipdate") > cutoff)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def events_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/range_join.py): per-user activity windows
+    (every 37th event opens a 6-hour window) joined to the events
+    falling inside them — the sessional range-join shape."""
+    from spark_ext_spark.operators.range_join import range_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "value")
+    windows = (ev.filter(F.col("event_id") % 37 == 0)
+               .select(F.col("event_id").alias("win_id"),
+                       F.col("user_id").alias("w_user"),
+                       F.col("ts").alias("w_start"),
+                       F.expr("ts + INTERVAL 6 HOURS").alias("w_end")))
+    joined = range_join(left, windows, left_ts="ts", right_start="w_start",
+                        right_end="w_end", on="user_id", right_on="w_user",
+                        bucket_width_seconds=6 * 3600)
+    return (joined.groupBy("win_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("window_value")))
+
+
+EVENTS_IN_ORDER_WINDOWS_SQL = """
+WITH w AS (
+  SELECT event_id AS win_id, user_id AS w_user, ts AS w_start,
+         ts + INTERVAL 6 HOUR AS w_end
+  FROM events WHERE event_id % 37 = 0
+)
+SELECT win_id, count(*) AS n_events,
+       round(sum(value), 4) AS window_value
+FROM w JOIN events e
+  ON e.user_id = w.w_user AND w.w_start <= e.ts AND e.ts < w.w_end
+GROUP BY win_id
+"""
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median, p90) per return flag —
     Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
