@@ -143,6 +143,12 @@ class BinaryModelMetrics:
             out = out.unionAll(spark.createDataFrame([last], cols))
         return out
 
+    def unpersist(self) -> None:
+        """Release the cached confusion table (reference
+        BinaryModelMetrics.scala:70)."""
+        if "confusions" in self.__dict__:
+            self.confusions.unpersist()
+
     def thresholds(self) -> DataFrame:
         return (self.confusions.orderBy(F.desc("score"))
                 .select(F.col("score").alias("threshold")))
