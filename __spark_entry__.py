@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_urgent": rel.semi_join_active_customers,
         "anti_join_no_orders": rel.anti_join_inactive_customers,
         "rollup_revenue": rel.rollup_order_revenue,
+        "cube_order_stats": rel.cube_order_stats,
         "price_percentiles": rel.price_percentiles,
         "hourly_rollup": rel.hourly_rollup,
         "shipping_priority": rel.shipping_priority,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_urgent": rel.SEMI_JOIN_ACTIVE_CUSTOMERS_SQL,
         "anti_join_no_orders": rel.ANTI_JOIN_INACTIVE_CUSTOMERS_SQL,
         "rollup_revenue": rel.ROLLUP_ORDER_REVENUE_SQL,
+        "cube_order_stats": rel.CUBE_ORDER_STATS_SQL,
         "price_percentiles": rel.PRICE_PERCENTILES_SQL,
         "hourly_rollup": rel.HOURLY_ROLLUP_SQL,
         "shipping_priority": rel.SHIPPING_PRIORITY_SQL,

@@ -169,10 +169,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = (sigs.select("doc", "signature", band_idx)
               .select("doc", "band",
-                      F.sha2(F.concat_ws(
-                          ",", F.slice("signature",
-                                       F.col("band") * rows + 1, rows)
-                          .cast("array<string>")), 256).alias("band_hash")))
+                      # xxhash64 over the band's signature slice: one
+                      # cheap JVM hash per band, no string building
+                      F.xxhash64(F.slice("signature",
+                                         F.col("band") * rows + 1, rows))
+                      .alias("band_hash")))
     a = banded.select(F.col("doc").alias("doc_a"), "band", "band_hash")
     b = banded.select(F.col("doc").alias("doc_b"), "band", "band_hash")
     cand = (a.join(b, ["band", "band_hash"])

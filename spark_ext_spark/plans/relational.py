@@ -388,6 +388,24 @@ GROUP BY win_id
 """
 
 
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
+    orders = load(spark, sf_dir, "orders")
+    return (orders
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+
+
+CUBE_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median, p90) per return flag —
     Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
