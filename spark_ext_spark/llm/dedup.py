@@ -56,9 +56,14 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
-                  n: int = 3) -> DataFrame:
+                  n: int = 3, hashed: bool = False) -> DataFrame:
     """Distinct (id, n-word shingle) pairs, built with JVM array
-    expressions (split → sequence → transform) — no Python."""
+    expressions (split → sequence → transform) — no Python.
+
+    ``hashed=True`` replaces each shingle with its xxhash64 BEFORE the
+    distinct, so the dedup shuffle carries an 8-byte long instead of a
+    multi-word string; array_distinct inside the row first drops
+    within-document repeats before the explode."""
     words = F.split(normalize_text(text_col), " ")
     # sequence(0, negative) would DESCEND in Spark — guard short texts
     # to an explicitly empty index array instead.
@@ -68,6 +73,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     shingle = F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(words, i + j + 1) for j in range(n)]))
+    if hashed:
+        shingle = F.array_distinct(
+            F.transform(shingle, lambda s: F.xxhash64(s)))
     return (df
             .select(F.col(id_col).alias("doc"), F.explode(shingle).alias("shingle"))
             .distinct())
@@ -75,7 +83,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
                           n: int = 3, threshold: float = 0.5,
-                          max_shingle_df: int | None = 1000) -> DataFrame:
+                          max_shingle_df: int | None = 1000,
+                          hash_shingles: bool = True) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
     Blocking: docs pair only if they share a shingle (equi-join on the
@@ -83,8 +92,14 @@ def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
     dropping shingles with document frequency > max_shingle_df (a
     shingle that common carries no dedup signal but would create a
     quadratic bucket at scale).
+
+    ``hash_shingles`` replaces each shingle string with its xxhash64
+    before the distinct/cap/self-join, shrinking the shuffle key from a
+    ~20-40 byte string to 8 bytes; counts are unchanged barring a
+    64-bit collision (P ≈ d²/2⁶⁵ — negligible below ~10¹² distinct
+    shingles).
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    sh = word_shingles(df, id_col, text_col, n, hashed=hash_shingles).cache()
     if max_shingle_df is not None:
         rare = (sh.groupBy("shingle").count()
                 .filter(F.col("count") <= max_shingle_df).drop("count"))
