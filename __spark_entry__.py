@@ -20,6 +20,7 @@ from spark_ext_spark.plans import gather_queries as gq
 from spark_ext_spark.plans import llm_queries as lq
 from spark_ext_spark.plans import ml_queries as mq
 from spark_ext_spark.plans import relational as rel
+from spark_ext_spark.plans import tpch
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -91,6 +92,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": rel.events_in_order_windows,
         "intersect_buyers": rel.intersect_high_value_buyers,
         "except_non_urgent": rel.except_low_priority_only,
+        "priority_pivot": rel.priority_pivot,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "user_value_deltas": rel.user_value_deltas,
+        "acctbal_deciles": rel.acctbal_deciles,
+        "above_class_avg": rel.above_class_average_orders,
+        "salted_user_totals": rel.salted_user_totals,
+        # TPC-H query shapes (multi-way joins, scan-agg, conditional agg)
+        "tpch_q5_local_supplier": tpch.local_supplier_volume,
+        "tpch_q6_forecast": tpch.forecast_revenue_change,
+        "tpch_q14_promo": tpch.promo_revenue_share,
+        "tpch_q18_large_orders": tpch.large_volume_orders,
     }
 
 
@@ -139,4 +151,14 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": rel.EVENTS_IN_ORDER_WINDOWS_SQL,
         "intersect_buyers": rel.INTERSECT_HIGH_VALUE_BUYERS_SQL,
         "except_non_urgent": rel.EXCEPT_LOW_PRIORITY_ONLY_SQL,
+        "priority_pivot": rel.PRIORITY_PIVOT_SQL,
+        "top_orders_per_customer": rel.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "user_value_deltas": rel.USER_VALUE_DELTAS_SQL,
+        "acctbal_deciles": rel.ACCTBAL_DECILES_SQL,
+        "above_class_avg": rel.ABOVE_CLASS_AVERAGE_ORDERS_SQL,
+        "salted_user_totals": rel.SALTED_USER_TOTALS_SQL,
+        "tpch_q5_local_supplier": tpch.LOCAL_SUPPLIER_VOLUME_SQL,
+        "tpch_q6_forecast": tpch.FORECAST_REVENUE_CHANGE_SQL,
+        "tpch_q14_promo": tpch.PROMO_REVENUE_SHARE_SQL,
+        "tpch_q18_large_orders": tpch.LARGE_VOLUME_ORDERS_SQL,
     }

@@ -56,15 +56,25 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str,
-                  n: int = 3, hashed: bool = False) -> DataFrame:
+                  n: int = 3, hashed: bool = False,
+                  unique_ids: bool = False) -> DataFrame:
     """Distinct (id, n-word shingle) pairs, built with JVM array
     expressions (split → sequence → transform) — no Python.
 
-    ``hashed=True`` replaces each shingle with its xxhash64 BEFORE the
-    distinct, so the dedup shuffle carries an 8-byte long instead of a
-    multi-word string; array_distinct inside the row first drops
-    within-document repeats before the explode."""
-    words = F.split(normalize_text(text_col), " ")
+    ``hashed=True`` replaces each shingle with its xxhash64 so every
+    downstream shuffle carries an 8-byte long instead of a multi-word
+    string. ``unique_ids=True`` asserts the input has one row per id:
+    within-row dedup (array_distinct before the explode) then already
+    yields globally-distinct (id, shingle) pairs, so the shuffling
+    ``.distinct()`` over the exploded table — the single biggest stage
+    of a cold run — is skipped."""
+    # Materialize the words array as a projected column FIRST: if the
+    # split expression were referenced inside the transform lambda, the
+    # whole normalize+split chain would re-evaluate on every element
+    # access (3 regex runs per shingle — measured ~12× slower).
+    wdf = df.select(F.col(id_col).alias("doc"),
+                    F.split(normalize_text(text_col), " ").alias("__words"))
+    words = F.col("__words")
     # sequence(0, negative) would DESCEND in Spark — guard short texts
     # to an explicitly empty index array instead.
     idx = F.when(F.size(words) >= n,
@@ -74,17 +84,16 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(words, i + j + 1) for j in range(n)]))
     if hashed:
-        shingle = F.array_distinct(
-            F.transform(shingle, lambda s: F.xxhash64(s)))
-    return (df
-            .select(F.col(id_col).alias("doc"), F.explode(shingle).alias("shingle"))
-            .distinct())
+        shingle = F.transform(shingle, lambda s: F.xxhash64(s))
+    out = wdf.select("doc", F.explode(F.array_distinct(shingle)).alias("shingle"))
+    return out if unique_ids else out.distinct()
 
 
 def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
                           n: int = 3, threshold: float = 0.5,
                           max_shingle_df: int | None = 1000,
-                          hash_shingles: bool = True) -> DataFrame:
+                          hash_shingles: bool = True,
+                          unique_ids: bool = True) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
     Blocking: docs pair only if they share a shingle (equi-join on the
@@ -98,8 +107,12 @@ def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
     ~20-40 byte string to 8 bytes; counts are unchanged barring a
     64-bit collision (P ≈ d²/2⁶⁵ — negligible below ~10¹² distinct
     shingles).
+
+    ``unique_ids`` (default True — one row per document id) lets the
+    shingle table skip its dedup shuffle; set False if ids can repeat.
     """
-    sh = word_shingles(df, id_col, text_col, n, hashed=hash_shingles).cache()
+    sh = word_shingles(df, id_col, text_col, n, hashed=hash_shingles,
+                       unique_ids=unique_ids).cache()
     if max_shingle_df is not None:
         rare = (sh.groupBy("shingle").count()
                 .filter(F.col("count") <= max_shingle_df).drop("count"))

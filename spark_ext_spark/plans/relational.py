@@ -468,3 +468,165 @@ SELECT o_custkey AS custkey FROM orders
 EXCEPT
 SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """
+
+
+# --- pivot / window ranking / deciles --------------------------------------
+
+def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status × priority as columns. The value
+    list is explicit so the plan needs no extra distinct-values job and
+    the output schema is stable; one shuffle on the groupBy key."""
+    orders = load(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (orders.groupBy("o_orderstatus")
+           .pivot("o_orderpriority", pri)
+           .count())
+    names = ["urgent", "high", "medium", "notspec", "low"]
+    return piv.select("o_orderstatus",
+                      *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+                        for p, a in zip(pri, names)])
+
+
+PRIORITY_PIVOT_SQL = """
+SELECT o_orderstatus,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number + rank in one window pass: each customer's top-3
+    orders by price. row_number's ordering carries a unique tiebreak
+    (o_orderkey) so the result is deterministic; rank is computed on
+    price alone so ties share a rank."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wr = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (orders
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 4).alias("totalprice"),
+                    F.row_number().over(w).alias("rn"),
+                    F.rank().over(wr).alias("price_rank"))
+            .filter(F.col("rn") <= 3))
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         round(o_totalprice, 4) AS totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC) AS price_rank
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-user time ordering (unique tiebreak on
+    event_id): each event's value change vs the previous event."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    nxt = F.lead("value").over(w)
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - prev, 4).alias("delta_prev"),
+        F.round(nxt - F.col("value"), 4).alias("delta_next"))
+
+
+USER_VALUE_DELTAS_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value)  OVER w, 4) AS delta_prev,
+       round(lead(value) OVER w - value, 4) AS delta_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) over a global ordering (unique tiebreak c_custkey),
+    re-aggregated per decile. The global window is a single-partition
+    sort — fine for dimension-sized inputs; for a fact-sized column use
+    approx_percentile cutpoints + a bucket join instead (see SCALE.md).
+    """
+    customer = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (customer
+            .select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 4).alias("lo"),
+                 F.round(F.max("c_acctbal"), 4).alias("hi"),
+                 F.round(F.avg("c_acctbal"), 4).alias("mean")))
+
+
+ACCTBAL_DECILES_SQL = """
+SELECT decile, count(*) AS n,
+       round(min(c_acctbal), 4) AS lo,
+       round(max(c_acctbal), 4) AS hi,
+       round(avg(c_acctbal), 4) AS mean
+FROM (SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer) t
+GROUP BY decile
+"""
+
+
+def above_class_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar shape (orders above their priority class's
+    mean price), decorrelated into a window aggregate — one shuffle on
+    the class key instead of a per-row subquery."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    class_avg = F.avg("o_totalprice").over(w)
+    return (orders
+            .select("o_orderpriority", "o_totalprice",
+                    class_avg.alias("class_avg"))
+            .filter(F.col("o_totalprice") > F.col("class_avg"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_above"),
+                 F.round(F.avg(F.col("o_totalprice") - F.col("class_avg")), 4)
+                 .alias("avg_margin")))
+
+
+ABOVE_CLASS_AVERAGE_ORDERS_SQL = """
+SELECT o_orderpriority, count(*) AS n_above,
+       round(avg(o_totalprice - class_avg), 4) AS avg_margin
+FROM (SELECT o_orderpriority, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_orderpriority) AS class_avg
+      FROM orders) t
+WHERE o_totalprice > class_avg
+GROUP BY o_orderpriority
+"""
+
+
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantically a plain GROUP BY user_id — physically the two-phase
+    salted aggregation from plans/skew.py, oracle-checked here so the
+    skew path's correctness is driver-verified, not just unit-tested."""
+    from spark_ext_spark.plans.skew import salted_aggregate
+    ev = load(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev, ["user_id"],
+        {"total_value": (F.sum("value"), F.sum("total_value")),
+         "n_events": (F.count(F.lit(1)), F.sum("n_events"))},
+        n_salts=16)
+    return out.select("user_id",
+                      F.round("total_value", 4).alias("total_value"),
+                      "n_events")
+
+
+SALTED_USER_TOTALS_SQL = """
+SELECT user_id, round(sum(value), 4) AS total_value,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""

@@ -62,3 +62,36 @@ def test_window_partitioned_by_user(spark, sf_small):
     # single-partition global sort
     assert "hashpartitioning(user_id" in p.replace(" ", "").lower() or \
         "hashpartitioning" in p
+
+
+def test_q6_scan_only_filter_agg(spark, sf_small):
+    from spark_ext_spark.plans import tpch
+    p = plan_of(tpch.forecast_revenue_change(spark, sf_small))
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    # 4-column projection reaches the scan; no join, one agg exchange
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+    assert "PushedFilters" in p and "GreaterThanOrEqual(l_shipdate" in p
+    assert "Join" not in p
+
+
+def test_q5_all_joins_broadcast_no_smj(spark, sf_small):
+    from spark_ext_spark.plans import tpch
+    p = plan_of(tpch.local_supplier_volume(spark, sf_small))
+    # formatted explain prints each node in the tree AND detail section
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pivot_single_shuffle(spark, sf_small):
+    p = plan_of(rel.priority_pivot(spark, sf_small))
+    # explicit value list: no extra distinct-values job. Spark pivots
+    # in two phases — pre-agg on (status, priority), then pivotfirst on
+    # status — i.e. exactly 2 shuffles (each node appears twice in
+    # formatted output: tree + detail).
+    assert p.count("Exchange (") <= 2
+
+
+def test_salted_totals_two_aggregation_levels(spark, sf_small):
+    p = plan_of(rel.salted_user_totals(spark, sf_small))
+    # phase-1 (key, salt) agg + phase-2 key agg, each partial+final
+    assert p.count("HashAggregate") >= 4
