@@ -103,6 +103,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast": tpch.forecast_revenue_change,
         "tpch_q14_promo": tpch.promo_revenue_share,
         "tpch_q18_large_orders": tpch.large_volume_orders,
+        "tpch_q13_order_histogram": tpch.customer_order_histogram,
+        "tpch_q22_idle_rich": tpch.idle_rich_customers,
+        # sessionization / distinct counting / min-join-back
+        "event_sessions": rel.event_sessions,
+        "daily_active_users": rel.daily_active_users,
+        "cheapest_order_per_customer": rel.cheapest_order_per_customer,
+        # dedup clustering + keyword extraction
+        "dup_clusters": lq.dup_clusters,
+        "tfidf_top_terms": lq.tfidf_top_terms,
     }
 
 
@@ -161,4 +170,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6_forecast": tpch.FORECAST_REVENUE_CHANGE_SQL,
         "tpch_q14_promo": tpch.PROMO_REVENUE_SHARE_SQL,
         "tpch_q18_large_orders": tpch.LARGE_VOLUME_ORDERS_SQL,
+        "tpch_q13_order_histogram": tpch.CUSTOMER_ORDER_HISTOGRAM_SQL,
+        "tpch_q22_idle_rich": tpch.IDLE_RICH_CUSTOMERS_SQL,
+        "event_sessions": rel.EVENT_SESSIONS_SQL,
+        "daily_active_users": rel.DAILY_ACTIVE_USERS_SQL,
+        "cheapest_order_per_customer": rel.CHEAPEST_ORDER_PER_CUSTOMER_SQL,
+        "dup_clusters": lq.DUP_CLUSTERS_SQL,
+        "tfidf_top_terms": lq.TFIDF_TOP_TERMS_SQL,
     }

@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 from spark_ext_spark.llm.dedup import normalize_text
 
 __all__ = ["tokens", "text_stats", "quality_score", "language_id",
-           "fingerprint", "STOPWORDS"]
+           "fingerprint", "tfidf_top_terms", "STOPWORDS"]
 
 # Tiny per-language stopword profiles (top function words) for the
 # n-gram/stopword language-ID heuristic.
@@ -102,6 +102,36 @@ def language_id(df: DataFrame, id_col: str, text_col: str,
             .select(id_col,
                     F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
                     F.coalesce("hits", F.lit(0)).alias("hits")))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3, round_to: int = 4) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``) — the classic keyword/feature
+    extraction pass of a text pipeline, kept fully JVM-side.
+
+    Plan: explode → (doc, term) count (shuffle 1) → term document
+    frequency (shuffle 2, already term-partitioned partials) → join tf
+    back to df-per-term (shuffle on term) → per-doc top-k window. The
+    corpus size N rides along as a broadcast single-row cross join, not
+    a driver round-trip outside the plan. Ranking uses the ROUNDED
+    score (desc, then term asc) so cross-engine ULP noise in ln() can't
+    reorder the cut."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .select(F.col(id_col), "term", "tf",
+                      F.round(F.col("tf") * idf, round_to).alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(id_col, "term", "tf", "tfidf",
+                    F.col("rk").cast("int").alias("rk")))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -315,3 +315,81 @@ SELECT doc_id,
        lower(to_hex(encode(substring(text, 1, 4)))) AS hex_prefix
 FROM documents
 """
+
+
+# --- duplicate clustering / TF-IDF -------------------------------------------
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline end state: Jaccard pairs (same τ/df-cap as
+    ngram_jaccard) → connected components (llm/clusters.py pointer-
+    jumping iteration) → every document labeled with its cluster's
+    canonical (min) id. The oracle replays the component closure with a
+    recursive CTE — tractable because reachability sets are tiny at
+    oracle scale; the Spark path is the one that scales."""
+    from spark_ext_spark.llm.clusters import duplicate_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs(docs, "doc_id", "text", n=3,
+                                        threshold=0.12, max_shingle_df=500)
+    return duplicate_clusters(docs, "doc_id", pairs)
+
+
+DUP_CLUSTERS_SQL = _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) / (any_value(sa.n) + any_value(sb.n) - count(*)) >= 0.12
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+cc AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical
+FROM lab
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text),
+                '[\\s[:punct:]]+'), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * (ln((n_docs + 1) / (df + 1.0)) + 1), 4) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+"""

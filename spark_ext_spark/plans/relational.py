@@ -630,3 +630,100 @@ SELECT user_id, round(sum(value), 4) AS total_value,
 FROM events
 GROUP BY user_id
 """
+
+
+# --- sessionization / distinct counting / min-join-back --------------------
+
+def event_sessions(spark: SparkSession, sf_dir: str,
+                   gap_sec: int = 1800) -> DataFrame:
+    """Batch sessionization: a gap > ``gap_sec`` between a user's
+    consecutive events starts a new session. Two window passes over the
+    same (user_id, time) partitioning — Catalyst reuses one sort+
+    exchange for both — then a hash agg on (user, session). The
+    arithmetic stays in integer microseconds end-to-end so both engines
+    agree bit-for-bit; the streaming twin of this op is
+    streaming/sessionize.py's applyInPandasWithState version."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_sec * 1_000_000),
+                    F.lit(1)).otherwise(F.lit(0))
+    wseq = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (ev.select("user_id", "event_id", us.alias("us"),
+                      F.sum(is_new).over(wseq).alias("session_id")))
+    # duration stays integer µs: a seconds-valued double hits Spark-vs-
+    # DuckDB round-half differences on exact .xxxx5 values (Spark
+    # rounds the shortest decimal repr, DuckDB the binary value)
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("us").alias("session_start_us"),
+                 (F.max("us") - F.min("us")).alias("duration_us")))
+
+
+EVENT_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(us) AS session_start_us,
+       max(us) - min(us) AS duration_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) per day — Catalyst plans the distinct as a
+    two-phase expand/agg, no driver involvement. Day as a formatted
+    string so both engines hash identical cells."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+DAILY_ACTIVE_USERS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-per-group join-back (the TPC-H Q2 inner shape): the grouped
+    min is computed once, then joined back to recover the full row(s)
+    attaining it. Ties keep every attaining row in both engines —
+    identical double bits from the same parquet make the equality join
+    cross-engine safe."""
+    orders = load(spark, sf_dir, "orders")
+    mins = (orders.groupBy("o_custkey")
+            .agg(F.min("o_totalprice").alias("min_price")))
+    return (orders.join(mins, "o_custkey")
+            .filter(F.col("o_totalprice") == F.col("min_price"))
+            .select("o_custkey", "o_orderkey",
+                    F.round("min_price", 4).alias("min_price")))
+
+
+CHEAPEST_ORDER_PER_CUSTOMER_SQL = """
+SELECT o.o_custkey, o.o_orderkey, round(m.min_price, 4) AS min_price
+FROM orders o
+JOIN (SELECT o_custkey, min(o_totalprice) AS min_price
+      FROM orders GROUP BY o_custkey) m
+  ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.min_price
+"""

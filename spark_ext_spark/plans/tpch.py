@@ -153,3 +153,62 @@ FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
 JOIN orders   ON o_orderkey = big.l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """
+
+
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: left outer join with an ON-clause filter (orders that
+    aren't urgent), per-customer order counts including zeros, then a
+    histogram of the counts. Two shuffles: the outer join on custkey
+    and the tiny second agg on the count value."""
+    customer = load(spark, sf_dir, "customer")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT"))
+    per_cust = (customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+CUSTOMER_ORDER_HISTOGRAM_SQL = """
+SELECT c_count, count(*) AS n_customers
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers with above-average (positive) balance and
+    no URGENT orders — a scalar-aggregate broadcast plus a left-anti
+    join, grouped by nation. The global average rides inside the plan
+    as a broadcast single-row cross join (no driver collect); the anti
+    join shuffles on custkey unless the filtered side broadcasts."""
+    customer = load(spark, sf_dir, "customer")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT"))
+    avg_bal = (customer.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    rich = (customer.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    idle = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                     "left_anti")
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 4).alias("total_acctbal")))
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+SELECT c_nationkey, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS total_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""

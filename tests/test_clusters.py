@@ -1,0 +1,60 @@
+"""Connected components / duplicate clustering (llm/clusters.py).
+
+Exercises the pointer-jumping convergence on a long chain (the shape
+plain min-propagation is slowest on), multiple components, and the
+singleton handling of duplicate_clusters.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ext_spark.llm.clusters import connected_components, duplicate_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a bigint, b bigint")
+
+
+def test_chain_and_triangle_components(spark):
+    # chain 1-2-3-4-5-6 (diameter 5) + triangle 10-11-12 + pair 20-21
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+                           (10, 11), (11, 12), (10, 12),
+                           (20, 21)])
+    got = {r["node"]: r["comp"]
+           for r in connected_components(edges, "a", "b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # 64-node chain: min-propagation alone needs 63 rounds; pointer
+    # jumping must close it within the default max_iter=25 (≈ log2).
+    edges = _edges(spark, [(i, i + 1) for i in range(64)])
+    out = connected_components(edges, "a", "b")
+    assert {r["comp"] for r in out.collect()} == {0}
+
+
+def test_non_convergence_raises(spark):
+    edges = _edges(spark, [(i, i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges, "a", "b", max_iter=1)
+
+
+def test_duplicate_clusters_labels_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id bigint")
+    pairs = _edges(spark, [(1, 4), (4, 6)]).toDF("doc_a", "doc_b")
+    rows = {r["doc_id"]: r for r in
+            duplicate_clusters(docs, "doc_id", pairs).collect()}
+    assert [rows[i]["cluster_id"] for i in range(7)] == [0, 1, 2, 3, 1, 5, 1]
+    assert rows[4]["cluster_size"] == 3 and not rows[4]["is_canonical"]
+    assert rows[1]["is_canonical"] and rows[0]["cluster_size"] == 1
+
+
+def test_keep_canonical_drops_near_dups(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(5)], "doc_id bigint, text string")
+    pairs = _edges(spark, [(0, 3), (1, 2)]).toDF("doc_a", "doc_b")
+    lab = duplicate_clusters(docs, "doc_id", pairs)
+    kept = (docs.join(lab.filter("is_canonical"), "doc_id")
+            .select("doc_id").orderBy("doc_id"))
+    assert [r["doc_id"] for r in kept.collect()] == [0, 1, 4]
