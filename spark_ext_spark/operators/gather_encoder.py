@@ -23,9 +23,12 @@ ties; we pin): count DESC, then key ASC.
 
 Scale design (100 TB): the fit is fully distributed —
 ``explode → groupBy(key).count()`` with map-side partial aggregation,
-then a window cumsum over the *compacted distinct-key table* (whose
+then a cumsum over the *compacted distinct-key table* (whose
 cardinality is the dictionary size, ≤ ``maxKeys``), and one bounded
-collect of the final dictionary. The transform broadcasts the
+collect of the final dictionary. The cumsum defaults to a global
+window (single task — fine to ~1e6 distinct keys); set
+``fitPartitions=N`` to switch to distributed two-phase prefix sums
+(operators/prefix.py) when the key table itself is huge. The transform broadcasts the
 dictionary explicitly (``sc.broadcast``) instead of closure-capturing
 it per task (the reference ships keys in the UDF closure,
 GatherEncoder.scala:304,326-370).
@@ -41,6 +44,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StructType
 from pyspark.sql.window import Window
+
+from spark_ext_spark.operators.prefix import partitioned_cumulative_sums
 
 TRANSFORMATIONS = ("top", "index")
 
@@ -80,6 +85,13 @@ class _GatherEncoderParams(Params):
                     "hard cap on dictionary size (100 TB guardrail; the "
                     "reference collects unboundedly at cover=100)",
                     typeConverter=TypeConverters.toInt)
+    fitPartitions = Param(Params._dummy(), "fitPartitions",
+                          "0 = single-partition window over the compacted "
+                          "key table (cheapest below ~1e6 keys); N>1 = "
+                          "distributed two-phase prefix sums over N range "
+                          "partitions (operators/prefix.py) for huge "
+                          "dictionaries",
+                          typeConverter=TypeConverters.toInt)
 
     def _validate_schema(self, schema: StructType) -> StructType:
         """GatherEncoder.scala:52-80: input must be array<struct>, key
@@ -109,12 +121,13 @@ class GatherEncoder(Estimator, _GatherEncoderParams):
     def __init__(self, *, inputCol=None, outputCol=None, keyCol=None,
                  valueCol=None, transformation="top", support=0.1,
                  cover=100.0, allOther=False, keepInputCol=True,
-                 failOnEmptyKeys=True, excludeKeys=None, maxKeys=1 << 20):
+                 failOnEmptyKeys=True, excludeKeys=None, maxKeys=1 << 20,
+                 fitPartitions=0):
         super().__init__()
         self._setDefault(transformation="top", support=0.1, cover=100.0,
                          allOther=False, keepInputCol=True,
                          failOnEmptyKeys=True, excludeKeys=frozenset(),
-                         maxKeys=1 << 20)
+                         maxKeys=1 << 20, fitPartitions=0)
         kwargs = self._input_kwargs
         if kwargs.get("excludeKeys") is not None:
             kwargs["excludeKeys"] = frozenset(kwargs["excludeKeys"])
@@ -139,15 +152,26 @@ class GatherEncoder(Estimator, _GatherEncoderParams):
         counts = self.key_counts(dataset)
 
         order = [F.desc("count"), F.asc("key")]
+        n_fit = self.getOrDefault(self.fitPartitions)
         if transformation == "top":
             # Exclusion BEFORE the coverage total (GatherEncoder.scala:178-183).
             if exclude:
                 counts = counts.filter(~F.col("key").isin(list(exclude)))
             cover = self.getOrDefault(self.cover)
-            w_excl = (Window.orderBy(*order)
-                      .rowsBetween(Window.unboundedPreceding, -1))
             total = counts.select(F.sum("count")).first()[0] or 0
             threshold = (cover / 100.0) * total
+            if n_fit > 1:
+                # distributed: exclusive coverage cumsum AND the slot
+                # index (exclusive count of preceding rows = rank-1)
+                # share one range shuffle
+                cs = partitioned_cumulative_sums(
+                    counts, order, {"cum": "count", "slot": F.lit(1)},
+                    num_partitions=n_fit, inclusive=False)
+                return (cs.filter(F.col("cum") < F.lit(threshold))
+                        .select("key", "count",
+                                F.col("slot").cast("int").alias("slot")))
+            w_excl = (Window.orderBy(*order)
+                      .rowsBetween(Window.unboundedPreceding, -1))
             selected = (counts
                         .withColumn("cum", F.coalesce(
                             F.sum("count").over(w_excl), F.lit(0)))
@@ -162,6 +186,12 @@ class GatherEncoder(Estimator, _GatherEncoderParams):
             selected = counts.filter(F.col("count") >= F.lit(threshold))
             if exclude:
                 selected = selected.filter(~F.col("key").isin(list(exclude)))
+            if n_fit > 1:
+                cs = partitioned_cumulative_sums(
+                    selected, order, {"slot": F.lit(1)},
+                    num_partitions=n_fit, inclusive=False)
+                return cs.select("key", "count",
+                                 F.col("slot").cast("int").alias("slot"))
 
         w_rank = Window.orderBy(*order)
         return selected.withColumn(
