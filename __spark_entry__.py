@@ -112,6 +112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup clustering + keyword extraction
         "dup_clusters": lq.dup_clusters,
         "tfidf_top_terms": lq.tfidf_top_terms,
+        # JSON extraction, SQL front end, higher-order array exprs
+        "props_json_extract": rel.props_json_extract,
+        "sql_grouping_sets": rel.sql_grouping_sets,
+        "embedding_norms": lq.embedding_norms,
+        # mergeable sketches (rows-only: HLL/GK internals are
+        # engine-specific; error bounds asserted in tests)
+        "approx_user_stats": rel.approx_user_stats,
     }
 
 
@@ -177,4 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_order_per_customer": rel.CHEAPEST_ORDER_PER_CUSTOMER_SQL,
         "dup_clusters": lq.DUP_CLUSTERS_SQL,
         "tfidf_top_terms": lq.TFIDF_TOP_TERMS_SQL,
+        "props_json_extract": rel.PROPS_JSON_EXTRACT_SQL,
+        "sql_grouping_sets": rel.SQL_GROUPING_SETS_SQL,
+        "embedding_norms": lq.EMBEDDING_NORMS_SQL,
     }

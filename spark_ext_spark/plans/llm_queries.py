@@ -393,3 +393,28 @@ ranked AS (
 SELECT doc_id, term, tf, tfidf, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= 3
 """
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array expressions kept entirely JVM-side:
+    zip_with + aggregate compute the self-dot-product (no Python, no
+    shuffle — a pure map over the scan). The GEMM path in
+    llm/similarity.py is for pairwise work; per-row reductions like
+    norms belong in expressions."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.zip_with("embedding", "embedding", lambda a, b: a * b)
+    ssum = F.aggregate(sq, F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(ssum), 4).alias("l2_norm"))
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+"""

@@ -727,3 +727,70 @@ JOIN (SELECT o_custkey, min(o_totalprice) AS min_price
       FROM orders GROUP BY o_custkey) m
   ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.min_price
 """
+
+
+# --- JSON extraction / SQL front-end ---------------------------------------
+
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction with ``from_json`` (schema'd, stays in
+    codegen — unlike get_json_object's per-path parse): events whose
+    props.k clears a threshold. At scale the parse cost is the scan
+    cost; nothing shuffles until the caller aggregates."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (ev.select("event_id", "event_type", k.alias("k"))
+            .filter(F.col("k").isNotNull() & (F.col("k") >= 50)))
+
+
+PROPS_JSON_EXTRACT_SQL = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+"""
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end end-to-end: temp views + a pure ANSI string
+    through spark.sql — GROUPING SETS with grouping() flags (so a NULL
+    group cell is distinguishable from a NULL value). Planner output is
+    a single Expand + hash aggregate, one shuffle."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+SQL_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 4) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the interactive-scale path: HLL++ distinct
+    counts (approx_count_distinct, rsd=1%) and Greenwald-Khanna
+    quantiles (percentile_approx) per event type. Both sketches are
+    mergeable, so the plan is an ordinary partial+final aggregation
+    with sketch-sized (KB) shuffle payloads instead of distinct-key
+    sets — this is what replaces exact count(DISTINCT)/percentiles at
+    100 TB. Rows-only driver check (sketch internals are
+    engine-specific); error bounds vs exact are asserted in
+    tests/test_plans.py."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.01)
+                 .alias("approx_users"),
+                 F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+                 .alias("value_quantiles")))

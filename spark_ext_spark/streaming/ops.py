@@ -71,6 +71,17 @@ def streaming_dedup_exact(docs: DataFrame, ts_col: str, id_col: str,
     return digested.dropDuplicatesWithinWatermark(["digest"])
 
 
+def streaming_enrich(events: DataFrame, dim: DataFrame,
+                     on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    table. The static side re-plans per micro-batch (so a dimension
+    refresh is picked up) and broadcasts under the auto-broadcast
+    threshold — no streaming state at all, unlike stream-stream joins.
+    At 100 TB-of-stream this is THE pattern for dictionary/dimension
+    enrichment; only stream-stream correlation needs watermarked state."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def streaming_text_quality(docs: DataFrame, id_col: str,
                            text_col: str) -> DataFrame:
     """Stateless per-row text stats — identical expressions to the

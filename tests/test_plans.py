@@ -95,3 +95,27 @@ def test_salted_totals_two_aggregation_levels(spark, sf_small):
     p = plan_of(rel.salted_user_totals(spark, sf_small))
     # phase-1 (key, salt) agg + phase-2 key agg, each partial+final
     assert p.count("HashAggregate") >= 4
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_small):
+    from pyspark.sql import functions as F
+    got = {r["event_type"]: r for r in
+           rel.approx_user_stats(spark, sf_small).collect()}
+    ev = rel.load(spark, sf_small, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             (ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n"))).collect()}
+    assert set(got) == set(exact)
+    for et, n in exact.items():
+        # HLL++ at rsd=1%: allow 5% on these small groups
+        assert abs(got[et]["approx_users"] - n) <= max(3, 0.05 * n)
+        # GK guarantee is on RANK, not value: the fraction of the
+        # group's values <= the approx answer must be within eps of q
+        # (exact interpolated percentiles are a different estimator and
+        # can sit far away in value on heavy tails)
+        vals = sorted(r["value"] for r in
+                      ev.filter(F.col("event_type") == et)
+                      .select("value").collect())
+        for q, a in zip((0.5, 0.95, 0.99), got[et]["value_quantiles"]):
+            rank = sum(v <= a for v in vals) / len(vals)
+            assert abs(rank - q) <= 0.01 + 1.0 / len(vals), (et, q, a, rank)

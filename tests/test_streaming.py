@@ -107,3 +107,20 @@ def test_streaming_text_quality_stateless(spark, tmp_path_factory):
            spark.sql("SELECT * FROM quality_stream").collect()}
     assert got[1]["n_tokens"] == 6
     assert got[2]["digit_ratio"] > 0.7
+
+
+def test_streaming_enrich_stream_static_join(spark, event_stream_dir):
+    from spark_ext_spark.streaming import streaming_enrich
+    path, batch_df = event_stream_dir
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string")
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = streaming_enrich(stream.select("user_id", "value"),
+                           dim, on="user_id")
+    _run_to_memory(out, "enriched_stream")
+    rows = spark.sql("SELECT * FROM enriched_stream").collect()
+    # every input row survives (left join); tiers map per dimension row
+    assert len(rows) == batch_df.count()
+    tiers = {r["user_id"]: r["tier"] for r in rows}
+    assert tiers[1] == "gold" and tiers[2] == "silver"
+    assert tiers[99] is None
