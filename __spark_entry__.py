@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable sketches (rows-only: HLL/GK internals are
         # engine-specific; error bounds asserted in tests)
         "approx_user_stats": rel.approx_user_stats,
+        # posexplode / deterministic sampleBy / argmax aggregates
+        "doc_sentences": rel.doc_sentences,
+        "stratified_sample_events": rel.stratified_sample_events,
+        "top_event_per_user": rel.top_event_per_user,
     }
 
 
@@ -187,4 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "props_json_extract": rel.PROPS_JSON_EXTRACT_SQL,
         "sql_grouping_sets": rel.SQL_GROUPING_SETS_SQL,
         "embedding_norms": lq.EMBEDDING_NORMS_SQL,
+        "doc_sentences": rel.DOC_SENTENCES_SQL,
+        "stratified_sample_events": rel.STRATIFIED_SAMPLE_EVENTS_SQL,
+        "top_event_per_user": rel.TOP_EVENT_PER_USER_SQL,
     }

@@ -794,3 +794,87 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("approx_users"),
                  F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
                  .alias("value_quantiles")))
+
+
+def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode WITH POSITION (posexplode): sentence-ish splits
+    of each document, keeping the sentence index. One generate node
+    over the scan — no shuffle; output cardinality = total sentences.
+    The trim/filter run on the exploded rows inside the same codegen
+    stage."""
+    docs = load(spark, sf_dir, "documents")
+    parts = F.split("text", r"[.!?]")
+    ex = docs.select("doc_id", F.posexplode(parts).alias("pos", "sentence"))
+    return (ex.select("doc_id", "pos", F.trim("sentence").alias("sentence"))
+            .filter(F.length("sentence") > 0))
+
+
+DOC_SENTENCES_SQL = """
+SELECT doc_id, i - 1 AS pos, trim(parts[i]) AS sentence
+FROM (SELECT doc_id, string_split_regex(text, '[.!?]') AS parts
+      FROM documents),
+     LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)
+WHERE length(trim(parts[i])) > 0
+"""
+
+
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling at different rates (the sampleBy shape)
+    made deterministic: the Knuth multiplicative hash on event_id
+    replaces Bernoulli draws, so task retries at 100 TB can't change
+    the sample (and the oracle can replay it exactly). Pure filter —
+    no shuffle until the summary agg."""
+    ev = load(spark, sf_dir, "events")
+    frac = (F.when(F.col("event_type") == "purchase", F.lit(1.0))
+            .when(F.col("event_type") == "click", F.lit(0.5))
+            .otherwise(F.lit(0.1)))
+    keep = ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+            < frac * F.lit(4294967296))
+    return (ev.filter(keep)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.round(F.sum("value"), 4).alias("sampled_value")))
+
+
+STRATIFIED_SAMPLE_EVENTS_SQL = """
+SELECT event_type, count(*) AS n_sampled,
+       round(sum(value), 4) AS sampled_value
+FROM events
+WHERE (event_id * 2654435761) % 4294967296
+      < (CASE event_type WHEN 'purchase' THEN 1.0
+                         WHEN 'click' THEN 0.5
+                         ELSE 0.1 END) * 4294967296
+GROUP BY event_type
+"""
+
+
+def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a COMPOSITE ordering struct: the event type
+    of each user's highest-value event, ties broken by event_id so the
+    argmax is total. One partial-aggregating shuffle — the window
+    row_number alternative sorts every partition; max_by only carries
+    one candidate per group through the combine."""
+    ev = load(spark, sf_dir, "events")
+    ordk = F.struct(F.col("value"), F.col("event_id"))
+    return (ev.groupBy("user_id")
+            .agg(F.max_by("event_type", ordk).alias("top_type"),
+                 F.round(F.max("value"), 4).alias("top_value"),
+                 F.min_by("event_type", ordk).alias("bottom_type")))
+
+
+TOP_EVENT_PER_USER_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS rt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value ASC, event_id ASC) AS rb
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN rt = 1 THEN event_type END) AS top_type,
+       round(max(value), 4) AS top_value,
+       max(CASE WHEN rb = 1 THEN event_type END) AS bottom_type
+FROM ranked
+GROUP BY user_id
+"""

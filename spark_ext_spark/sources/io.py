@@ -69,3 +69,28 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True,
+              target_partitions: int | None = None, **options) -> None:
+    """CSV writer (reference DataGenerator.scala:18-33 shape). CSV has
+    no column statistics or pushdown — use it for exports, parquet for
+    anything re-read at scale."""
+    if target_partitions is not None:
+        df = df.repartition(target_partitions)
+    writer = df.write.mode(mode).option("header", header)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite",
+               target_partitions: int | None = None, **options) -> None:
+    """JSON-lines writer; same export-only caveat as CSV."""
+    if target_partitions is not None:
+        df = df.repartition(target_partitions)
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.json(path)

@@ -42,3 +42,16 @@ def test_register_sql_functions(spark):
     row = spark.sql(
         "SELECT s2_token(40.7142700D, -74.0059700D, 12) AS tok").first()
     assert row["tok"] == cell_token(40.71427, -74.00597, 12)
+
+
+def test_write_csv_json_roundtrip(spark, tmp_path):
+    from spark_ext_spark.sources import write_csv, write_json, read_json
+    df = spark.createDataFrame([("a", 1.5), ("b", 2.0)], "k string, v double")
+    cpath, jpath = str(tmp_path / "out_csv"), str(tmp_path / "out_json")
+    write_csv(df, cpath, target_partitions=1)
+    write_json(df, jpath, target_partitions=1)
+    back_c = read_csv(spark, cpath, schema="k string, v double")
+    back_j = read_json(spark, jpath, schema="k string, v double")
+    want = [("a", 1.5), ("b", 2.0)]
+    assert sorted((r["k"], r["v"]) for r in back_c.collect()) == want
+    assert sorted((r["k"], r["v"]) for r in back_j.collect()) == want
