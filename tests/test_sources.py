@@ -55,3 +55,23 @@ def test_write_csv_json_roundtrip(spark, tmp_path):
     want = [("a", 1.5), ("b", 2.0)]
     assert sorted((r["k"], r["v"]) for r in back_c.collect()) == want
     assert sorted((r["k"], r["v"]) for r in back_j.collect()) == want
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
+    """Hive-style partition layout → partition PRUNING (directories
+    skipped entirely), distinct from row-group filter pushdown: the
+    day predicate must land in PartitionFilters, not PushedFilters."""
+    from spark_ext_spark.sources import write_parquet
+    ev = read_table(spark, sf_small, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    path = str(tmp_path / "events_by_day")
+    write_parquet(ev, path, partition_by=["day"])
+    back = read_parquet(spark, path).filter(F.col("day") == "2024-01-05")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    assert "PartitionFilters" in scan
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "day" in pf
+    n_days = ev.select("day").distinct().count()
+    expected = ev.filter(F.col("day") == "2024-01-05").count()
+    assert back.count() == expected and expected > 0 and n_days > 1
