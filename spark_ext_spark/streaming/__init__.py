@@ -18,5 +18,5 @@ action; sinks are the caller's choice (tests use the memory sink).
 """
 
 from spark_ext_spark.streaming.ops import (  # noqa: F401
-    streaming_dedup_exact, streaming_enrich, streaming_event_counts,
-    streaming_gather, streaming_text_quality)
+    foreach_batch_upsert, streaming_dedup_exact, streaming_enrich,
+    streaming_event_counts, streaming_gather, streaming_text_quality)

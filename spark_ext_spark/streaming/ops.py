@@ -98,3 +98,35 @@ def streaming_text_quality(docs: DataFrame, id_col: str,
          .alias("distinct_ratio"),
         F.round(F.length(F.regexp_replace(c, r"[^0-9]", "")) / nz, 4)
          .alias("digit_ratio"))
+
+
+def foreach_batch_upsert(key_cols: list[str], order_col: str, path: str):
+    """Build a foreachBatch sink that upserts each micro-batch into a
+    parquet key-value store: union existing + batch, keep the latest
+    row per key (greatest ``order_col``, batch wins ties). The classic
+    streaming→serving merge when no ACID table format is available —
+    the whole store rewrites per batch, so at scale prefer partitioning
+    the store and rewriting only partitions the batch touches (or a
+    format with MERGE support); the per-key window logic is identical.
+
+    Returns a function suitable for ``.writeStream.foreachBatch(...)``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new = batch.withColumn("__src", F.lit(1))
+        try:
+            cur = spark.read.parquet(path).withColumn("__src", F.lit(0))
+            merged = cur.unionByName(new)
+        except Exception:
+            merged = new
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(order_col), F.desc("__src"))
+        latest = (merged.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+        # rewrite must not lazily read the path it overwrites
+        latest.localCheckpoint().write.mode("overwrite").parquet(path)
+
+    return upsert

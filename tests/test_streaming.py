@@ -124,3 +124,30 @@ def test_streaming_enrich_stream_static_join(spark, event_stream_dir):
     tiers = {r["user_id"]: r["tier"] for r in rows}
     assert tiers[1] == "gold" and tiers[2] == "silver"
     assert tiers[99] is None
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    from spark_ext_spark.streaming import foreach_batch_upsert
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "updates")
+    batch1 = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0)], "k long, v long, ord double")
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    sink = foreach_batch_upsert(["k"], "ord", store)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    # second wave: update k=1 (newer ord), stale k=2 (older ord), new k=3
+    spark.createDataFrame(
+        [(1, 99, 150.0), (2, 99, 50.0), (3, 30, 300.0)],
+        "k long, v long, ord double").coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["k"]: (r["v"], r["ord"]) for r in
+           spark.read.parquet(store).collect()}
+    assert got == {1: (99, 150.0), 2: (10, 200.0), 3: (30, 300.0)}
