@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentences": rel.doc_sentences,
         "stratified_sample_events": rel.stratified_sample_events,
         "top_event_per_user": rel.top_event_per_user,
+        # Spark 4 VARIANT semi-structured path
+        "props_variant_extract": rel.props_variant_extract,
     }
 
 
@@ -194,4 +196,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_sentences": rel.DOC_SENTENCES_SQL,
         "stratified_sample_events": rel.STRATIFIED_SAMPLE_EVENTS_SQL,
         "top_event_per_user": rel.TOP_EVENT_PER_USER_SQL,
+        "props_variant_extract": rel.PROPS_VARIANT_EXTRACT_SQL,
     }

@@ -878,3 +878,31 @@ SELECT user_id,
 FROM ranked
 GROUP BY user_id
 """
+
+
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed path extraction
+    (try_variant_get). Versus from_json, VARIANT needs no up-front
+    schema and re-extraction of other paths later costs no re-parse —
+    the open-schema answer for 100 TB of heterogeneous props. Output
+    stays plain BIGINT so the oracle can check it."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+PROPS_VARIANT_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
