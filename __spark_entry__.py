@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_per_user": rel.top_event_per_user,
         # Spark 4 VARIANT semi-structured path
         "props_variant_extract": rel.props_variant_extract,
+        # chunking + PII scrub (training-data prep)
+        "doc_chunks": lq.doc_chunks,
+        "pii_redaction": lq.pii_redaction,
     }
 
 
@@ -197,4 +200,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_events": rel.STRATIFIED_SAMPLE_EVENTS_SQL,
         "top_event_per_user": rel.TOP_EVENT_PER_USER_SQL,
         "props_variant_extract": rel.PROPS_VARIANT_EXTRACT_SQL,
+        "doc_chunks": lq.DOC_CHUNKS_SQL,
+        "pii_redaction": lq.PII_REDACTION_SQL,
     }

@@ -13,7 +13,8 @@ from pyspark.sql.window import Window
 from spark_ext_spark.llm.dedup import normalize_text
 
 __all__ = ["tokens", "text_stats", "quality_score", "language_id",
-           "fingerprint", "tfidf_top_terms", "STOPWORDS"]
+           "fingerprint", "tfidf_top_terms", "chunk_documents",
+           "redact_pii", "STOPWORDS"]
 
 # Tiny per-language stopword profiles (top function words) for the
 # n-gram/stopword language-ID heuristic.
@@ -144,3 +145,48 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(norm).alias("fingerprint"),
         F.md5(sorted_tokens).alias("bag_fingerprint"))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 50, overlap: int = 10) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard training-data prep step — entirely with JVM array
+    expressions: tokenize once, generate window starts with sequence(),
+    slice per start, explode. No Python, no shuffle; output cardinality
+    ≈ total_tokens / (chunk_tokens - overlap).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    tdf = df.select(F.col(id_col), toks.alias("__tk"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("__tk"), F.lit(1)),
+                        F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice("__tk", s, chunk_tokens))
+    ex = tdf.select(id_col,
+                    F.posexplode(chunks).alias("chunk_idx", "__chunk"))
+    return (ex.filter(F.size("__chunk") > 0)
+            .select(id_col, "chunk_idx",
+                    F.size("__chunk").alias("n_chunk_tokens"),
+                    F.concat_ws(" ", "__chunk").alias("chunk_text")))
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Regex PII scrub (emails, long digit runs) as pure JVM
+    expressions — the cheap first pass of a pipeline's compliance
+    stage; entity-model scrubbing would ride the multimodal
+    mapInPandas seam instead. Patterns stay in the portable subset
+    (character classes + bounded repeats) shared by Java regex and
+    RE2-style engines.
+
+    Output: (id, redacted, n_emails, n_numbers)."""
+    email = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
+    number = r"\+?[0-9][0-9 -]{7,}[0-9]"
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(F.regexp_replace(c, email, "<EMAIL>"),
+                         number, "<NUMBER>").alias("redacted"),
+        F.regexp_count(c, F.lit(email)).alias("n_emails"),
+        F.regexp_count(c, F.lit(number)).alias("n_numbers"))

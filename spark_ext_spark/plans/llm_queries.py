@@ -418,3 +418,81 @@ SELECT vec_id,
                                    embedding::DOUBLE[])), 4) AS l2_norm
 FROM embeddings
 """
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (llm/text.py chunk_documents):
+    50-token chunks, 10-token overlap."""
+    docs = load(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text",
+                                chunk_tokens=50, overlap=10)
+
+
+DOC_CHUNKS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[\\s[:punct:]]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk), 1), 40)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) / 40 AS INT) AS chunk_idx,
+       len(tk[s : least(s + 49, len(tk))]) AS n_chunk_tokens,
+       array_to_string(tk[s : least(s + 49, len(tk))], ' ') AS chunk_text
+FROM starts
+WHERE len(tk[s : least(s + 49, len(tk))]) > 0
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with synthetic injections (the corpus
+    itself is clean): every 5th doc gets an email, every 7th a phone
+    number, appended identically in both engines so the redaction and
+    the counts are fully oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" call +1 555-01"),
+                            F.lpad((F.col("doc_id") % 100).cast("string"),
+                                   2, "0")))
+            .otherwise(F.lit(""))).alias("text"))
+    out = text.redact_pii(salted, "doc_id", "text")
+    return out.select("doc_id", "n_emails", "n_numbers",
+                      F.md5("redacted").alias("redacted_md5"))
+
+
+PII_REDACTION_SQL = """
+WITH salted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\\+?[0-9][0-9 -]{7,}[0-9]')) AS n_numbers,
+       md5(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+           '\\+?[0-9][0-9 -]{7,}[0-9]', '<NUMBER>', 'g')) AS redacted_md5
+FROM salted
+"""

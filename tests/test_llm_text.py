@@ -58,3 +58,38 @@ def test_fingerprint_normalization_and_bag(spark):
     assert fps[1][0] == fps[2][0]          # normalization-invariant
     assert fps[2][0] != fps[3][0]          # order-sensitive
     assert fps[1][1] == fps[2][1] == fps[3][1]  # bag ignores order
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from spark_ext_spark.llm.text import chunk_documents
+    text = " ".join(f"w{i}" for i in range(95))
+    df = spark.createDataFrame([(1, text), (2, "short one"), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=50, overlap=10)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: starts at tokens 0, 40, 80 -> sizes 50, 50, 15
+    assert [rows[(1, i)]["n_chunk_tokens"] for i in range(3)] == [50, 50, 15]
+    first = rows[(1, 0)]["chunk_text"].split()
+    second = rows[(1, 1)]["chunk_text"].split()
+    assert first[40:] == second[:10]  # 10-token overlap
+    assert rows[(2, 0)]["n_chunk_tokens"] == 2
+    assert not any(d == 3 for d, _ in rows)  # empty doc -> no chunks
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap=10)
+
+
+def test_redact_pii(spark):
+    from spark_ext_spark.llm.text import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test-x.org or call +1 555-123-4567 now"),
+         (2, "clean text, just 42 and 3.14 in it")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           redact_pii(df, "doc_id", "text").collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_numbers"] == 1
+    assert "<EMAIL>" in got[1]["redacted"]
+    assert "<NUMBER>" in got[1]["redacted"]
+    assert "@" not in got[1]["redacted"]
+    assert got[2]["n_emails"] == 0 and got[2]["n_numbers"] == 0
+    assert got[2]["redacted"].endswith("3.14 in it")
