@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunking + PII scrub (training-data prep)
         "doc_chunks": lq.doc_chunks,
         "pii_redaction": lq.pii_redaction,
+        # data-quality rules: repetition, quality score, contamination
+        "doc_repetition": lq.doc_repetition,
+        "doc_quality": lq.doc_quality,
+        "benchmark_contamination": lq.benchmark_contamination,
     }
 
 
@@ -202,4 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "props_variant_extract": rel.PROPS_VARIANT_EXTRACT_SQL,
         "doc_chunks": lq.DOC_CHUNKS_SQL,
         "pii_redaction": lq.PII_REDACTION_SQL,
+        "doc_repetition": lq.DOC_REPETITION_SQL,
+        "doc_quality": lq.DOC_QUALITY_SQL,
+        "benchmark_contamination": lq.BENCHMARK_CONTAMINATION_SQL,
     }

@@ -55,26 +55,15 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                  F.sort_array(F.collect_list("member_id")).alias("member_ids")))
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str,
-                  n: int = 3, hashed: bool = False,
-                  unique_ids: bool = False) -> DataFrame:
-    """Distinct (id, n-word shingle) pairs, built with JVM array
-    expressions (split → sequence → transform) — no Python.
+def shingle_array(words: Column, n: int, hashed: bool = False) -> Column:
+    """Array of n-word shingles from an already-materialized words
+    array (duplicates kept, document order). ``words`` MUST be a
+    projected column, not the split expression itself — a lambda
+    referencing an unmaterialized expression re-evaluates it per
+    element access (3 regex runs per shingle — measured ~12× slower).
 
-    ``hashed=True`` replaces each shingle with its xxhash64 so every
-    downstream shuffle carries an 8-byte long instead of a multi-word
-    string. ``unique_ids=True`` asserts the input has one row per id:
-    within-row dedup (array_distinct before the explode) then already
-    yields globally-distinct (id, shingle) pairs, so the shuffling
-    ``.distinct()`` over the exploded table — the single biggest stage
-    of a cold run — is skipped."""
-    # Materialize the words array as a projected column FIRST: if the
-    # split expression were referenced inside the transform lambda, the
-    # whole normalize+split chain would re-evaluate on every element
-    # access (3 regex runs per shingle — measured ~12× slower).
-    wdf = df.select(F.col(id_col).alias("doc"),
-                    F.split(normalize_text(text_col), " ").alias("__words"))
-    words = F.col("__words")
+    ``hashed=True`` maps each shingle to its xxhash64 so downstream
+    shuffles carry an 8-byte long instead of a multi-word string."""
     # sequence(0, negative) would DESCEND in Spark — guard short texts
     # to an explicitly empty index array instead.
     idx = F.when(F.size(words) >= n,
@@ -85,6 +74,23 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
             " ", *[F.element_at(words, i + j + 1) for j in range(n)]))
     if hashed:
         shingle = F.transform(shingle, lambda s: F.xxhash64(s))
+    return shingle
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3, hashed: bool = False,
+                  unique_ids: bool = False) -> DataFrame:
+    """Distinct (id, n-word shingle) pairs, built with JVM array
+    expressions (split → sequence → transform) — no Python.
+
+    ``unique_ids=True`` asserts the input has one row per id:
+    within-row dedup (array_distinct before the explode) then already
+    yields globally-distinct (id, shingle) pairs, so the shuffling
+    ``.distinct()`` over the exploded table — the single biggest stage
+    of a cold run — is skipped."""
+    wdf = df.select(F.col(id_col).alias("doc"),
+                    F.split(normalize_text(text_col), " ").alias("__words"))
+    shingle = shingle_array(F.col("__words"), n, hashed=hashed)
     out = wdf.select("doc", F.explode(F.array_distinct(shingle)).alias("shingle"))
     return out if unique_ids else out.distinct()
 

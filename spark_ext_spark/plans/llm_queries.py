@@ -496,3 +496,125 @@ SELECT doc_id,
            '\\+?[0-9][0-9 -]{7,}[0-9]', '<NUMBER>', 'g')) AS redacted_md5
 FROM salted
 """
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (the Gopher-style quality rule): fraction
+    of 3-word shingles that are repeats within the document. Pure
+    per-row array math — no shuffle at all."""
+    from spark_ext_spark.llm.dedup import normalize_text, shingle_array
+
+    docs = load(spark, sf_dir, "documents")
+    wdf = docs.select("doc_id",
+                      F.split(normalize_text("text"), " ").alias("__words"))
+    sh = shingle_array(F.col("__words"), 3)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return wdf.select(
+        "doc_id",
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        F.round(F.lit(1.0) - distinct / F.greatest(total, F.lit(1))
+                .cast("double"), 4).alias("rep_ratio"))
+
+
+DOC_REPETITION_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          FOR i IN generate_series(1, len(w) - 2)] AS s
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)),
+                                           '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents)
+)
+SELECT doc_id,
+       len(s) AS n_shingles,
+       len(list_distinct(s)) AS n_distinct,
+       round(1.0 - len(list_distinct(s)) / greatest(len(s), 1), 4)
+         AS rep_ratio
+FROM sh
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality_score pre-filter (llm/text.py), oracle-checked:
+    0.4·length-window + 0.3·token-diversity + 0.3·(1 - noise)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
+DOC_QUALITY_SQL = """
+WITH stats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(tk) AS n_tokens,
+         round(len(list_distinct(tk)) / greatest(len(tk), 1), 4) AS distinct_ratio,
+         round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+               / greatest(length(text), 1), 4) AS punct_ratio,
+         round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / greatest(length(text), 1), 4) AS digit_ratio
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text),
+                           '[\\s[:punct:]]+'), t -> t <> '') AS tk
+        FROM documents)
+)
+SELECT doc_id,
+       round(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 10000
+                         THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least(distinct_ratio * 2, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - (punct_ratio + digit_ratio) * 5),
+             4) AS quality_score
+FROM stats
+"""
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: every corpus document scored by
+    how many of its 5-gram shingles collide with a held-out
+    'benchmark' slice (doc_id % 50 = 0 here; in production the actual
+    eval sets). Hashed-shingle equi-join — blocking, never quadratic;
+    the benchmark side is tiny so it broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=5, hashed=True,
+                             unique_ids=True)
+    bench = (sh.filter(F.col("doc") % 50 == 0)
+             .select(F.col("shingle").alias("bshingle")).distinct())
+    corpus = sh.filter(F.col("doc") % 50 != 0)
+    hits = (corpus.join(F.broadcast(bench),
+                        corpus["shingle"] == bench["bshingle"])
+            .groupBy("doc").agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (docs.filter(F.col("doc_id") % 50 != 0)
+            .join(hits.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+BENCHMARK_CONTAMINATION_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+           || ' ' || w[i+4] AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents)
+        WHERE len(w) >= 5)
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM sh c
+  JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0) b
+    ON c.shingle = b.shingle
+  WHERE c.doc_id % 50 <> 0
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 50 <> 0
+"""
