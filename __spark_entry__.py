@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": lq.doc_repetition,
         "doc_quality": lq.doc_quality,
         "benchmark_contamination": lq.benchmark_contamination,
+        # RANGE window frame + statistical aggregate family
+        "moving_avg_7d": rel.moving_avg_7d,
+        "value_statistics": rel.value_statistics,
     }
 
 
@@ -209,4 +212,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": lq.DOC_REPETITION_SQL,
         "doc_quality": lq.DOC_QUALITY_SQL,
         "benchmark_contamination": lq.BENCHMARK_CONTAMINATION_SQL,
+        "moving_avg_7d": rel.MOVING_AVG_7D_SQL,
+        "value_statistics": rel.VALUE_STATISTICS_SQL,
     }

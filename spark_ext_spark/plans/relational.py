@@ -906,3 +906,70 @@ SELECT event_type, count(*) AS n,
 FROM events
 GROUP BY event_type
 """
+
+
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (vs the ROWS frames elsewhere): per user, a
+    trailing 7-day average/count over event VALUES — frame membership
+    decided by time distance, not row position, so it's robust to
+    irregular event spacing. Ordering key is integer µs; one shuffle
+    on user_id."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    week_us = 7 * 86400 * 1_000_000
+    w = (Window.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-week_us, 0))
+    # Values quantized to integer 1e-4 units BEFORE the window sum:
+    # engines disagree in the last ULP of sliding double sums (DuckDB
+    # uses segment trees — different addition grouping), but integer
+    # sums are exact everywhere; one final division is bit-identical.
+    # ... and the final reduction truncates (floor) rather than rounds:
+    # quantized sums make exact .xxxx5 halves COMMON, where Spark
+    # (decimal-string HALF_UP) and DuckDB (binary value) disagree.
+    vq = F.floor(F.col("value") * 10000).cast("bigint")
+    s = F.sum(vq).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id", "event_id",
+        (F.floor(s / n) / F.lit(10000.0)).alias("avg_7d"),
+        n.alias("n_7d"))
+
+
+MOVING_AVG_7D_SQL = """
+SELECT user_id, event_id,
+       floor(sum(vq) OVER w / count(*) OVER w) / 10000.0 AS avg_7d,
+       count(*) OVER w AS n_7d
+FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 10000) AS BIGINT) AS vq
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per event type: sample stddev/
+    variance of value, correlation and sample covariance between value
+    and the props.k payload. All are single-pass mergeable moment
+    aggregates — partial+final like any sum, nothing extra at scale."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"].cast("double")
+    base = ev.select("event_type", "value", k.alias("k"))
+    return (base.groupBy("event_type")
+            .agg(F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+                 F.round(F.var_samp("value"), 4).alias("var_value"),
+                 F.round(F.corr("value", "k"), 4).alias("corr_vk"),
+                 F.round(F.covar_samp("value", "k"), 4).alias("covar_vk")))
+
+
+VALUE_STATISTICS_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 4) AS sd_value,
+       round(var_samp(value), 4) AS var_value,
+       round(corr(value, k), 4) AS corr_vk,
+       round(covar_samp(value, k), 4) AS covar_vk
+FROM (SELECT event_type, value,
+             CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE) AS k
+      FROM events)
+GROUP BY event_type
+"""
