@@ -119,3 +119,24 @@ def test_approx_sketches_within_error_bounds(spark, sf_small):
         for q, a in zip((0.5, 0.95, 0.99), got[et]["value_quantiles"]):
             rank = sum(v <= a for v in vals) / len(vals)
             assert abs(rank - q) <= 0.01 + 1.0 / len(vals), (et, q, a, rank)
+
+
+def test_doc_chunks_and_repetition_no_shuffle(spark, sf_small):
+    from spark_ext_spark.plans import llm_queries as lq
+    for fn in (lq.doc_chunks, lq.doc_repetition):
+        p = plan_of(fn(spark, sf_small))
+        assert "Exchange" not in p, fn.__name__
+
+
+def test_benchmark_contamination_broadcasts(spark, sf_small):
+    from spark_ext_spark.plans import llm_queries as lq
+    p = plan_of(lq.benchmark_contamination(spark, sf_small))
+    assert "BroadcastHashJoin" in p
+
+
+def test_moving_avg_single_user_exchange(spark, sf_small):
+    p = plan_of(rel.moving_avg_7d(spark, sf_small))
+    # one hash exchange on user_id feeds the RANGE window
+    assert "hashpartitioning(user_id" in p.replace(" ", "") or \
+        "hashpartitioning" in p
+    assert "rangepartitioning" not in p  # no global sort

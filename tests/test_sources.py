@@ -75,3 +75,18 @@ def test_partitioned_write_prunes_partitions(spark, sf_small, tmp_path):
     n_days = ev.select("day").distinct().count()
     expected = ev.filter(F.col("day") == "2024-01-05").count()
     assert back.count() == expected and expected > 0 and n_days > 1
+
+
+def test_python_udtf_explode_ngrams(spark):
+    from spark_ext_spark.functions.udtf import register_udtfs
+    register_udtfs(spark)
+    spark.createDataFrame([(1, "The quick brown fox"), (2, "hi")],
+                          "doc_id long, text string") \
+        .createOrReplaceTempView("udtf_docs")
+    rows = spark.sql("""
+        SELECT d.doc_id, g.ngram, g.pos
+        FROM udtf_docs d, LATERAL explode_ngrams(d.text, 2) g
+    """).collect()
+    got = sorted((r["doc_id"], r["pos"], r["ngram"]) for r in rows)
+    assert got == [(1, 0, "the quick"), (1, 1, "quick brown"),
+                   (1, 2, "brown fox")]
