@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RANGE window frame + statistical aggregate family
         "moving_avg_7d": rel.moving_avg_7d,
         "value_statistics": rel.value_statistics,
+        # IVF ANN (trained coarse quantizer; rows-only like LSH ANN)
+        "ann_ivf_topk": lq.ann_ivf_topk,
     }
 
 

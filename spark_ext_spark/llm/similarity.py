@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["cosine_similarity_col", "cosine_topk", "lsh_buckets",
-           "lsh_topk", "embedding_near_dups"]
+           "lsh_topk", "ivf_topk", "embedding_near_dups"]
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
@@ -228,7 +228,19 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     c = b.select("vec_id", "vec", "bucket", F.lit("c").alias("role"))
     both = q.unionByName(c)
 
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _grouped_candidate_topk(both, "bucket", k)
+
+
+def _grouped_candidate_topk(both: DataFrame, group_col: str,
+                            k: int) -> DataFrame:
+    """Shared IVF-style execution for bucketed ANN: per group, ONE
+    numpy GEMM of probing queries ('q' rows) × group members ('c'
+    rows) emits per-query group-local top-k; a global groupBy then
+    merges multi-probe hits and re-ranks. Vectors materialize once per
+    probe, never per pair."""
+    import pandas as pd
+
+    def group_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         qs = pdf[pdf["role"] == "q"]
         cs = pdf[pdf["role"] == "c"]
         if qs.empty or cs.empty:
@@ -251,8 +263,8 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                              "sim": out_s})
 
-    local = both.groupBy("bucket").applyInPandas(
-        bucket_topk, schema="query_id long, neighbor_id long, sim double")
+    local = both.groupBy(group_col).applyInPandas(
+        group_topk, schema="query_id long, neighbor_id long, sim double")
     merged = (local.groupBy("query_id", "neighbor_id")
               .agg(F.max("sim").alias("sim")))  # dedup multiprobe hits
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
@@ -260,3 +272,52 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     return (merged.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "sim", "rank"))
+
+
+def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
+             n_probes: int = 3, seed: int = 42, max_iter: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (vs lsh_topk's
+    data-oblivious hyperplanes): distributed k-means learns
+    ``n_centroids`` cells, the corpus becomes inverted lists (one cell
+    per vector), and each query probes its ``n_probes`` nearest cells
+    with an exact GEMM re-rank inside. Recall tracks how well cells
+    capture the data distribution — better than random hyperplanes on
+    clustered embeddings at the same candidate budget.
+
+    Scale: training is pyspark.ml KMeans (distributed Lloyd); the
+    centroid matrix (n_centroids × dim) is the only driver artifact and
+    re-enters the plan as literal arrays, so probe selection is a pure
+    JVM expression (array of (dist, cell) structs → array_sort →
+    slice). Candidate generation is an equi-join on cell id; per-cell
+    work is one GEMM. n_probes trades recall for candidate count."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = df.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("vec"))
+    # cached: Lloyd iterates over it (maxIter jobs); random init skips
+    # k-means||'s ~5 extra sweeps — at 16 coarse cells the final
+    # assignment quality is indistinguishable and the fit is ~2× faster
+    feat = emb.withColumn("__fv", array_to_vector("vec")).cache()
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                   initMode="random", featuresCol="__fv").fit(feat)
+    assigned = (model.transform(feat)
+                .select("vec_id", "vec",
+                        F.col("prediction").alias("cell")))
+
+    centroids = model.clusterCenters()  # bounded: n_centroids × dim
+    dist_structs = []
+    for i, c in enumerate(centroids):
+        row = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(F.zip_with("vec", row, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, z: acc + z)
+        dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
+    probes = F.transform(
+        F.slice(F.array_sort(F.array(*dist_structs)), 1, n_probes),
+        lambda s: s["cell"])
+
+    q = assigned.select("vec_id", "vec", F.explode(probes).alias("cell"),
+                        F.lit("q").alias("role"))
+    c = assigned.select("vec_id", "vec", "cell", F.lit("c").alias("role"))
+    return _grouped_candidate_topk(q.unionByName(c), "cell", k)

@@ -205,6 +205,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, k=5, n_planes=8)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF ANN with a trained k-means coarse quantizer
+    (recall/probe-tradeoff asserted in tests). 5 Lloyd iterations —
+    a coarse quantizer converges in a few sweeps, and each MLlib
+    iteration is a full driver-coordinated job."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=5, n_centroids=16, n_probes=3,
+                               max_iter=5)
+
+
 # --- multimodal ---------------------------------------------------------------
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

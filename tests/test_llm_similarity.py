@@ -94,3 +94,41 @@ def test_lsh_topk_recall_against_exact(vecs, vecs_np):
         total += len(want)
     recall = hits / total
     assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ivf_topk_recall_against_exact(vecs, vecs_np):
+    from spark_ext_spark.llm.similarity import ivf_topk
+    exact = _numpy_topk(vecs_np, 3)
+    approx = {}
+    for r in ivf_topk(vecs, k=3, n_centroids=8, n_probes=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for q in range(N):
+        want = {j for j, _ in exact[q]}
+        got = approx.get(q, set())
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.7, f"IVF recall too low: {recall:.2f}"
+    # trained cells + 3 probes should beat 1-probe blind hyperplanes
+    # at a comparable bucket count (8 cells vs 2^6 buckets): sanity
+    # only, not asserted against lsh directly (different budgets).
+
+
+def test_ivf_probe_count_trades_recall(vecs, vecs_np):
+    from spark_ext_spark.llm.similarity import ivf_topk
+    exact = _numpy_topk(vecs_np, 3)
+
+    def recall(n_probes):
+        approx = {}
+        for r in ivf_topk(vecs, k=3, n_centroids=8,
+                          n_probes=n_probes).collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = total = 0
+        for q in range(N):
+            want = {j for j, _ in exact[q]}
+            hits += len(want & approx.get(q, set()))
+            total += len(want)
+        return hits / total
+
+    assert recall(4) >= recall(1)
