@@ -140,3 +140,23 @@ def test_moving_avg_single_user_exchange(spark, sf_small):
     assert "hashpartitioning(user_id" in p.replace(" ", "") or \
         "hashpartitioning" in p
     assert "rangepartitioning" not in p  # no global sort
+
+
+def test_no_query_plans_cartesian(spark, sf_small):
+    """Fleet-wide plan audit: no query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin may appear only where it's a 1-row
+    scalar-aggregate attach (curve totals, global averages, corpus
+    size) — there it costs one comparison per row and is the intended
+    plan. Planning only; fit-bearing queries do run their small fit
+    jobs at sf0.001."""
+    import __spark_entry__ as entrymod
+    scalar_attach_ok = {"gains_curve", "roc_curve", "lift_curve",
+                        "tpch_q22_idle_rich", "tfidf_top_terms"}
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        p = plan_of(fn(spark, sf_small))
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in p and name not in scalar_attach_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
