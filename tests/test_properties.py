@@ -104,3 +104,72 @@ def test_binning_partitions_all_values(spark, vals, nbins):
         assert sum(arr) == 1.0  # every in-range value lands in one bin
         idx = arr.index(1.0)
         assert splits[idx] <= row["x"] <= splits[idx + 1]
+
+
+def test_chunks_stitch_back_to_token_stream(spark):
+    """Dropping each non-first chunk's overlap prefix and concatenating
+    must reproduce the document's full token stream exactly."""
+    import random as _r
+    from spark_ext_spark.llm.text import chunk_documents, tokens
+    from pyspark.sql import functions as F
+
+    rng = _r.Random(99)
+    rows = [(i, " ".join(f"t{rng.randrange(50)}"
+                         for _ in range(rng.randrange(0, 130))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk_tokens, overlap = 20, 5
+    out = chunk_documents(df, "doc_id", "text",
+                          chunk_tokens=chunk_tokens, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"].split()))
+    want = {r["doc_id"]: r["tk"] for r in
+            df.select("doc_id", tokens("text").alias("tk")).collect()}
+    for doc_id, expect in want.items():
+        chunks = [c for _, c in sorted(by_doc.get(doc_id, []))]
+        stitched = []
+        for i, c in enumerate(chunks):
+            stitched.extend(c if i == 0 else c[overlap:])
+        assert stitched == expect, doc_id
+
+
+def test_connected_components_vs_union_find(spark):
+    """Pointer-jumping CC agrees with a driver-side union-find on
+    random graphs (several densities/seeds)."""
+    import random as _r
+    from spark_ext_spark.llm.clusters import connected_components
+
+    for seed, n_nodes, n_edges in ((1, 30, 15), (2, 40, 60), (3, 25, 5)):
+        rng = _r.Random(seed)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for a, b in edges:
+            for v in (a, b):
+                want[v] = find(v)
+        # canonical label = min node of component
+        canon = {}
+        for v, r in want.items():
+            canon.setdefault(r, min(v2 for v2, r2 in want.items()
+                                    if r2 == r))
+        want = {v: canon[r] for v, r in want.items()}
+
+        df = spark.createDataFrame(edges, "a bigint, b bigint")
+        got = {r["node"]: r["comp"]
+               for r in connected_components(df, "a", "b").collect()}
+        assert got == want, (seed, got, want)
