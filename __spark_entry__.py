@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_statistics": rel.value_statistics,
         # IVF ANN (trained coarse quantizer; rows-only like LSH ANN)
         "ann_ivf_topk": lq.ann_ivf_topk,
+        # mergeable HLL sketch rollup (rows-only; losslessness + error
+        # bounds asserted in tests)
+        "sketch_user_rollup": rel.sketch_user_rollup,
     }
 
 

@@ -973,3 +973,22 @@ FROM (SELECT event_type, value,
       FROM events)
 GROUP BY event_type
 """
+
+
+def sketch_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-rollup pattern for distinct counts at 100 TB:
+    build one HLL sketch per day (Datasketches hll_sketch_agg — a
+    mergeable, re-aggregable summary you'd persist next to the day's
+    partition), then answer the month-level distinct-user question by
+    UNIONING sketches (hll_union_agg) instead of rescanning raw data.
+    Rows-only driver check (sketch binaries are engine-specific);
+    merge losslessness and error bounds are asserted in tests."""
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                  F.count(F.lit(1)).alias("n_events")))
+    return (daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .alias("distinct_users_est")))

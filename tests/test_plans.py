@@ -160,3 +160,17 @@ def test_no_query_plans_cartesian(spark, sf_small):
         elif "BroadcastNestedLoopJoin" in p and name not in scalar_attach_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_hll_sketch_rollup_merge_lossless(spark, sf_small):
+    """Union of per-day sketches must estimate exactly what one global
+    sketch estimates (merge is lossless at equal lgk), and both must
+    sit within HLL error of the exact distinct count."""
+    from pyspark.sql import functions as F
+    ev = rel.load(spark, sf_small, "events")
+    merged = rel.sketch_user_rollup(spark, sf_small).first()
+    direct = ev.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id")).alias("n")).first()["n"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged["distinct_users_est"] == direct
+    assert abs(direct - exact) <= max(3, 0.05 * exact)
