@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable HLL sketch rollup (rows-only; losslessness + error
         # bounds asserted in tests)
         "sketch_user_rollup": rel.sketch_user_rollup,
+        # unpivot/melt (wide -> long)
+        "lineitem_measure_stats": rel.lineitem_measure_stats,
     }
 
 
@@ -212,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_events": rel.STRATIFIED_SAMPLE_EVENTS_SQL,
         "top_event_per_user": rel.TOP_EVENT_PER_USER_SQL,
         "props_variant_extract": rel.PROPS_VARIANT_EXTRACT_SQL,
+        "lineitem_measure_stats": rel.LINEITEM_MEASURE_STATS_SQL,
         "doc_chunks": lq.DOC_CHUNKS_SQL,
         "pii_redaction": lq.PII_REDACTION_SQL,
         "doc_repetition": lq.DOC_REPETITION_SQL,

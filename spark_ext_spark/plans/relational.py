@@ -992,3 +992,36 @@ def sketch_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
         .alias("distinct_users_est")))
+
+
+def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (wide → long, the inverse of priority_pivot): four
+    lineitem measures stacked into (measure, value) rows, then one
+    aggregate per measure. Spark plans unpivot as an Expand — the same
+    node grouping sets use — so it's a scan-side row multiplication,
+    no join, one final shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    up = li.unpivot(
+        ids=[], values=["l_quantity", "l_extendedprice", "l_discount",
+                        "l_tax"],
+        variableColumnName="measure", valueColumnName="val")
+    return (up.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("val"), 4).alias("lo"),
+                 F.round(F.max("val"), 4).alias("hi"),
+                 F.round(F.sum("val"), 4).alias("total")))
+
+
+LINEITEM_MEASURE_STATS_SQL = """
+SELECT measure, count(*) AS n,
+       round(min(val), 4) AS lo,
+       round(max(val), 4) AS hi,
+       round(sum(val), 4) AS total
+FROM (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+GROUP BY measure
+"""
