@@ -19,4 +19,5 @@ action; sinks are the caller's choice (tests use the memory sink).
 
 from spark_ext_spark.streaming.ops import (  # noqa: F401
     foreach_batch_upsert, streaming_dedup_exact, streaming_enrich,
-    streaming_event_counts, streaming_gather, streaming_text_quality)
+    streaming_event_counts, streaming_gather, streaming_interval_join,
+    streaming_text_quality)

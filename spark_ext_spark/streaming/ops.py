@@ -130,3 +130,27 @@ def foreach_batch_upsert(key_cols: list[str], order_col: str, path: str):
         latest.localCheckpoint().write.mode("overwrite").parquet(path)
 
     return upsert
+
+
+def streaming_interval_join(left: DataFrame, right: DataFrame, on: str,
+                            left_ts: str, right_ts: str,
+                            upper: str = "10 minutes",
+                            watermark: str = "30 minutes",
+                            how: str = "inner") -> DataFrame:
+    """Stream-STREAM interval join: right-side rows match a left row
+    with the same key whose timestamp falls in [left_ts, left_ts +
+    upper]. Unlike stream-static enrichment this buffers BOTH sides in
+    state; the watermarks plus the time-bound condition are what let
+    Spark evict — without the interval bound the state would grow
+    forever, so the bound is mandatory, not a tuning choice. State per
+    key ≈ rows inside (watermark + upper) horizon.
+
+    Column names must be disjoint apart from ``on`` (both sides are
+    aliased; the join key is exposed once)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = ((F.col(f"l.{on}") == F.col(f"r.{on}"))
+            & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+            & (F.col(f"r.{right_ts}")
+               <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")))
+    return l.join(r, cond, how).drop(F.col(f"r.{on}"))

@@ -151,3 +151,28 @@ def test_foreach_batch_upsert(spark, tmp_path):
     got = {r["k"]: (r["v"], r["ord"]) for r in
            spark.read.parquet(store).collect()}
     assert got == {1: (99, 150.0), 2: (10, 200.0), 3: (30, 300.0)}
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    from spark_ext_spark.streaming import streaming_interval_join
+    d = str(tmp_path / "iv")
+    rows_v = [("2024-01-01 00:01:00", 1, "a"),
+              ("2024-01-01 00:20:00", 1, "b"),
+              ("2024-01-01 00:01:00", 2, "c")]
+    rows_p = [("2024-01-01 00:05:00", 1, 10.0),   # joins view a (4 min)
+              ("2024-01-01 00:25:00", 1, 20.0),   # joins view b (5 min)
+              ("2024-01-01 00:45:00", 2, 30.0)]   # 44 min after c: no
+    views = spark.createDataFrame(rows_v, "vts string, user_id long, tag string") \
+        .withColumn("vts", F.to_timestamp("vts"))
+    buys = spark.createDataFrame(rows_p, "bts string, user_id long, amount double") \
+        .withColumn("bts", F.to_timestamp("bts"))
+    views.coalesce(1).write.mode("overwrite").parquet(d + "/v")
+    buys.coalesce(1).write.mode("overwrite").parquet(d + "/b")
+    sv = spark.readStream.schema(views.schema).parquet(d + "/v")
+    sb = spark.readStream.schema(buys.schema).parquet(d + "/b")
+    out = streaming_interval_join(sv, sb, on="user_id",
+                                  left_ts="vts", right_ts="bts")
+    _run_to_memory(out, "iv_join")
+    got = sorted((r["user_id"], r["tag"], r["amount"])
+                 for r in spark.sql("SELECT * FROM iv_join").collect())
+    assert got == [(1, "a", 10.0), (1, "b", 20.0)]
