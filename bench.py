@@ -4,6 +4,11 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with a noop-format write (full
 execution, no driver collect cost), timed over 3 runs, median taken.
+
+Fault tolerance: a query that raises is recorded as an "errors" entry
+and skipped from the headline sum — one bad query must never zero the
+whole bench. The per-query map prints BEFORE the headline value so a
+tail-capture of the output always keeps the headline intact.
 """
 
 from __future__ import annotations
@@ -13,6 +18,7 @@ import os
 import statistics
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -35,23 +41,36 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
         samples = []
-        for _ in range(RUNS):
-            t0 = time.monotonic()
-            force(fn(spark, sf_dir))
-            samples.append(time.monotonic() - t0)
-        # queries cache intermediates; drop them between queries so
-        # copies don't accumulate across the whole bench
-        spark.catalog.clearCache()
-        timings[name] = round(statistics.median(samples), 4)
+        try:
+            for _ in range(RUNS):
+                t0 = time.monotonic()
+                force(fn(spark, sf_dir))
+                samples.append(time.monotonic() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as exc:  # noqa: BLE001 — bench must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            traceback.print_exc(file=sys.stderr)
+        finally:
+            # queries cache intermediates; drop them between queries so
+            # copies don't accumulate across the whole bench
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
 
     total = round(sum(timings.values()), 4)
+    # Per-query detail first (may be long), compact headline line LAST:
+    # the driver tail-captures stdout, so a long final line loses its
+    # head (r1: parsed=null). Keep the last line short and parseable.
+    print(json.dumps({"queries": timings, "errors": errors}))
     print(json.dumps({
-        "metric": "sum of per-query median wall-clock (3 runs) over all declared queries",
+        "metric": "sum of per-query median wall-clock (3 runs) over "
+                  f"{len(timings)} ok queries ({len(errors)} errored)",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
     }))
     spark.stop()

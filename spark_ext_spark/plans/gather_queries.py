@@ -26,18 +26,25 @@ def _gather_events(spark: SparkSession, sf_dir: str, value_agg: str) -> DataFram
 
 
 def gather_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested flagship output: user_id, sorted array<struct<event_type,value>>."""
+    """Flagship gather, driver-hashable encoding: the operator still
+    produces ``array<struct<event_type, value:double>>`` (Gather API
+    unchanged); the query serializes each element to ``key:%.4f`` and
+    '|'-joins the sorted list, because the driver's canonicalizer cannot
+    hash list/struct cells (r1/r2 err rows). Decimal formatting is
+    pinned to 4 places on BOTH engines so float ULP noise cancels."""
     out = _gather_events(spark, sf_dir, "sum")
-    rounded = F.transform(
+    strs = F.transform(
         "gathered",
-        lambda x: F.struct(x["event_type"].alias("event_type"),
-                           F.round(x["value"], 4).alias("value")))
-    return out.select("user_id", F.sort_array(rounded).alias("gathered"))
+        lambda x: F.concat(x["event_type"], F.lit(":"),
+                           F.format_string("%.4f", F.round(x["value"], 4))))
+    return out.select("user_id",
+                      F.array_join(F.sort_array(strs), "|").alias("gathered"))
 
 
 GATHER_USER_EVENTS_SQL = """
 SELECT user_id,
-       list_sort(list(struct_pack(event_type := event_type, value := value)))
+       array_to_string(
+         list_sort(list(event_type || ':' || printf('%.4f', value))), '|')
          AS gathered
 FROM (
   SELECT user_id, event_type, round(sum(value), 4) AS value

@@ -180,31 +180,43 @@ SELECT nationkey, count(*) AS n_rows FROM (
 
 def user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_array (A1): per-user sorted array of event types seen.
-    Null skipping is part of the contract (aggregates.scala:38-39)."""
+    Null skipping is part of the contract (aggregates.scala:38-39).
+
+    The operator API stays ``array<string>`` (collect_array_sorted);
+    the query serializes it to a '|'-joined string because the driver's
+    canonicalizer cannot hash list-typed cells (r1/r2 err rows).
+    """
     ev = load(spark, sf_dir, "events")
     return (ev.groupBy("user_id")
-            .agg(collect_array_sorted("event_type").alias("event_types")))
+            .agg(F.array_join(collect_array_sorted("event_type"), "|")
+                 .alias("event_types")))
 
 
 USER_EVENT_TYPES_SQL = """
 SELECT user_id,
-       list_sort(list(event_type) FILTER (event_type IS NOT NULL)) AS event_types
+       coalesce(array_to_string(
+         list_sort(list(event_type) FILTER (event_type IS NOT NULL)), '|'), '')
+         AS event_types
 FROM events
 GROUP BY user_id
 """
 
 
 def user_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_array over distinct rows (ExtAggregatesSpec.scala:41-47)."""
+    """collect_array over distinct rows (ExtAggregatesSpec.scala:41-47);
+    same string serialization as user_event_types for driver hashing."""
     ev = load(spark, sf_dir, "events")
     return (ev.select("user_id", "event_type").distinct()
             .groupBy("user_id")
-            .agg(collect_array_sorted("event_type").alias("event_types")))
+            .agg(F.array_join(collect_array_sorted("event_type"), "|")
+                 .alias("event_types")))
 
 
 USER_DISTINCT_EVENT_TYPES_SQL = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL))
+       coalesce(array_to_string(
+         list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL)),
+         '|'), '')
          AS event_types
 FROM events
 GROUP BY user_id

@@ -17,20 +17,29 @@ from pyspark.sql.types import StructType
 
 def read_parquet(spark: SparkSession, path: str,
                  nano_ts_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Parquet scan; pass nano_ts_cols for columns stored as
-    TIMESTAMP(NANOS) to get µs timestamps back.
+    """Parquet scan; pass nano_ts_cols for timestamp columns whose
+    physical encoding varies by producer. Whatever arrives, the column
+    leaves here as a session-tz TIMESTAMP (µs) so downstream
+    ``unix_micros``/window arithmetic always works:
+
+    - TIMESTAMP(NANOS) (unreadable by stock Spark 4): nanosAsLong makes
+      it arrive as bigint nanos → ``timestamp_micros(ts DIV 1000)``.
+    - ``timestamp[us]`` with no tz → Spark's TIMESTAMP_NTZ →
+      ``to_utc_timestamp`` (the testdata is generated in UTC).
+    - Already TIMESTAMP → untouched.
 
     The nanosAsLong conf is set here, on the session actually doing the
     read, because callers (the grading driver included) pass their own
-    SparkSession which won't have the repo factory's conf. It is
-    runtime-settable; nano timestamps then arrive as bigint and the
-    normalization below turns them into µs timestamps.
+    SparkSession which won't have the repo factory's conf.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_ts_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
     return df
 
 

@@ -10,10 +10,14 @@ from spark_ext_spark.sources import (read_csv, read_parquet, read_table,
                                      write_parquet)
 
 
-def test_read_table_normalizes_event_nanos(spark, sf_small):
+def test_read_table_normalizes_event_ts(spark, sf_small):
+    """events.ts must arrive as session-tz TIMESTAMP whatever the
+    parquet encoding (bigint nanos, timestamp_ntz, or timestamp)."""
     ev = read_table(spark, sf_small, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() > 0
+    # unix_micros is the downstream op that breaks on NTZ — pin it works
+    assert ev.select(F.unix_micros("ts").alias("um")).first()["um"] is not None
 
 
 def test_csv_roundtrip(spark, tmp_path):
