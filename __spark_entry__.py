@@ -31,50 +31,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so that EVERY operator family has ≥1 entry inside the
+    driver's 50-query correctness window; always-green redundant OLAP
+    variants sit past position 50 (they still run in the bench)."""
     return {
-        # A1/A3 — collect_array + Gather (SURVEY §2A)
+        # --- 1-20: reference §2A surface --------------------------------
         "collect_array": rel.user_event_types,
         "collect_array_distinct": rel.user_distinct_event_types,
         "gather": gq.gather_user_events,
         "gather_flat": gq.gather_user_events_flat,
         "gather_count": gq.gather_user_event_counts,
-        # A4/A5 — GatherEncoder fit + encode (SURVEY §2A)
         "gather_encoder_top": fq.gather_encoder_top,
         "gather_encoder_top_allother": fq.gather_encoder_top_allother,
         "gather_encoder_index": fq.gather_encoder_index,
-        # A8/A9/A10 — Binning, StringToShortIndexer, Downsampling
         "string_indexer": fq.string_indexer,
         "downsampling_hash": fq.downsampling_hash,
         "binning": fq.binning_quantity,
-        # A13-A19 — BinaryModelMetrics curves + AUCs
         "gains_curve": eq.gains_curve,
         "roc_curve": eq.roc_curve,
         "lift_curve": eq.lift_curve,
         "auc_metrics": eq.auc_metrics,
-        # A6/A12 — S2 cells, LocalLogisticRegression (rows-only checks:
-        # not SQL-expressible; goldens in tests/)
-        "s2_cells": mq.s2_cells,
-        "local_lr_model": mq.local_lr_model,
-        # LLM-pipeline ops: dedup family
+        "precision_by_threshold": eq.precision_by_threshold,
+        "recall_by_threshold": eq.recall_by_threshold,
+        "f_measure": eq.f_measure_by_threshold,
+        "s2_cells": mq.s2_cells,                # rows-only (UDF math)
+        "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
+        # --- 21-35: LLM dedup + text analysis ---------------------------
         "exact_dedup": lq.exact_dedup,
         "ngram_jaccard": lq.ngram_jaccard,
-        "minhash_lsh": lq.minhash_lsh,          # rows-only
-        "simhash_pairs": lq.simhash_pairs,      # rows-only
-        # LLM-pipeline ops: text analysis
+        "minhash_lsh": lq.minhash_lsh,
+        "simhash_pairs": lq.simhash_pairs,
+        "dup_clusters": lq.dup_clusters,
         "text_stats": lq.doc_text_stats,
         "fingerprints": lq.doc_fingerprints,
         "language_id": lq.doc_language_id,
-        # LLM-pipeline ops: similarity search
+        "tfidf_top_terms": lq.tfidf_top_terms,
+        "doc_quality": lq.doc_quality,
+        "doc_chunks": lq.doc_chunks,
+        "pii_redaction": lq.pii_redaction,
+        "doc_repetition": lq.doc_repetition,
+        "benchmark_contamination": lq.benchmark_contamination,
+        "token_counts": lq.token_counts,
+        # --- 36-42: similarity search + multimodal ----------------------
         "cosine_topk": lq.cosine_topk_bruteforce,
         "ann_lsh_topk": lq.ann_lsh_topk,        # rows-only
         "embedding_near_dups": lq.embedding_near_dup_pairs,
-        "token_counts": lq.token_counts,
-        "asof_join_orders": lq.asof_join_orders,
-        # LLM-pipeline ops: multimodal plumbing
+        "ann_ivf_topk": lq.ann_ivf_topk,        # rows-only
+        "embedding_norms": lq.embedding_norms,
         "media_byte_stats": lq.media_byte_stats,
         "media_pipeline": lq.media_pipeline,    # rows-only
-        # §2B dataflow surface
+        # --- 43-50: one representative per beyond-§2B family ------------
+        "asof_join_orders": lq.asof_join_orders,
+        "range_join_windows": rel.events_in_order_windows,
+        "salted_user_totals": rel.salted_user_totals,
+        "top_event_per_user": rel.top_event_per_user,
+        "props_variant_extract": rel.props_variant_extract,
+        "event_sessions": rel.event_sessions,
+        "moving_avg_7d": rel.moving_avg_7d,
         "pricing_summary": rel.pricing_summary,
+        # --- 51+: §2B dataflow surface (bench coverage; all green via
+        # tests/test_oracle_parity.py at sf0.001) ------------------------
         "global_agg": rel.global_agg,
         "join_revenue_by_nation": rel.revenue_by_nation,
         "topk_users": rel.top_users_by_value,
@@ -89,7 +105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": rel.price_percentiles,
         "hourly_rollup": rel.hourly_rollup,
         "shipping_priority": rel.shipping_priority,
-        "range_join_windows": rel.events_in_order_windows,
         "intersect_buyers": rel.intersect_high_value_buyers,
         "except_non_urgent": rel.except_low_priority_only,
         "priority_pivot": rel.priority_pivot,
@@ -97,50 +112,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_deltas": rel.user_value_deltas,
         "acctbal_deciles": rel.acctbal_deciles,
         "above_class_avg": rel.above_class_average_orders,
-        "salted_user_totals": rel.salted_user_totals,
-        # TPC-H query shapes (multi-way joins, scan-agg, conditional agg)
         "tpch_q5_local_supplier": tpch.local_supplier_volume,
         "tpch_q6_forecast": tpch.forecast_revenue_change,
         "tpch_q14_promo": tpch.promo_revenue_share,
         "tpch_q18_large_orders": tpch.large_volume_orders,
         "tpch_q13_order_histogram": tpch.customer_order_histogram,
         "tpch_q22_idle_rich": tpch.idle_rich_customers,
-        # sessionization / distinct counting / min-join-back
-        "event_sessions": rel.event_sessions,
         "daily_active_users": rel.daily_active_users,
         "cheapest_order_per_customer": rel.cheapest_order_per_customer,
-        # dedup clustering + keyword extraction
-        "dup_clusters": lq.dup_clusters,
-        "tfidf_top_terms": lq.tfidf_top_terms,
-        # JSON extraction, SQL front end, higher-order array exprs
         "props_json_extract": rel.props_json_extract,
         "sql_grouping_sets": rel.sql_grouping_sets,
-        "embedding_norms": lq.embedding_norms,
-        # mergeable sketches (rows-only: HLL/GK internals are
-        # engine-specific; error bounds asserted in tests)
-        "approx_user_stats": rel.approx_user_stats,
-        # posexplode / deterministic sampleBy / argmax aggregates
+        "approx_user_stats": rel.approx_user_stats,  # rows-only (sketch)
         "doc_sentences": rel.doc_sentences,
         "stratified_sample_events": rel.stratified_sample_events,
-        "top_event_per_user": rel.top_event_per_user,
-        # Spark 4 VARIANT semi-structured path
-        "props_variant_extract": rel.props_variant_extract,
-        # chunking + PII scrub (training-data prep)
-        "doc_chunks": lq.doc_chunks,
-        "pii_redaction": lq.pii_redaction,
-        # data-quality rules: repetition, quality score, contamination
-        "doc_repetition": lq.doc_repetition,
-        "doc_quality": lq.doc_quality,
-        "benchmark_contamination": lq.benchmark_contamination,
-        # RANGE window frame + statistical aggregate family
-        "moving_avg_7d": rel.moving_avg_7d,
         "value_statistics": rel.value_statistics,
-        # IVF ANN (trained coarse quantizer; rows-only like LSH ANN)
-        "ann_ivf_topk": lq.ann_ivf_topk,
-        # mergeable HLL sketch rollup (rows-only; losslessness + error
-        # bounds asserted in tests)
-        "sketch_user_rollup": rel.sketch_user_rollup,
-        # unpivot/melt (wide -> long)
+        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
         "lineitem_measure_stats": rel.lineitem_measure_stats,
     }
 
@@ -162,8 +148,13 @@ def oracle_sql() -> dict[str, str]:
         "roc_curve": eq.ROC_CURVE_SQL,
         "lift_curve": eq.LIFT_CURVE_SQL,
         "auc_metrics": eq.AUC_METRICS_SQL,
+        "precision_by_threshold": eq.PRECISION_BY_THRESHOLD_SQL,
+        "recall_by_threshold": eq.RECALL_BY_THRESHOLD_SQL,
+        "f_measure": eq.F_MEASURE_BY_THRESHOLD_SQL,
         "exact_dedup": lq.EXACT_DEDUP_SQL,
         "ngram_jaccard": lq.NGRAM_JACCARD_SQL,
+        "minhash_lsh": lq.MINHASH_LSH_SQL,
+        "simhash_pairs": lq.SIMHASH_PAIRS_SQL,
         "text_stats": lq.DOC_TEXT_STATS_SQL,
         "fingerprints": lq.DOC_FINGERPRINTS_SQL,
         "language_id": lq.DOC_LANGUAGE_ID_SQL,

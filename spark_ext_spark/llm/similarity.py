@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -36,17 +38,22 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int | None = None,
-                method: str = "gemm") -> DataFrame:
+                method: str = "gemm",
+                shard_rows: int = 16384) -> DataFrame:
     """Exact top-k neighbors per query (excluding self-matches).
     Deterministic rank order: similarity desc, neighbor id asc.
 
-    method="gemm" (default): the corpus matrix is broadcast to every
-    executor and each Arrow batch of queries does one BLAS matrix
-    multiply + argpartition — the block-nested-loop design that holds
-    at scale (queries stream, corpus is the bounded side; at 100 TB
-    shard the corpus and take top-k of per-shard top-k's). ~100×
-    faster than pairwise expressions and never materializes the N×M
-    pair table.
+    method="gemm" (default): distributed block-nested-loop — the
+    corpus is hash-sharded into groups of ≤ ``shard_rows`` vectors,
+    every query probes every shard (explode over shard ids), and each
+    (shard) co-group does ONE numpy GEMM emitting per-shard top-k; a
+    final groupBy(query_id) merges shard-local winners into the exact
+    global top-k (a candidate dropped at shard rank >k is beaten by k
+    shard-mates that also beat it globally, so the merge is lossless).
+    NOTHING materializes on the driver — the only driver-side job is a
+    count() to size the shard grid, so the plan survives corpora that
+    would OOM a broadcast. Query replication is S× (S = #shards):
+    inherent to exact search; use lsh_topk/ivf_topk when S gets large.
 
     method="expr": all-JVM crossJoin + zip_with/aggregate + window —
     kept as the declarative reference plan (good when M is tiny).
@@ -68,57 +75,48 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 .filter(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "sim", "rank"))
 
-    import pandas as pd
+    c, n_shards = _sharded(corpus, id_col, vec_col, shard_rows)
+    c = c.withColumn("role", F.lit("c"))
+    q = (queries.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("shard",
+                     F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))))
+         .withColumn("role", F.lit("q")))
+    return _grouped_candidate_topk(q.unionByName(c), "shard", k,
+                                   round_to=round_to)
 
-    corpus_rows = (corpus
-                   .select(F.col(id_col).alias("nid"),
-                           F.col(vec_col).cast("array<double>").alias("v"))
-                   .collect())
-    c_ids = np.array([r["nid"] for r in corpus_rows])
-    c_mat = np.array([r["v"] for r in corpus_rows], dtype=np.float64)
-    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-    sc = queries.sparkSession.sparkContext
-    bc = sc.broadcast((c_ids, c_norm))
 
-    def topk(batches):
-        ids, mat = bc.value
-        for pdf in batches:
-            q_ids = pdf["query_id"].to_numpy()
-            q = np.array(pdf["qv"].tolist(), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ mat.T
-            if round_to is not None:
-                sims = np.round(sims, round_to)
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for row, qid in enumerate(q_ids):
-                s = sims[row]
-                valid = ids != qid
-                # deterministic: sim desc, neighbor id asc
-                order = np.lexsort((ids[valid], -s[valid]))[:k]
-                cand_ids = ids[valid][order]
-                cand_sims = s[valid][order]
-                out_q.extend([qid] * len(order))
-                out_n.extend(cand_ids.tolist())
-                out_s.extend(cand_sims.tolist())
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                                "sim": out_s, "rank": out_r})
-
-    q_in = queries.select(F.col(id_col).alias("query_id"),
-                          F.col(vec_col).cast("array<double>").alias("qv"))
-    return q_in.mapInPandas(
-        topk, schema="query_id long, neighbor_id long, sim double, rank int")
+def _sharded(df: DataFrame, id_col: str, vec_col: str,
+             shard_rows: int) -> tuple[DataFrame, int]:
+    """((vec_id, vec, shard), S) with shard = pmod(xxhash64(id), S)
+    where S sizes shards to ≤ shard_rows vectors. The count() is the
+    only driver-side job in the exact-GEMM paths — a scalar aggregate,
+    not a materialization, so it is scale-safe."""
+    cnt = df.count()
+    n_shards = max(1, math.ceil(cnt / shard_rows))
+    out = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+         .cast("int").alias("shard"))
+    return out, n_shards
 
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         method: str = "exact",
                         n_planes: int = 8, seed: int = 42,
-                        round_to: int | None = 4) -> DataFrame:
+                        round_to: int | None = 4,
+                        shard_rows: int = 16384) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
 
-    method="exact": all-pairs via the broadcast-corpus GEMM (oracle
-    path; N bounded by the broadcast budget).
+    method="exact": all-pairs via the sharded co-group GEMM — the
+    corpus is hash-sharded (≤ shard_rows vectors per shard), every row
+    probes every shard, and each shard group runs one numpy GEMM
+    emitting pairs with q_id < c_id (each unordered pair surfaces in
+    exactly one shard — the one owning its larger id — so no dedup
+    pass). No driver materialization; quadratic probe replication is
+    inherent to exactness, so prefer method="lsh" at large N.
     method="lsh": hyperplane-bucket blocking then exact cosine within
     buckets (+1-bit multiprobe) — the 100 TB path; recall follows the
     LSH S-curve, candidates come from equi-joins only."""
@@ -143,34 +141,41 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                 .groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
                 .filter(F.col("sim") >= threshold))
 
-    rows = (df.select(F.col(id_col).alias("nid"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
-            .collect())
-    ids = np.array([r["nid"] for r in rows])
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+    c, n_shards = _sharded(df, id_col, vec_col, shard_rows)
+    c = c.withColumn("role", F.lit("c"))
+    q = (df.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("shard",
+                     F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))))
+         .withColumn("role", F.lit("q")))
 
-    def pairs(batches):
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            q_ids = pdf["id_a"].to_numpy()
-            q = np.array(pdf["va"].tolist(), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ c_mat.T
-            if round_to is not None:
-                sims = np.round(sims, round_to)
-            out_a, out_b, out_s = [], [], []
-            for i, qid in enumerate(q_ids):
-                mask = (c_ids > qid) & (sims[i] >= threshold)
-                out_a.extend([qid] * int(mask.sum()))
-                out_b.extend(c_ids[mask].tolist())
-                out_s.extend(sims[i][mask].tolist())
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+    def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["role"] == "q"]
+        cs = pdf[pdf["role"] == "c"]
+        if qs.empty or cs.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qm = np.array(qs["vec"].tolist(), dtype=np.float64)
+        cm = np.array(cs["vec"].tolist(), dtype=np.float64)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = qm @ cm.T
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+        c_ids = cs["vec_id"].to_numpy()
+        q_ids = qs["vec_id"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        for i, qid in enumerate(q_ids):
+            mask = (c_ids > qid) & (sims[i] >= threshold)
+            out_a.extend([qid] * int(mask.sum()))
+            out_b.extend(c_ids[mask].tolist())
+            out_s.extend(sims[i][mask].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
-    q_in = df.select(F.col(id_col).alias("id_a"),
-                     F.col(vec_col).cast("array<double>").alias("va"))
-    return q_in.mapInPandas(pairs, schema="id_a long, id_b long, sim double")
+    return (q.unionByName(c).groupBy("shard")
+            .applyInPandas(group_pairs,
+                           schema="id_a long, id_b long, sim double"))
 
 
 def _projections(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -231,13 +236,14 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     return _grouped_candidate_topk(both, "bucket", k)
 
 
-def _grouped_candidate_topk(both: DataFrame, group_col: str,
-                            k: int) -> DataFrame:
+def _grouped_candidate_topk(both: DataFrame, group_col: str, k: int,
+                            round_to: int | None = None) -> DataFrame:
     """Shared IVF-style execution for bucketed ANN: per group, ONE
     numpy GEMM of probing queries ('q' rows) × group members ('c'
     rows) emits per-query group-local top-k; a global groupBy then
     merges multi-probe hits and re-ranks. Vectors materialize once per
-    probe, never per pair."""
+    probe, never per pair. round_to pins similarity decimals BEFORE
+    ranking so tie-breaks are reproducible across engines."""
     import pandas as pd
 
     def group_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -250,6 +256,8 @@ def _grouped_candidate_topk(both: DataFrame, group_col: str,
         qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
         cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
         sims = qm @ cm.T
+        if round_to is not None:
+            sims = np.round(sims, round_to)
         c_ids = cs["vec_id"].to_numpy()
         q_ids = qs["vec_id"].to_numpy()
         out_q, out_n, out_s = [], [], []

@@ -295,7 +295,12 @@ class GatherEncoderModel(Model, _GatherEncoderParams):
         """SQL-checkable flat encoding: one (pk..., slot, value) row per
         non-zero vector element. Pure DataFrame ops (broadcast join on
         the dictionary), no UDF — this is also the faster path at scale
-        when the consumer wants long-form features."""
+        when the consumer wants long-form features.
+
+        Duplicate-key semantics match the vector path and the reference
+        (GatherEncoder.scala:326-370): for KNOWN keys the LAST value in
+        array order wins (posexplode + max_by(value, pos)); only the
+        'all other' slot SUMS its unseen-key values."""
         spark = dataset.sparkSession
         in_col = self.getOrDefault(self.inputCol)
         key = self.getOrDefault(self.keyCol)
@@ -306,16 +311,19 @@ class GatherEncoderModel(Model, _GatherEncoderParams):
         dict_df = spark.createDataFrame(
             [(k, i) for i, k in enumerate(self.keys)], ["key", "slot"])
         exploded = (dataset
-                    .select(*pk_cols, F.explode(in_col).alias("kv"))
-                    .select(*pk_cols,
+                    .select(*pk_cols, F.posexplode(in_col).alias("pos", "kv"))
+                    .select(*pk_cols, "pos",
                             F.col(f"kv.{key}").alias("key"),
                             F.col(f"kv.{value}").cast("double").alias("value")))
         joined = exploded.join(F.broadcast(dict_df), "key", "left")
-        if all_other:
-            joined = joined.withColumn(
-                "slot", F.coalesce(F.col("slot"), F.lit(n_keys)))
-        else:
-            joined = joined.filter(F.col("slot").isNotNull())
-        return (joined
-                .groupBy(*pk_cols, "slot")
-                .agg(F.sum("value").alias("value")))
+        known = (joined.filter(F.col("slot").isNotNull())
+                 .groupBy(*pk_cols, "slot")
+                 .agg(F.max_by("value", "pos").alias("value")))
+        if not all_other:
+            return known
+        other = (joined.filter(F.col("slot").isNull())
+                 .groupBy(*pk_cols)
+                 .agg(F.sum("value").alias("value"))
+                 .withColumn("slot", F.lit(n_keys).cast("long"))
+                 .select(*pk_cols, "slot", "value"))
+        return known.unionByName(other)

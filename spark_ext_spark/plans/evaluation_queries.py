@@ -125,3 +125,54 @@ pr_tr AS (
 SELECT round((SELECT sum(trap) FROM roc_tr), 4) AS auc_roc,
        round((SELECT sum(trap) FROM pr_tr), 4) AS auc_pr
 """
+
+
+def precision_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (BinaryModelMetrics.scala:148-150): (threshold, precision)."""
+    c = _metrics(spark, sf_dir).precision_by_threshold()
+    return c.select(F.round("threshold", 6).alias("threshold"),
+                    F.round("precision", 6).alias("precision"))
+
+
+PRECISION_BY_THRESHOLD_SQL = _SL_CTE + """
+SELECT round(score, 6) AS threshold,
+       round(CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp) END, 6)
+         AS precision
+FROM cum, tot
+"""
+
+
+def recall_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (BinaryModelMetrics.scala:152-154): (threshold, recall)."""
+    c = _metrics(spark, sf_dir).recall_by_threshold()
+    return c.select(F.round("threshold", 6).alias("threshold"),
+                    F.round("recall", 6).alias("recall"))
+
+
+RECALL_BY_THRESHOLD_SQL = _SL_CTE + """
+SELECT round(score, 6) AS threshold,
+       round(CASE WHEN tot_pos = 0 THEN 0.0 ELSE tp / tot_pos END, 6)
+         AS recall
+FROM cum, tot
+"""
+
+
+def f_measure_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (BinaryModelMetrics.scala:136-146): (threshold, F1)."""
+    c = _metrics(spark, sf_dir).f_measure_by_threshold(beta=1.0)
+    return c.select(F.round("threshold", 6).alias("threshold"),
+                    F.round("f_measure", 6).alias("f_measure"))
+
+
+F_MEASURE_BY_THRESHOLD_SQL = _SL_CTE + """
+, pr AS (
+  SELECT score,
+         CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp) END AS p,
+         CASE WHEN tot_pos = 0 THEN 0.0 ELSE tp / tot_pos END AS r
+  FROM cum, tot
+)
+SELECT round(score, 6) AS threshold,
+       round(CASE WHEN p + r = 0 THEN 0.0
+                  ELSE 2 * p * r / (p + r) END, 6) AS f_measure
+FROM pr
+"""

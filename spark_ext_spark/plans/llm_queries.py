@@ -77,17 +77,133 @@ HAVING count(*) / (any_value(sa.n) + any_value(sb.n) - count(*)) >= 0.12
 
 
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (hashlib-based signatures aren't SQL-expressible);
-    verified pairs at the same τ as ngram_jaccard for cross-checking."""
+    """Verified MinHash-LSH pairs at the same τ as ngram_jaccard.
+    Oracle-checkable: the base hash is md5-derived (= DuckDB
+    md5_number_upper) and the k affine permutations are exact integer
+    math DuckDB reproduces in HUGEINT (see MINHASH_LSH_SQL)."""
     docs = load(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3,
                                    num_hashes=64, bands=32, threshold=0.12)
 
 
+def _minhash_lsh_oracle() -> str:
+    """DuckDB replica of minhash_lsh_pairs(n=3, num_hashes=64, bands=32,
+    threshold=0.12, seed=42). The (a, b) permutation constants are baked
+    in from the SAME numpy generator the Spark UDF uses, and the band
+    equi-join happens on the raw 2-element signature slice (Spark hashes
+    the slice with xxhash64 first, but equal slices ⇔ equal hashes
+    barring a 64-bit collision, so the PAIR SET is identical)."""
+    from spark_ext_spark.llm.dedup import _minhash_params
+    a_p, b_p = _minhash_params(64, 42)
+    params = ",\n    ".join(
+        f"({i}, {int(a_p[i])}::HUGEINT, {int(b_p[i])}::HUGEINT)"
+        for i in range(64))
+    zeros = "[" + ", ".join(["0"] * 64) + "]::HUGEINT[]"
+    return f"""
+WITH params(hi, a, b) AS (VALUES
+    {params}),
+norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(range(1, len(w) - 1)) AS u(i)
+),
+hashes AS (
+  SELECT doc_id, md5_number_upper(shingle)::HUGEINT AS h FROM shingles
+),
+mins AS (
+  SELECT doc_id, hi, min((h * a + b) % 2305843009213693951::HUGEINT) AS mh
+  FROM hashes CROSS JOIN params GROUP BY doc_id, hi
+),
+sigs0 AS (SELECT doc_id, list(mh ORDER BY hi) AS sig FROM mins GROUP BY doc_id),
+sigs AS (
+  SELECT d.doc_id, coalesce(s.sig, {zeros}) AS sig
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN sigs0 s USING (doc_id)
+),
+banded AS (
+  SELECT doc_id, i AS band,
+         sig[2*i+1]::VARCHAR || ':' || sig[2*i+2]::VARCHAR AS bh
+  FROM sigs, unnest(range(0, 32)) AS u(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0
+           AS e
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.doc_a
+  JOIN sigs sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, round(e, 4) AS jaccard_est FROM est WHERE e >= 0.12
+"""
+
+
+MINHASH_LSH_SQL = _minhash_lsh_oracle()
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 64-bit SimHash near pairs (Hamming ≤ 8)."""
+    """64-bit SimHash near pairs (Hamming ≤ 8). Oracle-checkable: the
+    token hash is md5-derived and the bit-majority vote is exact
+    integer math (see SIMHASH_PAIRS_SQL)."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+SIMHASH_PAIRS_SQL = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, u.word AS word, count(*) AS cnt
+  FROM norm, unnest(string_split(t, ' ')) AS u(word)
+  WHERE t <> ''
+  GROUP BY doc_id, u.word
+),
+wh AS (SELECT doc_id, md5_number_upper(word) AS h, cnt FROM words),
+acc AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS a
+  FROM wh, unnest(range(0, 64)) AS u(i)
+  GROUP BY doc_id, i
+),
+sh0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN a > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS v
+  FROM acc GROUP BY doc_id
+),
+sim AS (
+  SELECT d.doc_id, coalesce(s.v, 0::HUGEINT) AS v,
+         CASE WHEN coalesce(s.v, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+              THEN (coalesce(s.v, 0::HUGEINT)
+                    - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE coalesce(s.v, 0::HUGEINT)::BIGINT END AS s
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN sh0 s USING (doc_id)
+),
+banded AS (
+  SELECT doc_id, s, i AS band, (v >> (16 * i)) & 65535 AS key
+  FROM sim, unnest(range(0, 4)) AS u(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.s AS h_a, b.s AS h_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
+"""
 
 
 # --- text analysis -----------------------------------------------------------

@@ -226,3 +226,22 @@ def test_transform_exploded_matches_vector(model_df, spark):
     for cookie, vec in vecs.items():
         dense = {i: v for i, v in zip(vec.indices, vec.values)}
         assert got.get(cookie, {}) == dense
+
+
+def test_duplicate_keys_last_wins_both_paths(spark):
+    """Reference contract (GatherEncoder.scala:326-370): for a known key
+    appearing twice, the LAST value in array order wins — in BOTH the
+    vector path and the exploded path. Unseen keys still SUM into the
+    all-other slot."""
+    df = spark.createDataFrame(
+        [("c1", [("google.com", 1, 5), ("google.com", 1, 9),
+                 ("x.com", 7, 2), ("y.com", 8, 3)])],
+        MODEL_SCHEMA)
+    model = _model(SITES, allOther=True)
+    vec = _features(model, df)["c1"]
+    dense = {i: v for i, v in zip(vec.indices, vec.values)}
+    assert dense == {0: 9.0, 3: 5.0}  # google last-wins=9, x+y summed=5
+
+    flat = model.transform_exploded(df, ["cookie_id"]).collect()
+    got = {r["slot"]: r["value"] for r in flat}
+    assert got == {0: 9.0, 3: 5.0}
