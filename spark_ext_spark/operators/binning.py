@@ -31,6 +31,7 @@ from pyspark import keyword_only
 from pyspark.ml import Estimator, Model
 from pyspark.ml.functions import array_to_vector
 from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,7 +61,8 @@ class _BinningParams(Params):
                       typeConverter=TypeConverters.toString)
 
 
-class OptimalBinning(Estimator, _BinningParams):
+class OptimalBinning(Estimator, _BinningParams,
+                     DefaultParamsReadable, DefaultParamsWritable):
     numBins = Param(Params._dummy(), "numBins", "number of bins (> 2)",
                     typeConverter=TypeConverters.toInt)
     sampleSize = Param(Params._dummy(), "sampleSize",
@@ -107,16 +109,27 @@ class OptimalBinning(Estimator, _BinningParams):
         return model
 
 
-class Binning(Model, _BinningParams):
+class Binning(Model, _BinningParams,
+              DefaultParamsReadable, DefaultParamsWritable):
     """Map a numeric value to a one-hot vector over ``len(splits)-1``
     bins via range membership; null input → all-zero vector."""
 
+    binSplits = Param(Params._dummy(), "binSplits",
+                      "fitted split points incl. ±inf (persisted state "
+                      "for DefaultParamsWritable save/load)")
+
     def __init__(self, splits=None):
         super().__init__()
-        self.splits = [float(s) for s in (splits or [])]
-        if self.splits and not all(a < b for a, b in
-                                   zip(self.splits, self.splits[1:])):
+        self._setDefault(binSplits=[])
+        vals = [float(s) for s in (splits or [])]
+        if vals and not all(a < b for a, b in zip(vals, vals[1:])):
             raise ValueError("splits must be strictly increasing")
+        if vals:
+            self._set(binSplits=vals)
+
+    @property
+    def splits(self) -> list[float]:
+        return [float(s) for s in self.getOrDefault(self.binSplits)]
 
     def _output_metadata(self) -> dict:
         # BinaryAttribute per bin labeled "[lo, hi)" (Binning.scala:131-134)

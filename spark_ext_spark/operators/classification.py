@@ -37,6 +37,7 @@ from pyspark.ml import Estimator, Model
 from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -145,7 +146,8 @@ class _LLRParams(Params):
                      tol=1e-6, fitIntercept=True, standardization=True)
 
 
-class LocalLogisticRegression(Estimator, _LLRParams):
+class LocalLogisticRegression(Estimator, _LLRParams,
+                              DefaultParamsReadable, DefaultParamsWritable):
     @keyword_only
     def __init__(self, **kwargs):
         super().__init__()
@@ -200,17 +202,35 @@ class LocalLogisticRegression(Estimator, _LLRParams):
         return m.coefficients.toArray(), float(m.intercept)
 
 
-class LocalLogisticRegressionModel(Model, _LLRParams):
+class LocalLogisticRegressionModel(Model, _LLRParams,
+                                   DefaultParamsReadable,
+                                   DefaultParamsWritable):
     """Binary LR model; transform appends rawPrediction/probability/
     prediction entirely with JVM expressions (zip_with + aggregate dot
     product — no Python in the row path)."""
 
+    modelCoefficients = Param(Params._dummy(), "modelCoefficients",
+                              "fitted coefficient vector (persisted state "
+                              "for DefaultParamsWritable save/load)")
+    modelIntercept = Param(Params._dummy(), "modelIntercept",
+                           "fitted intercept (persisted state)",
+                           typeConverter=TypeConverters.toFloat)
+
     def __init__(self, coefficients=None, intercept: float = 0.0):
         super().__init__()
         self._setDefault(**self._DEFAULTS)
-        self.coefficients = np.asarray(
-            coefficients if coefficients is not None else [])
-        self.intercept = float(intercept)
+        self._setDefault(modelCoefficients=[], modelIntercept=0.0)
+        if coefficients is not None:
+            self._set(modelCoefficients=[float(c) for c in coefficients])
+        self._set(modelIntercept=float(intercept))
+
+    @property
+    def coefficients(self) -> np.ndarray:
+        return np.asarray(self.getOrDefault(self.modelCoefficients))
+
+    @property
+    def intercept(self) -> float:
+        return float(self.getOrDefault(self.modelIntercept))
 
     @property
     def numClasses(self) -> int:

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark import keyword_only
 from pyspark.ml import Estimator, Model
 from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,7 +71,8 @@ class _DownsamplingParams(Params):
         return f"{self.uid}_sample_weight"
 
 
-class Downsampling(Estimator, _DownsamplingParams):
+class Downsampling(Estimator, _DownsamplingParams,
+                   DefaultParamsReadable, DefaultParamsWritable):
     maxClassRatio = Param(Params._dummy(), "maxClassRatio",
                           "max secondary:primary ratio, in (0, 1000]",
                           typeConverter=TypeConverters.toFloat)
@@ -115,12 +117,23 @@ class Downsampling(Estimator, _DownsamplingParams):
         return model
 
 
-class DownsamplingModel(Model, _DownsamplingParams):
+class DownsamplingModel(Model, _DownsamplingParams,
+                        DefaultParamsReadable, DefaultParamsWritable):
+    fittedFraction = Param(Params._dummy(), "fittedFraction",
+                           "fitted secondary-class sample fraction; unset "
+                           "(default None) = no-op model (persisted state "
+                           "for DefaultParamsWritable save/load)")
+
     def __init__(self, sampleFraction: float | None = None):
         super().__init__()
         self._setDefault(primaryClass=1.0, sampleWithReplacement=False,
-                         samplingMode="random", seed=42)
-        self.sampleFraction = sampleFraction
+                         samplingMode="random", seed=42, fittedFraction=None)
+        if sampleFraction is not None:
+            self._set(fittedFraction=float(sampleFraction))
+
+    @property
+    def sampleFraction(self) -> float | None:
+        return self.getOrDefault(self.fittedFraction)
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         self._validate(dataset.schema)

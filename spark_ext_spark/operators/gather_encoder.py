@@ -40,6 +40,7 @@ from pyspark import keyword_only
 from pyspark.ml import Estimator, Model
 from pyspark.ml.linalg import SparseVector, VectorUDT
 from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StructType
@@ -113,7 +114,8 @@ class _GatherEncoderParams(Params):
         return elem
 
 
-class GatherEncoder(Estimator, _GatherEncoderParams):
+class GatherEncoder(Estimator, _GatherEncoderParams,
+                    DefaultParamsReadable, DefaultParamsWritable):
     """Learn a key dictionary from a gathered column (top-coverage or
     min-support), producing a :class:`GatherEncoderModel`."""
 
@@ -124,13 +126,15 @@ class GatherEncoder(Estimator, _GatherEncoderParams):
                  failOnEmptyKeys=True, excludeKeys=None, maxKeys=1 << 20,
                  fitPartitions=0):
         super().__init__()
+        # excludeKeys stored as a LIST (not frozenset) so the params are
+        # JSON-serializable for DefaultParamsWritable persistence
         self._setDefault(transformation="top", support=0.1, cover=100.0,
                          allOther=False, keepInputCol=True,
-                         failOnEmptyKeys=True, excludeKeys=frozenset(),
+                         failOnEmptyKeys=True, excludeKeys=[],
                          maxKeys=1 << 20, fitPartitions=0)
         kwargs = self._input_kwargs
         if kwargs.get("excludeKeys") is not None:
-            kwargs["excludeKeys"] = frozenset(kwargs["excludeKeys"])
+            kwargs["excludeKeys"] = list(kwargs["excludeKeys"])
         self._set(**{k: v for k, v in kwargs.items() if v is not None})
 
     def key_counts(self, dataset: DataFrame) -> DataFrame:
@@ -214,7 +218,8 @@ class GatherEncoder(Estimator, _GatherEncoderParams):
         return model
 
 
-class GatherEncoderModel(Model, _GatherEncoderParams):
+class GatherEncoderModel(Model, _GatherEncoderParams,
+                         DefaultParamsReadable, DefaultParamsWritable):
     """Encode gathered arrays into ``SparseVector(len(keys)+allOther)``.
 
     Contract (GatherEncoder.scala:326-370, asserted in
@@ -227,13 +232,22 @@ class GatherEncoderModel(Model, _GatherEncoderParams):
     - empty dictionary + failOnEmptyKeys → error at transform.
     """
 
+    modelKeys = Param(Params._dummy(), "modelKeys",
+                      "fitted key dictionary, in slot order (persisted "
+                      "state for DefaultParamsWritable save/load)")
+
     def __init__(self, keys=None):
         super().__init__()
         self._setDefault(transformation="top", support=0.1, cover=100.0,
                          allOther=True, keepInputCol=True,
-                         failOnEmptyKeys=True, excludeKeys=frozenset(),
-                         maxKeys=1 << 20)
-        self.keys = list(keys) if keys is not None else []
+                         failOnEmptyKeys=True, excludeKeys=[],
+                         maxKeys=1 << 20, modelKeys=[])
+        if keys is not None:
+            self._set(modelKeys=list(keys))
+
+    @property
+    def keys(self) -> list:
+        return list(self.getOrDefault(self.modelKeys))
 
     @property
     def labels(self) -> list[str]:

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark import keyword_only
 from pyspark.ml import Estimator, Model
 from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,7 +47,8 @@ class _IndexerParams(Params):
         typeConverter=TypeConverters.toString)
 
 
-class StringToShortIndexer(Estimator, _IndexerParams):
+class StringToShortIndexer(Estimator, _IndexerParams,
+                           DefaultParamsReadable, DefaultParamsWritable):
     @keyword_only
     def __init__(self, *, inputCol=None, outputCol=None,
                  handleInvalid="error"):
@@ -75,15 +77,26 @@ class StringToShortIndexer(Estimator, _IndexerParams):
         return model
 
 
-class StringToShortIndexerModel(Model, _IndexerParams):
+class StringToShortIndexerModel(Model, _IndexerParams,
+                                DefaultParamsReadable, DefaultParamsWritable):
+    modelLabels = Param(Params._dummy(), "modelLabels",
+                        "fitted labels in index order (persisted state "
+                        "for DefaultParamsWritable save/load)")
+
     def __init__(self, labels=None):
         super().__init__()
-        self._setDefault(handleInvalid="error")
-        self.labels = list(labels) if labels is not None else []
-        if len(self.labels) > SHORT_MAX:
+        self._setDefault(handleInvalid="error", modelLabels=[])
+        vals = list(labels) if labels is not None else []
+        if len(vals) > SHORT_MAX:
             raise ValueError(
-                f"Unique labels count ({len(self.labels)}) should be less "
+                f"Unique labels count ({len(vals)}) should be less "
                 f"than Short.MaxValue ({SHORT_MAX})")
+        if vals:
+            self._set(modelLabels=vals)
+
+    @property
+    def labels(self) -> list:
+        return list(self.getOrDefault(self.modelLabels))
 
     def _output_metadata(self) -> dict:
         # NominalAttribute with label values (StringToShortIndexer.scala:87-88)
