@@ -72,9 +72,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": lq.doc_repetition,
         "benchmark_contamination": lq.benchmark_contamination,
         "token_counts": lq.token_counts,
-        # --- 36-42: similarity search + multimodal ----------------------
+        "train_test_split": lq.train_test_split,
+        "sequence_packing": lq.sequence_packing,
+        # --- similarity search + multimodal -----------------------------
         "cosine_topk": lq.cosine_topk_bruteforce,
-        "ann_lsh_topk": lq.ann_lsh_topk,        # rows-only
+        "ann_lsh_topk": lq.ann_lsh_topk,
         "embedding_near_dups": lq.embedding_near_dup_pairs,
         "ann_ivf_topk": lq.ann_ivf_topk,        # rows-only
         "embedding_norms": lq.embedding_norms,
@@ -159,8 +161,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": lq.DOC_FINGERPRINTS_SQL,
         "language_id": lq.DOC_LANGUAGE_ID_SQL,
         "cosine_topk": lq.COSINE_TOPK_SQL,
+        "ann_lsh_topk": lq.ANN_LSH_TOPK_SQL,
         "embedding_near_dups": lq.EMBEDDING_NEAR_DUPS_SQL,
         "token_counts": lq.TOKEN_COUNTS_SQL,
+        "train_test_split": lq.TRAIN_TEST_SPLIT_SQL,
+        "sequence_packing": lq.SEQUENCE_PACKING_SQL,
         "asof_join_orders": lq.ASOF_JOIN_ORDERS_SQL,
         "media_byte_stats": lq.MEDIA_BYTE_STATS_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["cosine_similarity_col", "cosine_topk", "lsh_buckets",
-           "lsh_topk", "ivf_topk", "embedding_near_dups"]
+           "lsh_topk", "fit_ivf_centroids", "ivf_topk",
+           "embedding_near_dups"]
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
@@ -209,7 +210,8 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
 
 def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             multiprobe: bool = True) -> DataFrame:
+             multiprobe: bool = True,
+             round_to: int | None = None) -> DataFrame:
     """Approximate top-k within LSH buckets; multiprobe also searches
     the n_planes 1-bit-adjacent buckets (recall boost without widening
     the join fan-out asymptotically).
@@ -233,7 +235,7 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     c = b.select("vec_id", "vec", "bucket", F.lit("c").alias("role"))
     both = q.unionByName(c)
 
-    return _grouped_candidate_topk(both, "bucket", k)
+    return _grouped_candidate_topk(both, "bucket", k, round_to=round_to)
 
 
 def _grouped_candidate_topk(both: DataFrame, group_col: str, k: int,
@@ -282,9 +284,29 @@ def _grouped_candidate_topk(both: DataFrame, group_col: str, k: int,
             .select("query_id", "neighbor_id", "sim", "rank"))
 
 
+def fit_ivf_centroids(df: DataFrame, n_centroids: int = 16, seed: int = 42,
+                      max_iter: int = 10,
+                      vec_col: str = "embedding") -> list[list[float]]:
+    """Train the IVF coarse quantizer (distributed MLlib KMeans) and
+    return the centroid matrix as plain lists — the only driver-side
+    artifact (n_centroids × dim floats). Fit ONCE per corpus and reuse
+    across queries: at scale the quantizer is a stored model, not a
+    per-query job."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = (df.select(F.col(vec_col).cast("array<double>").alias("vec"))
+            .withColumn("__fv", array_to_vector("vec")).cache())
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                   initMode="random", featuresCol="__fv").fit(feat)
+    feat.unpersist()
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
              n_probes: int = 3, seed: int = 42, max_iter: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer (vs lsh_topk's
     data-oblivious hyperplanes): distributed k-means learns
     ``n_centroids`` cells, the corpus becomes inverted lists (one cell
@@ -293,38 +315,33 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
     capture the data distribution — better than random hyperplanes on
     clustered embeddings at the same candidate budget.
 
-    Scale: training is pyspark.ml KMeans (distributed Lloyd); the
-    centroid matrix (n_centroids × dim) is the only driver artifact and
-    re-enters the plan as literal arrays, so probe selection is a pure
-    JVM expression (array of (dist, cell) structs → array_sort →
-    slice). Candidate generation is an equi-join on cell id; per-cell
-    work is one GEMM. n_probes trades recall for candidate count."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Scale: training is pyspark.ml KMeans (distributed Lloyd) via
+    :func:`fit_ivf_centroids` — pass ``centroids`` to reuse a fitted
+    quantizer instead of re-fitting per query (the production shape).
+    The centroid matrix (n_centroids × dim) is the only driver artifact
+    and re-enters the plan as literal arrays, so BOTH cell assignment
+    and probe selection are pure JVM expressions (array of (dist, cell)
+    structs → array_sort → slice). Candidate generation is an equi-join
+    on cell id; per-cell work is one GEMM. n_probes trades recall for
+    candidate count."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(df, n_centroids, seed, max_iter,
+                                      vec_col)
 
     emb = df.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("vec"))
-    # cached: Lloyd iterates over it (maxIter jobs); random init skips
-    # k-means||'s ~5 extra sweeps — at 16 coarse cells the final
-    # assignment quality is indistinguishable and the fit is ~2× faster
-    feat = emb.withColumn("__fv", array_to_vector("vec")).cache()
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
-                   initMode="random", featuresCol="__fv").fit(feat)
-    assigned = (model.transform(feat)
-                .select("vec_id", "vec",
-                        F.col("prediction").alias("cell")))
-
-    centroids = model.clusterCenters()  # bounded: n_centroids × dim
     dist_structs = []
     for i, c in enumerate(centroids):
         row = F.array(*[F.lit(float(x)) for x in c])
         d2 = F.aggregate(F.zip_with("vec", row, lambda x, y: (x - y) * (x - y)),
                          F.lit(0.0), lambda acc, z: acc + z)
         dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
-    probes = F.transform(
-        F.slice(F.array_sort(F.array(*dist_structs)), 1, n_probes),
-        lambda s: s["cell"])
+    cells_by_dist = F.array_sort(F.array(*dist_structs))
+    probes = F.transform(F.slice(cells_by_dist, 1, n_probes),
+                         lambda s: s["cell"])
+    own_cell = cells_by_dist[0]["cell"]
 
+    assigned = emb.withColumn("cell", own_cell)
     q = assigned.select("vec_id", "vec", F.explode(probes).alias("cell"),
                         F.lit("q").alias("role"))
     c = assigned.select("vec_id", "vec", "cell", F.lit("c").alias("role"))

