@@ -176,3 +176,26 @@ def test_hll_sketch_rollup_merge_lossless(spark, sf_small):
     exact = ev.select("user_id").distinct().count()
     assert merged["distinct_users_est"] == direct
     assert abs(direct - exact) <= max(3, 0.05 * exact)
+
+
+def test_sequence_packing_distributed_prefix(spark, sf_small):
+    """Packing must use range-partitioned two-phase prefix sums, never
+    a single-task global window (the 100 TB cliff)."""
+    from spark_ext_spark.plans import llm_queries as lq
+    p = plan_of(lq.sequence_packing(spark, sf_small))
+    assert "rangepartitioning" in p.replace(" ", "").lower()
+    # every Window in the plan is partitioned (by __pid), not global
+    assert "Window" in p
+
+
+def test_train_test_split_single_scan_no_join(spark, sf_small):
+    """Split assignment is one md5 expression fused into the scan —
+    the only exchange is the final groupBy on the 3 split labels."""
+    from spark_ext_spark.plans import llm_queries as lq
+    p = plan_of(lq.train_test_split(spark, sf_small))
+    assert "Join" not in p
+    # exactly one scan (formatted explain prints each node twice:
+    # tree + detail section), and it reads only the key column
+    assert p.count("Scan parquet") == 2
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" not in read and "doc_id" in read
