@@ -44,11 +44,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_encoder_top": fq.gather_encoder_top,
         "gather_encoder_top_allother": fq.gather_encoder_top_allother,
         "gather_encoder_index": fq.gather_encoder_index,
+        "gather_encoder_distfit": fq.gather_encoder_distfit,
         "string_indexer": fq.string_indexer,
         "downsampling_hash": fq.downsampling_hash,
         "binning": fq.binning_quantity,
         "gains_curve": eq.gains_curve,
         "roc_curve": eq.roc_curve,
+        "roc_curve_binned": eq.roc_curve_binned,
         "lift_curve": eq.lift_curve,
         "auc_metrics": eq.auc_metrics,
         "precision_by_threshold": eq.precision_by_threshold,
@@ -63,14 +65,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": lq.simhash_pairs,
         "dup_clusters": lq.dup_clusters,
         "text_stats": lq.doc_text_stats,
-        "fingerprints": lq.doc_fingerprints,
         "language_id": lq.doc_language_id,
         "tfidf_top_terms": lq.tfidf_top_terms,
         "doc_quality": lq.doc_quality,
         "doc_chunks": lq.doc_chunks,
         "pii_redaction": lq.pii_redaction,
-        "doc_repetition": lq.doc_repetition,
-        "benchmark_contamination": lq.benchmark_contamination,
         "token_counts": lq.token_counts,
         "train_test_split": lq.train_test_split,
         "sequence_packing": lq.sequence_packing,
@@ -93,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": rel.pricing_summary,
         # --- 51+: §2B dataflow surface (bench coverage; all green via
         # tests/test_oracle_parity.py at sf0.001) ------------------------
+        "doc_repetition": lq.doc_repetition,
+        "benchmark_contamination": lq.benchmark_contamination,
+        "fingerprints": lq.doc_fingerprints,
         "global_agg": rel.global_agg,
         "join_revenue_by_nation": rel.revenue_by_nation,
         "topk_users": rel.top_users_by_value,
@@ -143,11 +145,13 @@ def oracle_sql() -> dict[str, str]:
         "gather_encoder_top": fq.GATHER_ENCODER_TOP_SQL,
         "gather_encoder_top_allother": fq.GATHER_ENCODER_TOP_ALLOTHER_SQL,
         "gather_encoder_index": fq.GATHER_ENCODER_INDEX_SQL,
+        "gather_encoder_distfit": fq.GATHER_ENCODER_TOP_SQL,
         "string_indexer": fq.STRING_INDEXER_SQL,
         "downsampling_hash": fq.DOWNSAMPLING_HASH_SQL,
         "binning": fq.BINNING_QUANTITY_SQL,
         "gains_curve": eq.GAINS_CURVE_SQL,
         "roc_curve": eq.ROC_CURVE_SQL,
+        "roc_curve_binned": eq.ROC_CURVE_BINNED_SQL,
         "lift_curve": eq.LIFT_CURVE_SQL,
         "auc_metrics": eq.AUC_METRICS_SQL,
         "precision_by_threshold": eq.PRECISION_BY_THRESHOLD_SQL,

@@ -176,3 +176,51 @@ SELECT round(score, 6) AS threshold,
                   ELSE 2 * p * r / (p + r) END, 6) AS f_measure
 FROM pr
 """
+
+
+def roc_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 (BinaryModelMetrics.scala:167-196): curve down-sampling to
+    numBins=10 — consecutive distinct-score points chunked into groups
+    of floor(n/10), each keyed by its max score with summed counts.
+    Fully deterministic, so the oracle replays it with row_number."""
+    r = _metrics(spark, sf_dir, num_bins=10).roc()
+    return r.select(F.round("fpr", 6).alias("fpr"),
+                    F.round("tpr", 6).alias("tpr"))
+
+
+ROC_CURVE_BINNED_SQL = """
+WITH sl AS (
+  SELECT value AS score,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+              AS DOUBLE) AS label
+  FROM events
+),
+counts0 AS (
+  SELECT score, sum(label) AS pos, count(*) - sum(label) AS neg
+  FROM sl GROUP BY score
+),
+counts AS (
+  SELECT max(score) AS score, sum(pos) AS pos, sum(neg) AS neg
+  FROM (
+    SELECT score, pos, neg,
+           (row_number() OVER (ORDER BY score DESC) - 1)
+             // (SELECT count(*) // 10 FROM counts0) AS grp
+    FROM counts0
+  )
+  GROUP BY grp
+),
+cum AS (
+  SELECT score,
+         sum(pos) OVER (ORDER BY score DESC) AS tp,
+         sum(neg) OVER (ORDER BY score DESC) AS fp
+  FROM counts
+),
+tot AS (
+  SELECT sum(pos) AS tot_pos, sum(neg) AS tot_neg FROM counts
+)
+SELECT round(fp / tot_neg, 6) AS fpr,
+       round(tp / tot_pos, 6) AS tpr
+FROM cum, tot
+UNION ALL SELECT 0.0, 0.0
+UNION ALL SELECT 1.0, 1.0
+"""

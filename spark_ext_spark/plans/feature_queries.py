@@ -198,3 +198,13 @@ SELECT l_orderkey, l_linenumber,
             ELSE 3 END AS bin
 FROM lineitem
 """
+
+
+def gather_encoder_distfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4's 100 TB fit path: the SAME top-75% dictionary computed with
+    fitPartitions=4 — distributed two-phase prefix sums over 4 range
+    partitions (operators/prefix.py) instead of the single-partition
+    window. The oracle is identical to gather_encoder_top: the fit
+    strategy must not change the result."""
+    return _encode(spark, sf_dir, transformation="top", cover=75.0,
+                   allOther=False, fitPartitions=4)
