@@ -21,3 +21,5 @@ from spark_ext_spark.streaming.ops import (  # noqa: F401
     foreach_batch_upsert, streaming_dedup_exact, streaming_enrich,
     streaming_event_counts, streaming_gather, streaming_interval_join,
     streaming_text_quality)
+from spark_ext_spark.streaming.stateful import (  # noqa: F401
+    ROCKSDB_PROVIDER, streaming_running_totals)
