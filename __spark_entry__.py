@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lq.ann_ivf_topk,        # rows-only
         "embedding_norms": lq.embedding_norms,
         "media_byte_stats": lq.media_byte_stats,
+        "media_sniff_formats": lq.media_sniff_formats,
         "media_pipeline": lq.media_pipeline,    # rows-only
         # --- 43-50: one representative per beyond-§2B family ------------
         "asof_join_orders": lq.asof_join_orders,
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": lq.SEQUENCE_PACKING_SQL,
         "asof_join_orders": lq.ASOF_JOIN_ORDERS_SQL,
         "media_byte_stats": lq.MEDIA_BYTE_STATS_SQL,
+        "media_sniff_formats": lq.MEDIA_SNIFF_FORMATS_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "global_agg": rel.GLOBAL_AGG_SQL,
         "join_revenue_by_nation": rel.REVENUE_BY_NATION_SQL,

@@ -875,3 +875,58 @@ SELECT doc_id, n_tokens,
         // 2048)::BIGINT AS seq_id
 FROM toks
 """
+
+
+def media_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format sniffing, oracle-checked: synthetic payloads
+    get a real container magic (png/jpeg/gif/riff by doc_id%4, a 5th
+    class left bare) prepended to the text bytes; attach_media must
+    classify every payload identically to DuckDB's blob arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    magic_hex = F.element_at(
+        F.array(F.lit("89504e470d0a1a0a"), F.lit("ffd8ffe000104a46"),
+                F.lit("4749463839616161"), F.lit("5249464624000000"),
+                F.lit("")),
+        (F.col("doc_id") % 5 + 1).cast("int"))
+    payload = F.concat(F.unhex(magic_hex), F.encode("text", "utf-8"))
+    media = multimodal.attach_media(
+        docs.select("doc_id", payload.alias("payload")),
+        "doc_id", "payload")
+    return (media
+            .groupBy(F.col("media_meta.format").alias("format"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("media_meta.byte_len").alias("total_bytes")))
+
+
+MEDIA_SNIFF_FORMATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         from_hex(CASE doc_id % 5
+                  WHEN 0 THEN '89504e470d0a1a0a'
+                  WHEN 1 THEN 'ffd8ffe000104a46'
+                  WHEN 2 THEN '4749463839616161'
+                  WHEN 3 THEN '5249464624000000'
+                  ELSE '' END) || encode(text) AS payload
+  FROM documents
+),
+sniffed AS (
+  SELECT doc_id, octet_length(payload) AS byte_len,
+         substring(lower(hex(payload)), 1, 16) AS prefix
+  FROM p
+),
+fmt AS (
+  SELECT doc_id, byte_len,
+         CASE WHEN prefix LIKE '89504e47%' THEN 'png'
+              WHEN prefix LIKE 'ffd8ff%' THEN 'jpeg'
+              WHEN prefix LIKE '47494638%' THEN 'gif'
+              WHEN prefix LIKE '52494646%' THEN 'riff'
+              WHEN prefix LIKE '494433%' THEN 'mp3'
+              WHEN prefix LIKE '664c6143%' THEN 'flac'
+              WHEN prefix LIKE '00000018%' THEN 'mp4'
+              WHEN prefix LIKE '00000020%' THEN 'mp4'
+              ELSE 'unknown' END AS format
+  FROM sniffed
+)
+SELECT format, count(*) AS n_items, sum(byte_len) AS total_bytes
+FROM fmt GROUP BY format
+"""
