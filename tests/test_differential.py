@@ -1,0 +1,98 @@
+"""Property-based cross-engine differential testing: hypothesis draws
+random small query shapes (filter → groupBy → aggregates over events),
+we run each on Spark AND DuckDB and require identical results.
+
+This complements the hand-written oracle pairs: those pin 92 specific
+queries; this sweeps the combinatorial neighborhood around the core
+relational surface (predicate × grouping × aggregate choices) where
+engine-semantics mismatches (null handling, overflow, float folding)
+would hide.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_ext_spark.plans.relational import load
+
+SF = "/root/testdata/sf0.001"
+
+GROUP_COLS = ["event_type", "user_id"]
+AGGS = {
+    "n": (lambda: F.count(F.lit(1)), "count(*)"),
+    "sum_v": (lambda: F.round(F.sum("value"), 4), "round(sum(value), 4)"),
+    "min_v": (lambda: F.min("value"), "min(value)"),
+    "max_v": (lambda: F.max("value"), "max(value)"),
+    "n_users": (lambda: F.count_distinct(F.col("user_id")),
+                "count(DISTINCT user_id)"),
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM read_parquet('{SF}/events.parquet')")
+    return con
+
+
+query_shapes = st.tuples(
+    st.lists(st.sampled_from(GROUP_COLS), unique=True, max_size=2),
+    st.lists(st.sampled_from(sorted(AGGS)), unique=True, min_size=1,
+             max_size=3),
+    st.one_of(st.none(), st.floats(min_value=0.0, max_value=500.0,
+                                   allow_nan=False)),
+    st.sampled_from([None, "view", "click", "purchase"]),
+)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=query_shapes)
+def test_random_agg_query_matches_duckdb(spark, duck, shape):
+    group_cols, agg_names, value_min, etype = shape
+
+    ev = load(spark, SF, "events")
+    conds_sql = []
+    if value_min is not None:
+        ev = ev.filter(F.col("value") >= value_min)
+        conds_sql.append(f"value >= {value_min!r}")
+    if etype is not None:
+        ev = ev.filter(F.col("event_type") == etype)
+        conds_sql.append(f"event_type = '{etype}'")
+
+    aggs = [AGGS[a][0]().alias(a) for a in agg_names]
+    if group_cols:
+        out = ev.groupBy(*group_cols).agg(*aggs)
+    else:
+        out = ev.agg(*aggs)
+    cols = group_cols + agg_names
+    spark_rows = sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in out.collect()), key=repr)
+
+    select = ", ".join(group_cols
+                       + [f"{AGGS[a][1]} AS {a}" for a in agg_names])
+    sql = f"SELECT {select} FROM events"
+    if conds_sql:
+        sql += " WHERE " + " AND ".join(conds_sql)
+    if group_cols:
+        sql += " GROUP BY " + ", ".join(group_cols)
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    duck_rows = sorted(
+        (tuple(_norm(dict(zip(names, r))[c]) for c in cols)
+         for r in res.fetchall()), key=repr)
+
+    assert spark_rows == duck_rows
