@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precision_by_threshold": eq.precision_by_threshold,
         "recall_by_threshold": eq.recall_by_threshold,
         "f_measure": eq.f_measure_by_threshold,
+        "score_thresholds": eq.score_thresholds,
         "s2_cells": mq.s2_cells,                # rows-only (UDF math)
         "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
         # --- 21-35: LLM dedup + text analysis ---------------------------
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "precision_by_threshold": eq.PRECISION_BY_THRESHOLD_SQL,
         "recall_by_threshold": eq.RECALL_BY_THRESHOLD_SQL,
         "f_measure": eq.F_MEASURE_BY_THRESHOLD_SQL,
+        "score_thresholds": eq.SCORE_THRESHOLDS_SQL,
         "exact_dedup": lq.EXACT_DEDUP_SQL,
         "ngram_jaccard": lq.NGRAM_JACCARD_SQL,
         "minhash_lsh": lq.MINHASH_LSH_SQL,

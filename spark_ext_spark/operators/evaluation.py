@@ -150,7 +150,9 @@ class BinaryModelMetrics:
             self.confusions.unpersist()
 
     def thresholds(self) -> DataFrame:
-        return (self.confusions.orderBy(F.desc("score"))
+        # over the compacted counts table, NOT confusions: thresholds
+        # need no cumulative columns, so skip the totals attach+window
+        return (self._counts.orderBy(F.desc("score"))
                 .select(F.col("score").alias("threshold")))
 
     def gains(self) -> DataFrame:

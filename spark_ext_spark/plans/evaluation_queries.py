@@ -224,3 +224,17 @@ FROM cum, tot
 UNION ALL SELECT 0.0, 0.0
 UNION ALL SELECT 1.0, 1.0
 """
+
+
+def score_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 thresholds() (BinaryModelMetrics.scala:77): the distinct
+    score values, descending — the x-axis shared by every *ByThreshold
+    curve."""
+    t = _metrics(spark, sf_dir).thresholds()
+    return t.select(F.round("threshold", 6).alias("threshold"))
+
+
+SCORE_THRESHOLDS_SQL = """
+SELECT round(score, 6) AS threshold
+FROM (SELECT DISTINCT value AS score FROM events)
+"""

@@ -150,10 +150,10 @@ def test_no_query_plans_cartesian(spark, sf_small):
     plan. Planning only; fit-bearing queries do run their small fit
     jobs at sf0.001."""
     import __spark_entry__ as entrymod
-    scalar_attach_ok = {"gains_curve", "roc_curve", "lift_curve",
-                        "precision_by_threshold", "recall_by_threshold",
-                        "f_measure", "tpch_q22_idle_rich",
-                        "tfidf_top_terms"}
+    scalar_attach_ok = {"gains_curve", "roc_curve", "roc_curve_binned",
+                        "lift_curve", "precision_by_threshold",
+                        "recall_by_threshold", "f_measure",
+                        "tpch_q22_idle_rich", "tfidf_top_terms"}
     offenders = {}
     for name, fn in entrymod.queries().items():
         p = plan_of(fn(spark, sf_small))

@@ -1,0 +1,89 @@
+"""Driver simulation: entry() smoke at sf0.001 + oracle hash-compare at sf0.01."""
+import hashlib
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import __spark_entry__ as em
+from spark_ext_spark.session import get_spark
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm(v):
+    # structs (pyspark Row is a tuple subclass) BEFORE lists
+    if hasattr(v, "asDict"):
+        return tuple(sorted((k, norm(x)) for k, x in v.asDict().items()))
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def canon(rows, cols):
+    cols = sorted(cols)
+    out = sorted((tuple(norm(r[c]) for c in cols) for r in rows), key=repr)
+    return hashlib.sha256(repr(out).encode()).hexdigest()
+
+
+def main():
+    spark = get_spark("verify-driver", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = em.entry(spark)
+    n = len(res.collect())
+    print(f"ENTRY rows={n} schema={[f.name for f in res.schema.fields]}")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')")
+
+    queries = em.queries()
+    oracles = em.oracle_sql()
+    only = sys.argv[1:]
+    fails, errs = [], []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                cnt = fn(spark, SF01).count()
+                print(f"{name}: no_oracle rows={cnt}")
+            except Exception as e:
+                errs.append(name)
+                print(f"{name}: ERR {type(e).__name__}: {str(e)[:200]}")
+            continue
+        try:
+            sdf = fn(spark, SF01)
+            scols = sdf.columns
+            srows = sdf.collect()
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = [dict(zip(ocols, r)) for r in ores.fetchall()]
+            ok_rows = len(srows) == len(orows)
+            ok_schema = sorted(scols) == sorted(ocols)
+            ok_hash = ok_schema and canon(srows, scols) == canon(orows, ocols)
+            status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+            if status == "FAIL":
+                fails.append(name)
+            print(f"{name}: {status} rows={len(srows)}/{len(orows)} "
+                  f"schema={ok_schema} hash={ok_hash}")
+        except Exception as e:
+            errs.append(name)
+            print(f"{name}: ERR {type(e).__name__}: {str(e)[:200]}")
+    print(f"RESULT fails={fails} errs={errs}")
+    spark.stop()
+    sys.exit(1 if (fails or errs) else 0)
+
+
+if __name__ == "__main__":
+    main()
