@@ -39,8 +39,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_array": rel.user_event_types,
         "collect_array_distinct": rel.user_distinct_event_types,
         "gather": gq.gather_user_events,
-        "gather_flat": gq.gather_user_events_flat,
-        "gather_count": gq.gather_user_event_counts,
         "gather_encoder_top": fq.gather_encoder_top,
         "gather_encoder_top_allother": fq.gather_encoder_top_allother,
         "gather_encoder_index": fq.gather_encoder_index,
@@ -56,7 +54,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precision_by_threshold": eq.precision_by_threshold,
         "recall_by_threshold": eq.recall_by_threshold,
         "f_measure": eq.f_measure_by_threshold,
-        "score_thresholds": eq.score_thresholds,
         "s2_cells": mq.s2_cells,                # rows-only (UDF math)
         "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
         # --- 21-35: LLM dedup + text analysis ---------------------------
@@ -69,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": lq.doc_language_id,
         "tfidf_top_terms": lq.tfidf_top_terms,
         "doc_quality": lq.doc_quality,
+        "doc_lm_scores": lq.doc_lm_scores,
         "doc_chunks": lq.doc_chunks,
         "pii_redaction": lq.pii_redaction,
         "token_counts": lq.token_counts,
@@ -94,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": rel.pricing_summary,
         # --- 51+: §2B dataflow surface (bench coverage; all green via
         # tests/test_oracle_parity.py at sf0.001) ------------------------
+        "gather_flat": gq.gather_user_events_flat,
+        "gather_count": gq.gather_user_event_counts,
+        "score_thresholds": eq.score_thresholds,
         "doc_repetition": lq.doc_repetition,
         "benchmark_contamination": lq.benchmark_contamination,
         "fingerprints": lq.doc_fingerprints,
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": lq.PII_REDACTION_SQL,
         "doc_repetition": lq.DOC_REPETITION_SQL,
         "doc_quality": lq.DOC_QUALITY_SQL,
+        "doc_lm_scores": lq.DOC_LM_SCORES_SQL,
         "benchmark_contamination": lq.BENCHMARK_CONTAMINATION_SQL,
         "moving_avg_7d": rel.MOVING_AVG_7D_SQL,
         "value_statistics": rel.VALUE_STATISTICS_SQL,

@@ -190,3 +190,38 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                          number, "<NUMBER>").alias("redacted"),
         F.regexp_count(c, F.lit(email)).alias("n_emails"),
         F.regexp_count(c, F.lit(number)).alias("n_numbers"))
+
+
+def char_trigram_lm_scores(df: DataFrame, id_col: str, text_col: str,
+                           round_to: int = 4) -> DataFrame:
+    """Character-trigram language-model quality score: train a unigram
+    trigram profile over the corpus (count/total), then score each doc
+    by the MEAN log10 probability of its trigrams — the classic
+    perplexity-style filter for pretraining data (documents far from
+    the corpus distribution score low: wrong charset, boilerplate,
+    binary junk).
+
+    All JVM expressions: trigrams via sequence+substr transform (no
+    Python), profile via one trigram-keyed shuffle with map-side
+    combine, scoring via a join on trigram + per-doc avg. The profile
+    is corpus-trained inside the SAME plan (self-supervised — no
+    labels, no driver state). Trigram vocabulary is bounded by
+    charset³, so the profile side of the join stays compact at any
+    corpus size. Scores use the rounded mean so cross-engine ULP noise
+    in log10 cancels."""
+    norm = normalize_text(text_col)
+    tris = F.when(
+        F.length(norm) >= 3,
+        F.transform(F.sequence(F.lit(1), F.length(norm) - 2),
+                    lambda i: F.substr(norm, i, F.lit(3))))
+    exploded = (df.select(F.col(id_col), F.explode(tris).alias("tri")))
+    profile = exploded.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    total = exploded.agg(F.count(F.lit(1)).alias("total"))
+    scored = (exploded
+              .join(profile, "tri")
+              .crossJoin(F.broadcast(total))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                   F.round(F.avg(F.log10(F.col("cnt") / F.col("total"))),
+                           round_to).alias("lm_score")))
+    return scored

@@ -930,3 +930,28 @@ fmt AS (
 SELECT format, count(*) AS n_items, sum(byte_len) AS total_bytes
 FROM fmt GROUP BY format
 """
+
+
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-trigram LM quality scores per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return text.char_trigram_lm_scores(docs, "doc_id", "text")
+
+
+DOC_LM_SCORES_SQL = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, substring(t, i, 3) AS tri
+  FROM norm, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+profile AS (SELECT tri, count(*) AS cnt FROM tris GROUP BY tri),
+total AS (SELECT count(*) AS total FROM tris)
+SELECT doc_id, count(*) AS n_trigrams,
+       round(avg(log10(cnt / total)), 4) AS lm_score
+FROM tris JOIN profile USING (tri) CROSS JOIN total
+GROUP BY doc_id
+"""
