@@ -40,6 +40,8 @@ def read_parquet(spark: SparkSession, path: str,
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
         elif dtype == "timestamp_ntz":
             df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
+        elif dtype == "string":
+            df = df.withColumn(c, F.to_timestamp(F.col(c)))
     return df
 
 
