@@ -153,7 +153,8 @@ def test_no_query_plans_cartesian(spark, sf_small):
     scalar_attach_ok = {"gains_curve", "roc_curve", "roc_curve_binned",
                         "lift_curve", "precision_by_threshold",
                         "recall_by_threshold", "f_measure",
-                        "tpch_q22_idle_rich", "tfidf_top_terms"}
+                        "tpch_q22_idle_rich", "tfidf_top_terms",
+                        "doc_lm_scores"}
     offenders = {}
     for name, fn in entrymod.queries().items():
         p = plan_of(fn(spark, sf_small))
