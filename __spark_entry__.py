@@ -69,7 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_scores": lq.doc_lm_scores,
         "doc_chunks": lq.doc_chunks,
         "pii_redaction": lq.pii_redaction,
-        "token_counts": lq.token_counts,
+        "source_capped_corpus": lq.source_capped_corpus,
         "train_test_split": lq.train_test_split,
         "sequence_packing": lq.sequence_packing,
         # --- similarity search + multimodal -----------------------------
@@ -77,8 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lq.ann_lsh_topk,
         "embedding_near_dups": lq.embedding_near_dup_pairs,
         "ann_ivf_topk": lq.ann_ivf_topk,        # rows-only
-        "embedding_norms": lq.embedding_norms,
-        "media_byte_stats": lq.media_byte_stats,
+        "embedding_quantize": lq.embedding_quantize,
         "media_sniff_formats": lq.media_sniff_formats,
         "media_pipeline": lq.media_pipeline,    # rows-only
         # --- 43-50: one representative per beyond-§2B family ------------
@@ -89,11 +88,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_variant_extract": rel.props_variant_extract,
         "event_sessions": rel.event_sessions,
         "moving_avg_7d": rel.moving_avg_7d,
+        "zorder_events": rel.zorder_event_keys,
         "pricing_summary": rel.pricing_summary,
         # --- 51+: §2B dataflow surface (bench coverage; all green via
         # tests/test_oracle_parity.py at sf0.001) ------------------------
         "gather_flat": gq.gather_user_events_flat,
         "gather_count": gq.gather_user_event_counts,
+        "token_counts": lq.token_counts,
+        "embedding_norms": lq.embedding_norms,
+        "media_byte_stats": lq.media_byte_stats,
         "score_thresholds": eq.score_thresholds,
         "doc_repetition": lq.doc_repetition,
         "benchmark_contamination": lq.benchmark_contamination,
@@ -172,6 +175,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": lq.ANN_LSH_TOPK_SQL,
         "embedding_near_dups": lq.EMBEDDING_NEAR_DUPS_SQL,
         "token_counts": lq.TOKEN_COUNTS_SQL,
+        "source_capped_corpus": lq.SOURCE_CAPPED_CORPUS_SQL,
+        "embedding_quantize": lq.EMBEDDING_QUANTIZE_SQL,
+        "zorder_events": rel.ZORDER_EVENT_KEYS_SQL,
         "train_test_split": lq.TRAIN_TEST_SPLIT_SQL,
         "sequence_packing": lq.SEQUENCE_PACKING_SQL,
         "asof_join_orders": lq.ASOF_JOIN_ORDERS_SQL,

@@ -346,3 +346,29 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
                         F.lit("q").alias("role"))
     c = assigned.select("vec_id", "vec", "cell", F.lit("c").alias("role"))
     return _grouped_candidate_topk(q.unionByName(c), "cell", k)
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        round_to: int = 4) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x|/127,
+    q_i = round(x_i / scale) ∈ [-127, 127] — the 4× storage cut that
+    makes a 100 TB embedding table a 25 TB one, as pure JVM array
+    expressions (no Python, no shuffle). Returns (id, scale,
+    max_abs_err, mean_abs_err) so callers can gate on reconstruction
+    error before swapping the quantized column in."""
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.aggregate(v, F.lit(0.0),
+                          lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    err = F.zip_with(v, q, lambda x, qi: F.abs(x - qi * scale))
+    n = F.size(v)
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.round(F.aggregate(err, F.lit(0.0),
+                            lambda acc, e: F.greatest(acc, e)), round_to)
+         .alias("max_abs_err"),
+        F.round(F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e)
+                / n, round_to).alias("mean_abs_err"))

@@ -75,3 +75,22 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
     return cum.select(
         F.col("doc").alias(id_col), "n_tokens",
         F.floor(F.col("cum_excl") / F.lit(budget)).alias("seq_id"))
+
+
+def source_cap_sample(df: DataFrame, group_col: str, id_col: str,
+                      cap: int, salt: str = "") -> DataFrame:
+    """Cap rows per group (domain/source/language) at ``cap``,
+    selecting by deterministic hash rank — the corpus-curation
+    'max N documents per domain' rule. Unlike fraction sampling the
+    budget is a CARDINALITY, and the hash ranking makes the kept set a
+    pure function of (key, salt): stable across runs, partitionings,
+    and incremental re-crawls. One window shuffle on the group key;
+    per-group partitions are bounded by group sizes (cap the biggest
+    groups, which is exactly where the window does its work)."""
+    from pyspark.sql.window import Window
+
+    u = hash_unit_interval(id_col, salt)
+    w = Window.partitionBy(group_col).orderBy(u.asc(),
+                                              F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap).drop("__rk"))

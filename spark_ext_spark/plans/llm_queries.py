@@ -955,3 +955,65 @@ SELECT doc_id, count(*) AS n_trigrams,
 FROM tris JOIN profile USING (tri) CROSS JOIN total
 GROUP BY doc_id
 """
+
+
+def source_capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cardinality cap (max 12 docs per source by
+    deterministic hash rank) with per-source kept counts — the 'max N
+    documents per domain' curation rule."""
+    from spark_ext_spark.llm import splits
+    docs = load(spark, sf_dir, "documents")
+    kept = splits.source_cap_sample(docs, "source", "doc_id", cap=12,
+                                   salt="cap1")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.sum("n_chars").alias("kept_chars")))
+
+
+SOURCE_CAPPED_CORPUS_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5(doc_id::VARCHAR || 'cap1'), 1, 15))
+                      ::BIGINT / 1152921504606846976.0 ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc,
+       sum(n_chars) AS kept_chars
+FROM ranked WHERE rk <= 12 GROUP BY source
+"""
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization error profile per embedding."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+scaled AS (
+  SELECT vec_id,
+         list_reduce(list_transform(x, e -> abs(e)),
+                     (a, b) -> greatest(a, b)) / 127.0 AS scale, x
+  FROM v
+),
+errs AS (
+  SELECT vec_id, scale,
+         list_transform(list_zip(x,
+             list_transform(x, e -> round(e / scale)::INT)),
+             p -> abs(p[1] - p[2] * scale)) AS err,
+         len(x) AS n
+  FROM scaled
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_reduce(err, (a, b) -> greatest(a, b)), 4)
+         AS max_abs_err,
+       round(list_sum(err) / n, 4) AS mean_abs_err
+FROM errs
+"""

@@ -1037,3 +1037,26 @@ FROM (
 )
 GROUP BY measure
 """
+
+
+def zorder_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout key per event from (user_id, minute-of-
+    day): writing sorted by zkey clusters both dimensions so row-group
+    min/max stats prune scans filtered on either — Z-ORDER BY as a
+    plain deterministic column (functions.zorder_key)."""
+    from spark_ext_spark.functions import zorder_key
+    ev = load(spark, sf_dir, "events")
+    minute = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+    a = F.pmod(F.col("user_id"), F.lit(65536))
+    return ev.select("event_id",
+                     zorder_key(a, minute, bits=16).alias("zkey"))
+
+
+ZORDER_EVENT_KEYS_SQL = """
+SELECT event_id,
+       list_sum(list_transform(range(0, 16), i ->
+         (((user_id % 65536 >> i) & 1) << (2*i))
+         + ((((extract(hour FROM ts) * 60 + extract(minute FROM ts))
+              >> i) & 1) << (2*i + 1))))::BIGINT AS zkey
+FROM events
+"""
