@@ -361,7 +361,10 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     max_abs = F.aggregate(v, F.lit(0.0),
                           lambda acc, x: F.greatest(acc, F.abs(x)))
     scale = max_abs / F.lit(127.0)
-    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    # zero vector → scale 0; divide by 1 instead so q=0/err=0 rather
+    # than a null-poisoned row (engines disagree on 0/0)
+    safe = F.when(scale == 0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(v, lambda x: F.round(x / safe).cast("int"))
     err = F.zip_with(v, q, lambda x, qi: F.abs(x - qi * scale))
     n = F.size(v)
     return df.select(

@@ -1,0 +1,65 @@
+"""zorder_key / source_cap_sample / quantize_embeddings unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ext_spark.functions import zorder_key
+from spark_ext_spark.llm.similarity import quantize_embeddings
+from spark_ext_spark.llm.splits import source_cap_sample
+
+
+def test_zorder_interleave_golden(spark):
+    # a=0b11, b=0b01 → even bits from a, odd from b → 0b0111 = 7
+    # a=0b10, b=0b11 → a bits at 0,2 = 0,1; b bits at 1,3 = 1,1 → 0b1110
+    df = spark.createDataFrame([(3, 1), (2, 3), (0, 0), (65535, 65535)],
+                               "a long, b long")
+    got = [r["z"] for r in
+           df.select(zorder_key("a", "b", bits=16).alias("z")).collect()]
+    assert got[0] == 0b0111
+    assert got[1] == 0b1110
+    assert got[2] == 0
+    assert got[3] == (1 << 32) - 1  # all 32 bits set
+
+
+def test_zorder_locality(spark):
+    """Nearby (a, b) points get nearby z-values more often than random:
+    the defining property that makes min/max pruning work."""
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    z = {(r["a"], r["b"]): r["z"] for r in
+         df.select("a", "b", zorder_key("a", "b", bits=4).alias("z"))
+         .collect()}
+    # z is a bijection on the 8-bit space
+    assert sorted(z.values()) == list(range(256))
+    # quadrant property: all points with a,b < 8 sort before any point
+    # with a,b >= 8 (top bit of both dims dominates)
+    lo = max(v for (a, b), v in z.items() if a < 8 and b < 8)
+    hi = min(v for (a, b), v in z.items() if a >= 8 and b >= 8)
+    assert lo < hi
+
+
+def test_source_cap_sample_cap_and_determinism(spark):
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    kept = source_cap_sample(df, "src", "id", cap=5, salt="t")
+    counts = {r["src"]: r["n"] for r in
+              kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 5 for n in counts.values())
+    again = source_cap_sample(df.repartition(7), "src", "id", cap=5, salt="t")
+    assert sorted(r["id"] for r in kept.collect()) == \
+        sorted(r["id"] for r in again.collect())
+    # a group smaller than the cap is kept whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "id long, src string")
+    assert source_cap_sample(small, "src", "id", cap=5).count() == 2
+
+
+def test_quantize_zero_vector_safe(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0]), (2, [1.0, -127.0])],
+                               "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           quantize_embeddings(df).collect()}
+    assert got[1]["scale"] == 0.0
+    assert got[1]["max_abs_err"] == 0.0 and got[1]["mean_abs_err"] == 0.0
+    assert got[2]["scale"] == 1.0  # max|x|/127 = 127/127
+    assert got[2]["max_abs_err"] == 0.0  # values exactly representable
