@@ -42,6 +42,15 @@ def duck():
     return con
 
 
+@pytest.fixture(scope="module")
+def duck_tpch():
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
 query_shapes = st.tuples(
     st.lists(st.sampled_from(GROUP_COLS), unique=True, max_size=2),
     st.lists(st.sampled_from(sorted(AGGS)), unique=True, min_size=1,
@@ -95,4 +104,50 @@ def test_random_agg_query_matches_duckdb(spark, duck, shape):
         (tuple(_norm(dict(zip(names, r))[c]) for c in cols)
          for r in res.fetchall()), key=repr)
 
+    assert spark_rows == duck_rows
+
+
+join_shapes = st.tuples(
+    st.sampled_from(["inner", "left"]),
+    st.lists(st.sampled_from(["n_orders", "total_price", "max_price"]),
+             unique=True, min_size=1, max_size=3),
+    st.one_of(st.none(), st.sampled_from(["BUILDING", "MACHINERY",
+                                          "AUTOMOBILE"])),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=join_shapes)
+def test_random_join_agg_matches_duckdb(spark, duck_tpch, shape):
+    how, agg_names, segment = shape
+    JAGGS = {
+        "n_orders": (F.count("o_orderkey"), "count(o_orderkey)"),
+        "total_price": (F.round(F.sum("o_totalprice"), 4),
+                        "round(sum(o_totalprice), 4)"),
+        "max_price": (F.max("o_totalprice"), "max(o_totalprice)"),
+    }
+    cust = load(spark, SF, "customer")
+    orders = load(spark, SF, "orders")
+    if segment is not None:
+        cust = cust.filter(F.col("c_mktsegment") == segment)
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, how)
+    out = joined.groupBy("c_custkey").agg(
+        *[JAGGS[a][0].alias(a) for a in agg_names])
+    cols = ["c_custkey"] + agg_names
+    spark_rows = sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in out.collect()), key=repr)
+
+    seg_sql = (f"WHERE c_mktsegment = '{segment}'" if segment else "")
+    sql = f"""
+    SELECT c_custkey, {", ".join(f"{JAGGS[a][1]} AS {a}" for a in agg_names)}
+    FROM (SELECT * FROM customer {seg_sql}) c
+    {"LEFT " if how == "left" else ""}JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """
+    res = duck_tpch.execute(sql)
+    names = [d[0] for d in res.description]
+    duck_rows = sorted(
+        (tuple(_norm(dict(zip(names, r))[c]) for c in cols)
+         for r in res.fetchall()), key=repr)
     assert spark_rows == duck_rows
