@@ -42,3 +42,25 @@ def test_every_oracle_has_query():
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+KNOWN_ROWS_ONLY = {
+    # justified no-oracle queries — each has golden unit tests instead
+    "s2_cells",            # S2 Hilbert bit math not SQL-expressible
+    "local_lr_model",      # iterative optimizer
+    "ann_ivf_topk",        # trained k-means quantizer
+    "media_pipeline",      # blake2-based stub decode
+    "approx_user_stats",   # HLL++/GK sketch internals engine-specific
+    "sketch_user_rollup",  # Datasketches HLL binary sketches
+}
+
+
+def test_rows_only_set_is_pinned():
+    """Every query without an oracle must be on the justified list —
+    adding a new query without SQL coverage fails here, so the oracle
+    surface can only grow deliberately."""
+    import __spark_entry__ as em
+    missing = set(em.queries()) - set(em.oracle_sql())
+    assert missing == KNOWN_ROWS_ONLY, (
+        f"unexpected rows-only: {missing - KNOWN_ROWS_ONLY}; "
+        f"stale entries: {KNOWN_ROWS_ONLY - missing}")
