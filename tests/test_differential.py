@@ -151,3 +151,47 @@ def test_random_join_agg_matches_duckdb(spark, duck_tpch, shape):
         (tuple(_norm(dict(zip(names, r))[c]) for c in cols)
          for r in res.fetchall()), key=repr)
     assert spark_rows == duck_rows
+
+
+window_shapes = st.tuples(
+    st.sampled_from(["user_id", "event_type"]),       # partition col
+    st.sampled_from(["value", "ts", "event_id"]),     # order col
+    st.sampled_from(["row_number", "rank", "cumsum", "lag"]),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=window_shapes)
+def test_random_window_matches_duckdb(spark, duck, shape):
+    from pyspark.sql.window import Window
+    part, order, fn = shape
+
+    ev = load(spark, SF, "events")
+    # total order: tie-break on event_id so both engines agree
+    w = Window.partitionBy(part).orderBy(F.col(order).asc(),
+                                         F.col("event_id").asc())
+    if fn == "row_number":
+        expr, sql_fn = F.row_number().over(w), "row_number() OVER w"
+    elif fn == "rank":
+        expr, sql_fn = F.rank().over(w), "rank() OVER w"
+    elif fn == "cumsum":
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        expr = F.round(F.sum("value").over(wf), 4)
+        sql_fn = ("round(sum(value) OVER (PARTITION BY {p} ORDER BY {o}, "
+                  "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+                  "ROW), 4)")
+    else:
+        expr = F.lag("value", 1).over(w)
+        sql_fn = "lag(value, 1) OVER w"
+
+    out = ev.select("event_id", expr.alias("m"))
+    spark_rows = sorted(((r["event_id"], _norm(r["m"]))
+                         for r in out.collect()), key=repr)
+
+    sql_fn = sql_fn.format(p=part, o=order)
+    sql = (f"SELECT event_id, {sql_fn} AS m FROM events "
+           f"WINDOW w AS (PARTITION BY {part} ORDER BY {order}, event_id)")
+    duck_rows = sorted(((eid, _norm(m))
+                        for eid, m in duck.execute(sql).fetchall()), key=repr)
+    assert spark_rows == duck_rows
