@@ -68,8 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": lq.doc_quality,
         "doc_lm_scores": lq.doc_lm_scores,
         "doc_chunks": lq.doc_chunks,
-        "pii_redaction": lq.pii_redaction,
         "source_capped_corpus": lq.source_capped_corpus,
+        "doc_sample_k": lq.doc_sample_k,
         "train_test_split": lq.train_test_split,
         "sequence_packing": lq.sequence_packing,
         # --- similarity search + multimodal -----------------------------
@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_flat": gq.gather_user_events_flat,
         "gather_count": gq.gather_user_event_counts,
         "token_counts": lq.token_counts,
+        "pii_redaction": lq.pii_redaction,
         "embedding_norms": lq.embedding_norms,
         "media_byte_stats": lq.media_byte_stats,
         "score_thresholds": eq.score_thresholds,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": lq.EMBEDDING_NEAR_DUPS_SQL,
         "token_counts": lq.TOKEN_COUNTS_SQL,
         "source_capped_corpus": lq.SOURCE_CAPPED_CORPUS_SQL,
+        "doc_sample_k": lq.DOC_SAMPLE_K_SQL,
         "embedding_quantize": lq.EMBEDDING_QUANTIZE_SQL,
         "zorder_events": rel.ZORDER_EVENT_KEYS_SQL,
         "train_test_split": lq.TRAIN_TEST_SPLIT_SQL,

@@ -94,3 +94,17 @@ def source_cap_sample(df: DataFrame, group_col: str, id_col: str,
                                               F.col(id_col).asc())
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= cap).drop("__rk"))
+
+
+def hash_sample_k(df: DataFrame, id_col: str, k: int,
+                  salt: str = "") -> DataFrame:
+    """Exactly-k uniform sample, deterministically: order by the key's
+    md5 hash position and take k. Unlike ``df.sample`` (fraction-based,
+    count varies) or ``df.limit`` (partition-order-dependent), the
+    selected set is a pure function of (keys, salt) and the plan is
+    TakeOrderedAndProject — per-partition top-k then a k-row merge, no
+    global sort, no driver materialization beyond k rows."""
+    u = hash_unit_interval(id_col, salt)
+    return (df.withColumn("__u", u)
+            .orderBy(F.col("__u").asc(), F.col(id_col).asc())
+            .limit(k).drop("__u"))

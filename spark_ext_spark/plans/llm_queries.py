@@ -1017,3 +1017,24 @@ SELECT vec_id, round(scale, 6) AS scale,
        round(list_sum(err) / n, 4) AS mean_abs_err
 FROM errs
 """
+
+
+def doc_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-100 document sample by hash order."""
+    from spark_ext_spark.llm import splits
+    docs = load(spark, sf_dir, "documents")
+    out = splits.hash_sample_k(docs, "doc_id", k=100, salt="k1")
+    return out.select("doc_id", "source", "n_chars")
+
+
+DOC_SAMPLE_K_SQL = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'k1'), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+ORDER BY u ASC, doc_id ASC
+LIMIT 100
+"""
