@@ -195,3 +195,41 @@ def test_random_window_matches_duckdb(spark, duck, shape):
     duck_rows = sorted(((eid, _norm(m))
                         for eid, m in duck.execute(sql).fetchall()), key=repr)
     assert spark_rows == duck_rows
+
+
+setop_shapes = st.tuples(
+    st.sampled_from(["intersect", "except", "union_all", "union_distinct"]),
+    st.sampled_from(["view", "click", "purchase"]),
+    st.sampled_from(["view", "click", "signup"]),
+    st.floats(min_value=0.0, max_value=300.0, allow_nan=False),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=setop_shapes)
+def test_random_setop_matches_duckdb(spark, duck, shape):
+    op, et_a, et_b, vmin = shape
+
+    ev = load(spark, SF, "events")
+    a = ev.filter(F.col("event_type") == et_a).select("user_id")
+    b = (ev.filter((F.col("event_type") == et_b)
+                   & (F.col("value") >= vmin)).select("user_id"))
+    if op == "intersect":
+        out, sql_op = a.intersect(b), "INTERSECT"
+    elif op == "except":
+        # subtract = EXCEPT DISTINCT (exceptAll keeps multiplicity
+        # survivors, which set-EXCEPT removes)
+        out, sql_op = a.subtract(b), "EXCEPT"
+    elif op == "union_all":
+        out, sql_op = a.unionAll(b), "UNION ALL"
+    else:
+        out, sql_op = a.union(b).distinct(), "UNION"
+    spark_rows = sorted(r["user_id"] for r in out.collect())
+
+    sql = (f"SELECT user_id FROM events WHERE event_type = '{et_a}' "
+           f"{sql_op} "
+           f"SELECT user_id FROM events WHERE event_type = '{et_b}' "
+           f"AND value >= {vmin!r}")
+    duck_rows = sorted(r[0] for r in duck.execute(sql).fetchall())
+    assert spark_rows == duck_rows
