@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": lq.media_byte_stats,
         "score_thresholds": eq.score_thresholds,
         "doc_repetition": lq.doc_repetition,
+        "repeated_ngrams": lq.repeated_ngrams,
         "benchmark_contamination": lq.benchmark_contamination,
         "fingerprints": lq.doc_fingerprints,
         "global_agg": rel.global_agg,
@@ -129,6 +130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": tpch.large_volume_orders,
         "tpch_q13_order_histogram": tpch.customer_order_histogram,
         "tpch_q22_idle_rich": tpch.idle_rich_customers,
+        "tpch_q4_late_priority": tpch.late_order_priority,
+        "tpch_q7_volume_shipping": tpch.volume_shipping,
+        "tpch_q8_market_share": tpch.market_share,
+        "tpch_q9_product_profit": tpch.product_type_profit,
+        "tpch_q10_returned_items": tpch.returned_item_customers,
+        "tpch_q12_priority_counts": tpch.linestatus_priority_counts,
+        "tpch_q15_top_supplier": tpch.top_supplier,
+        "tpch_q17_small_qty": tpch.small_quantity_revenue,
         "daily_active_users": rel.daily_active_users,
         "cheapest_order_per_customer": rel.cheapest_order_per_customer,
         "props_json_extract": rel.props_json_extract,
@@ -215,6 +224,14 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_large_orders": tpch.LARGE_VOLUME_ORDERS_SQL,
         "tpch_q13_order_histogram": tpch.CUSTOMER_ORDER_HISTOGRAM_SQL,
         "tpch_q22_idle_rich": tpch.IDLE_RICH_CUSTOMERS_SQL,
+        "tpch_q4_late_priority": tpch.LATE_ORDER_PRIORITY_SQL,
+        "tpch_q7_volume_shipping": tpch.VOLUME_SHIPPING_SQL,
+        "tpch_q8_market_share": tpch.MARKET_SHARE_SQL,
+        "tpch_q9_product_profit": tpch.PRODUCT_TYPE_PROFIT_SQL,
+        "tpch_q10_returned_items": tpch.RETURNED_ITEM_CUSTOMERS_SQL,
+        "tpch_q12_priority_counts": tpch.LINESTATUS_PRIORITY_COUNTS_SQL,
+        "tpch_q15_top_supplier": tpch.TOP_SUPPLIER_SQL,
+        "tpch_q17_small_qty": tpch.SMALL_QUANTITY_REVENUE_SQL,
         "event_sessions": rel.EVENT_SESSIONS_SQL,
         "daily_active_users": rel.DAILY_ACTIVE_USERS_SQL,
         "cheapest_order_per_customer": rel.CHEAPEST_ORDER_PER_CUSTOMER_SQL,
@@ -231,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": lq.DOC_CHUNKS_SQL,
         "pii_redaction": lq.PII_REDACTION_SQL,
         "doc_repetition": lq.DOC_REPETITION_SQL,
+        "repeated_ngrams": lq.REPEATED_NGRAMS_SQL,
         "doc_quality": lq.DOC_QUALITY_SQL,
         "doc_lm_scores": lq.DOC_LM_SCORES_SQL,
         "benchmark_contamination": lq.BENCHMARK_CONTAMINATION_SQL,

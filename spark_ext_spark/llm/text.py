@@ -14,7 +14,7 @@ from spark_ext_spark.llm.dedup import normalize_text
 
 __all__ = ["tokens", "text_stats", "quality_score", "language_id",
            "fingerprint", "tfidf_top_terms", "chunk_documents",
-           "redact_pii", "STOPWORDS"]
+           "redact_pii", "repeated_ngram_spans", "STOPWORDS"]
 
 # Tiny per-language stopword profiles (top function words) for the
 # n-gram/stopword language-ID heuristic.
@@ -241,3 +241,41 @@ def char_trigram_lm_scores(df: DataFrame, id_col: str, text_col: str,
                                  * F.log10(F.col("cnt") / F.col("total")))
                            / F.sum("tf"), round_to).alias("lm_score")))
     return scored
+
+
+def repeated_ngram_spans(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 8, min_df: int = 3,
+                         k: int = 50) -> DataFrame:
+    """Cross-document repeated n-gram spans — the span-level dedup
+    primitive from "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022): every word n-gram occurring in at least
+    ``min_df`` distinct documents, with its document frequency and
+    total occurrence count; top ``k`` by (df, occurrences) with the
+    gram string as the deterministic tie-break.
+
+    Plan shape: tokenize → in-row sliding window (``transform`` over a
+    ``sequence`` of start offsets — an array expression, no UDF, no
+    per-gram row explosion until the single ``explode``) → hash-agg on
+    the gram → HAVING filter → TakeOrderedAndProject. One shuffle on
+    the gram key; the df >= min_df filter runs map-side-combined, so
+    the reduce side only sees distinct grams. At 100 TB the gram key
+    space is huge but uniform — the agg is the scale limit and shards
+    cleanly; swap the gram string for ``xxhash64(gram)`` to shrink
+    shuffle width when the span text itself isn't needed.
+    """
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.array_join(
+        F.slice(toks, i, n), " "))
+    return (df
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(grams).alias("gram"))
+            .groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count(F.lit(1)).alias("occurrences"))
+            .filter(F.col("df") >= min_df)
+            .orderBy(F.desc("df"), F.desc("occurrences"), F.asc("gram"))
+            .limit(k))

@@ -1038,3 +1038,34 @@ FROM (
 ORDER BY u ASC, doc_id ASC
 LIMIT 100
 """
+
+
+def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup signal: word 8-grams shared by ≥3 documents
+    (llm/text.py repeated_ngram_spans — Lee et al. 2022 primitive).
+    One gram-keyed shuffle; sliding windows built as array expressions
+    inside the row, so the only row explosion is the final explode."""
+    docs = load(spark, sf_dir, "documents")
+    return text.repeated_ngram_spans(docs, "doc_id", "text",
+                                     n=8, min_df=3, k=50)
+
+
+REPEATED_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[\\s[:punct:]]+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+)
+SELECT gram, count(DISTINCT doc_id) AS df, count(*) AS occurrences
+FROM grams
+GROUP BY gram
+HAVING count(DISTINCT doc_id) >= 3
+ORDER BY df DESC, occurrences DESC, gram ASC
+LIMIT 50
+"""

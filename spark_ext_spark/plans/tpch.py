@@ -212,3 +212,341 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
                     AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """
+
+
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order-priority checking — count orders in one quarter
+    that have at least one line shipped >30 days after the order date.
+    The EXISTS becomes a LEFT SEMI join: equi on orderkey plus the
+    non-equi date predicate evaluated join-side, so no duplicate-order
+    inflation and no DISTINCT. The quarter filter pushes into the
+    orders scan before the join."""
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-07-01"))
+                      & (F.col("o_orderdate") < F.lit("1996-10-01"))))
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+LATE_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations — the
+    customer's nation and the line supplier's nation, either direction,
+    per ship year. Two *aliased* copies of nation join the same plan
+    (supplier side and customer side); both are broadcast, so lineitem
+    shuffles only for the orders join and the final 2x2xyears agg."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) | (
+           (F.col("supp_nation") == "NATION_2")
+           & (F.col("cust_nation") == "NATION_1"))
+    return (lineitem
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(_revenue()), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 4) AS revenue,
+       count(*) AS n_lines
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of PROMO-part revenue inside one
+    region, per order year. Conditional aggregation (share numerator as
+    a CASE) over a 6-way join where every non-fact side is a broadcast
+    dim. The customer-nation restricts to the region; the supplier
+    nation feeds the numerator."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    cust_nation = (nation
+                   .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+                   .filter(F.col("r_name") == "AMERICA")
+                   .select(F.col("n_nationkey").alias("c_nk")))
+    supp_nation = nation.select(F.col("n_nationkey").alias("s_nk"),
+                                F.col("n_name").alias("supp_nation"))
+    vol = _revenue()
+    target = F.when(F.col("supp_nation") == "NATION_6", vol).otherwise(
+        F.lit(0.0))
+    return (lineitem
+            .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nk"),
+                  "left_semi")
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(target) / F.sum(vol), 6).alias("mkt_share"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_6'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'AMERICA')
+GROUP BY year(o_orderdate)
+"""
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year over ECONOMY
+    parts, with cost modeled from p_retailprice (the schema has no
+    partsupp/ps_supplycost). part and nation broadcast; lineitem
+    shuffles once for the orders join, once for the final agg."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_retailprice")
+    nation = load(spark, sf_dir, "nation")
+    profit = (_revenue()
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (lineitem
+            .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(profit), 4).alias("sum_profit"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 4) AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter. groupBy custkey then TakeOrderedAndProject — per-partition
+    top-k merged on the driver, never a global sort. The LIMIT is made
+    deterministic by the (revenue DESC, custkey) tie-break mirrored in
+    the oracle."""
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-10-01"))
+                      & (F.col("o_orderdate") < F.lit("1997-01-01")))
+              .select("o_orderkey", "o_custkey"))
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (lineitem
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(_revenue()), 4).alias("revenue"),
+                 F.round(F.first("c_acctbal"), 4).alias("acctbal"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+RETURNED_ITEM_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(any_value(c_acctbal), 4) AS acctbal
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per line status (the schema's stand-in for shipmode),
+    how many of the year's shipped lines belong to critical-priority
+    orders vs not — conditional counts over the lineitem↔orders join."""
+    lineitem = (load(spark, sf_dir, "lineitem")
+                .filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+                .select("l_orderkey", "l_linestatus"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (lineitem
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(critical, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(critical, 0).otherwise(1))
+                 .alias("low_line_count")))
+
+
+LINESTATUS_PRIORITY_COUNTS_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the supplier(s) whose quarterly revenue equals the
+    maximum. The scalar max rides as a broadcast single-row cross join
+    (same pattern as Q22's average) — no driver collect, no global
+    window. Revenue is rounded to 4 decimals on BOTH sides before the
+    equality so float summation order can't flip the winner."""
+    lineitem = (load(spark, sf_dir, "lineitem")
+                .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                        & (F.col("l_shipdate") < F.lit("1996-04-01"))))
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = (lineitem.groupBy("l_suppkey")
+               .agg(F.round(F.sum(_revenue()), 4).alias("total_revenue")))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (revenue
+            .crossJoin(F.broadcast(max_rev))
+            .filter(F.col("total_revenue") == F.col("max_revenue"))
+            .join(F.broadcast(supplier),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey"), F.col("s_name"), "total_revenue"))
+
+
+TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: yearly revenue that would vanish if sub-20%-of-average
+    quantity orders were dropped, for one brand. The correlated AVG
+    subquery becomes an aggregate-then-rejoin: per-part averages are a
+    tiny table (one row per brand part) joined back broadcast-side, so
+    lineitem is scanned twice but never shuffled on a quadratic key."""
+    part = (load(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#4")
+            .select("p_partkey"))
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    brand_lines = lineitem.join(F.broadcast(part),
+                                F.col("l_partkey") == F.col("p_partkey"))
+    part_avg = (brand_lines.groupBy("p_partkey")
+                .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")))
+    return (brand_lines
+            .join(F.broadcast(part_avg.withColumnRenamed("p_partkey", "ap")),
+                  F.col("l_partkey") == F.col("ap"))
+            .filter(F.col("l_quantity") < F.col("qty_cut"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""

@@ -93,3 +93,30 @@ def test_redact_pii(spark):
     assert "@" not in got[1]["redacted"]
     assert got[2]["n_emails"] == 0 and got[2]["n_numbers"] == 0
     assert got[2]["redacted"].endswith("3.14 in it")
+
+
+def test_repeated_ngram_spans(spark):
+    from spark_ext_spark.llm.text import repeated_ngram_spans
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "a quick brown fox runs"),
+         (3, "that quick brown fox sleeps"),
+         (4, "quick brown fox"),       # appears twice in this doc? no — once
+         (5, "too short"),
+         (6, "quick brown fox quick brown fox here")],  # 2 occurrences
+        "doc_id long, text string")
+    rows = repeated_ngram_spans(df, "doc_id", "text",
+                                n=3, min_df=3, k=10).collect()
+    got = {r["gram"]: (r["df"], r["occurrences"]) for r in rows}
+    # 'quick brown fox' occurs in docs 1,2,3,4,6 — doc 6 twice
+    assert got["quick brown fox"] == (5, 6)
+    # no other trigram is shared by >= 3 docs
+    assert list(got) == ["quick brown fox"]
+
+
+def test_repeated_ngram_spans_short_docs_empty(spark):
+    from spark_ext_spark.llm.text import repeated_ngram_spans
+    df = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "a b")],
+                               "doc_id long, text string")
+    assert repeated_ngram_spans(df, "doc_id", "text",
+                                n=3, min_df=2).count() == 0
