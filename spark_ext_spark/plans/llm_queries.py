@@ -482,18 +482,28 @@ ASOF LEFT JOIN o
 
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: documents' bytes treated as opaque media payloads →
-    attach → stub-decode → per-format size stats (the full multimodal
-    plumbing end-to-end)."""
+    attach → stub-decode → stub-resize(64×64) → frame-sample → per-
+    format stats (the full multimodal plumbing end-to-end; every stage
+    is the real Arrow batch path, only the codec bodies are the
+    documented stubs)."""
     docs = load(spark, sf_dir, "documents")
     media = multimodal.attach_media(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
         "doc_id", "payload")
     decoded = multimodal.decode_media(media)
-    return (decoded
-            .groupBy(F.col("media_meta.format").alias("format"))
+    resized = multimodal.resize_media(decoded, width=64, height=64)
+    frames = multimodal.sample_frames(resized, every_n=5)
+    fcnt = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"))
+    items = decoded.select(
+        "media_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.byte_len").alias("byte_len"))
+    return (items.join(fcnt, "media_id", "left")
+            .groupBy("format")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.sum("media_meta.byte_len").alias("total_bytes"),
-                 F.round(F.avg("media_meta.width"), 4).alias("avg_width")))
+                 F.sum("byte_len").alias("total_bytes"),
+                 F.round(F.avg("n_sampled"), 4).alias("avg_frames_sampled")))
 
 
 def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,3 +63,19 @@ def test_quantize_zero_vector_safe(spark):
     assert got[1]["max_abs_err"] == 0.0 and got[1]["mean_abs_err"] == 0.0
     assert got[2]["scale"] == 1.0  # max|x|/127 = 127/127
     assert got[2]["max_abs_err"] == 0.0  # values exactly representable
+
+
+def test_quantize_arrow_and_expr_paths_agree(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    arrow = {r["vec_id"]: r for r in
+             quantize_embeddings(emb, method="arrow").collect()}
+    expr = {r["vec_id"]: r for r in
+            quantize_embeddings(emb, method="expr").collect()}
+    assert set(arrow) == set(expr)
+    for vid, a in arrow.items():
+        e = expr[vid]
+        assert (a["scale"], a["max_abs_err"], a["mean_abs_err"]) == (
+            e["scale"], e["max_abs_err"], e["mean_abs_err"]), vid
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        quantize_embeddings(emb, method="nope")

@@ -70,3 +70,28 @@ def test_sample_frames_shape(media):
     for mid, idxs in by_id.items():
         expected = list(range(0, max(metas[mid]["n_frames"] - 1, 0) + 1, 5))
         assert sorted(idxs) == expected
+
+
+def test_resize_media_stub(spark):
+    from spark_ext_spark.llm.multimodal import (attach_media, decode_media,
+                                                resize_media)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\npayload-one")),
+         (2, bytearray(b"\xff\xd8\xff\xe0jpeg-bytes"))],
+        "doc_id long, payload binary")
+    resized = resize_media(decode_media(attach_media(df, "doc_id", "payload")),
+                           width=32, height=24)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert rows[1]["media_meta"]["width"] == 32
+    assert rows[1]["media_meta"]["height"] == 24
+    assert rows[1]["media_meta"]["format"] == "png"
+    assert rows[2]["media_meta"]["format"] == "jpeg"
+    # stub payload is deterministic and content-addressed
+    assert len(bytes(rows[1]["media"])) == 32
+    again = {r["media_id"]: bytes(r["media"]) for r in resized.collect()}
+    assert again[1] == bytes(rows[1]["media"])
+    assert again[1] != again[2]
+    # n_frames survives the resize untouched
+    dec = {r["media_id"]: r["media_meta"]["n_frames"] for r in
+           decode_media(attach_media(df, "doc_id", "payload")).collect()}
+    assert rows[1]["media_meta"]["n_frames"] == dec[1]
