@@ -43,13 +43,19 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     """
     # assumes pairs are unique (a < b), as every *_pairs producer in
     # llm/ guarantees — duplicated edges would only cost, not corrupt.
-    # Materialize the edge table ONCE: it is re-joined every round, and
-    # without this the whole upstream pair-producing pipeline (e.g. the
-    # shingle join) would re-execute per iteration (measured 17s → 4s
-    # on the dup_clusters bench).
-    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-           .localCheckpoint())
+    # Materialize the DIRECTED edge table once, then symmetrize from
+    # the checkpointed data: checkpointing the union instead would run
+    # the whole upstream pair-producing pipeline (e.g. the shingle
+    # join) twice, once per union branch (measured 10.2 s vs 4.6 s at
+    # sf0.1). The repartition before the checkpoint lets AQE size the
+    # edge partitions by bytes — a few-hundred-edge graph collapses to
+    # one partition, so the per-round joins don't fan out into dozens
+    # of near-empty tasks (measured 3.2 s → 1.8 s for 4 rounds), while
+    # a billion-edge graph still gets full parallelism.
+    e1 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .repartition("u")
+          .localCheckpoint())
+    sym = e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .select("node", F.col("node").alias("comp"))
               .localCheckpoint())
@@ -85,7 +91,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         cached = nxt
         labels = nxt.select("node", "comp")
         if changed == 0:
-            sym.unpersist()
+            e1.unpersist()
             return labels
     raise RuntimeError(f"connected_components: no convergence in "
                        f"{max_iter} rounds")

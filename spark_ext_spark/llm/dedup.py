@@ -88,8 +88,11 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     yields globally-distinct (id, shingle) pairs, so the shuffling
     ``.distinct()`` over the exploded table — the single biggest stage
     of a cold run — is skipped."""
-    wdf = df.select(F.col(id_col).alias("doc"),
-                    F.split(normalize_text(text_col), " ").alias("__words"))
+    from spark_ext_spark.sources.io import ensure_fanout
+    wdf = ensure_fanout(
+        df.select(F.col(id_col).alias("doc"),
+                  F.split(normalize_text(text_col), " ").alias("__words")),
+        "doc")
     shingle = shingle_array(F.col("__words"), n, hashed=hashed)
     out = wdf.select("doc", F.explode(F.array_distinct(shingle)).alias("shingle"))
     return out if unique_ids else out.distinct()
@@ -181,8 +184,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             out.append([int(m) for m in mins])
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("doc"),
-                     sig(F.col(text_col)).alias("signature"))
+    from spark_ext_spark.sources.io import ensure_fanout
+    return ensure_fanout(df, id_col).select(
+        F.col(id_col).alias("doc"), sig(F.col(text_col)).alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -258,7 +262,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             out.append(val - (1 << 64) if val >= (1 << 63) else val)
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("doc"), sh(F.col(text_col)).alias("simhash"))
+    from spark_ext_spark.sources.io import ensure_fanout
+    return ensure_fanout(df, id_col).select(
+        F.col(id_col).alias("doc"), sh(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,

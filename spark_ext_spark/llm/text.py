@@ -118,7 +118,9 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     a driver round-trip outside the plan. Ranking uses the ROUNDED
     score (desc, then term asc) so cross-engine ULP noise in ln() can't
     reorder the cut."""
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    from spark_ext_spark.sources.io import ensure_fanout
+    toks = (ensure_fanout(df.select(F.col(id_col), F.col(text_col)), id_col)
+            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -214,14 +216,21 @@ def char_trigram_lm_scores(df: DataFrame, id_col: str, text_col: str,
     rule as shingle_array): a lambda referencing the raw regexp
     expression re-evaluates it per element — measured 34 s vs ~1 s at
     sf0.1 for this query."""
-    base = df.select(F.col(id_col),
-                     normalize_text(text_col).alias("__t"))
+    from spark_ext_spark.sources.io import ensure_fanout
+    base = ensure_fanout(
+        df.select(F.col(id_col), normalize_text(text_col).alias("__t")),
+        id_col)
     t = F.col("__t")
-    tris = F.when(
-        F.length(t) >= 3,
-        F.transform(F.sequence(F.lit(1), F.length(t) - 2),
-                    lambda i: F.substr(t, i, F.lit(3))))
-    exploded = base.select(F.col(id_col), F.explode(tris).alias("tri"))
+    # explode the OFFSETS, then take trigrams with a plain substr
+    # projection: substr(t, i, 3) with column args is whole-stage
+    # codegen, while a transform() lambda is interpreted — measured
+    # 2.2 s vs 1.5 s for this stage at sf0.1. when() guards len<3
+    # (sequence(1,0) would count DOWN, not produce empty).
+    offsets = F.explode(F.when(
+        F.length(t) >= 3, F.sequence(F.lit(1), F.length(t) - 2)))
+    exploded = (base.select(F.col(id_col), t, offsets.alias("__i"))
+                .select(F.col(id_col),
+                        F.substr(t, F.col("__i"), F.lit(3)).alias("tri")))
     # ONE explode pipeline: compact to per-doc term frequencies first;
     # profile/total/scores all derive from tf, whose (doc, tri) shuffle
     # is a shared subplan (ReusedExchange) — the raw trigram stream is
@@ -265,9 +274,14 @@ def repeated_ngram_spans(df: DataFrame, id_col: str, text_col: str,
     for ``xxhash64(gram)`` to shrink shuffle width when the span text
     itself isn't needed.
     """
-    ex = df.select(F.col(id_col).alias("doc_id"),
-                   F.posexplode(tokens(F.col(text_col)))
-                   .alias("pos", "w"))
+    from spark_ext_spark.sources.io import ensure_fanout
+    # fanning out on the doc key ALSO satisfies the window's required
+    # distribution, so the lead() stage reuses this exchange instead of
+    # adding one
+    ex = (ensure_fanout(df.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col)), "doc_id")
+          .select("doc_id",
+                  F.posexplode(tokens(F.col(text_col))).alias("pos", "w")))
     win = Window.partitionBy("doc_id").orderBy("pos")
     gram = F.concat_ws(
         " ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, n)])

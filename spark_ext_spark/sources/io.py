@@ -117,3 +117,28 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite",
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.json(path)
+
+
+def ensure_fanout(df: DataFrame, *key_cols: str,
+                  target: int | None = None) -> DataFrame:
+    """Re-balance BEFORE a row-amplifying op (explode/shingle/signature
+    stages multiply rows 50-300×). Input partitioning is sized by FILE
+    BYTES, so a compact source (one small parquet file → one task)
+    serializes the whole fan-out stage — and AQE cannot fix it, because
+    AQE only re-plans after a shuffle and there is none before the
+    explode. No-op whenever the input already meets the session's
+    default parallelism (the large-cluster / many-files case), so at
+    100 TB this never adds a shuffle; at bench scale it converts a
+    1-task explode into a 32-task one (measured 4.0 s → 1.7 s on
+    doc_lm_scores at sf0.1).
+
+    Hash-partitions on ``key_cols`` when given (deterministic under
+    task retries); round-robin otherwise (Spark sorts round-robin
+    partitions internally to stay retry-safe)."""
+    if df.isStreaming:
+        return df
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return (df.repartition(target, *[F.col(c) for c in key_cols])
+            if key_cols else df.repartition(target))
