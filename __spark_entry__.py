@@ -79,7 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lq.ann_ivf_topk,        # rows-only
         "embedding_quantize": lq.embedding_quantize,
         "media_sniff_formats": lq.media_sniff_formats,
-        "media_pipeline": lq.media_pipeline,    # rows-only
+        "media_pipeline": lq.media_pipeline,
         # --- 43-50: one representative per beyond-§2B family ------------
         "asof_join_orders": lq.asof_join_orders,
         "range_join_windows": rel.events_in_order_windows,
@@ -194,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_orders": lq.ASOF_JOIN_ORDERS_SQL,
         "media_byte_stats": lq.MEDIA_BYTE_STATS_SQL,
         "media_sniff_formats": lq.MEDIA_SNIFF_FORMATS_SQL,
+        "media_pipeline": lq.MEDIA_PIPELINE_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "global_agg": rel.GLOBAL_AGG_SQL,
         "join_revenue_by_nation": rel.REVENUE_BY_NATION_SQL,

@@ -67,8 +67,10 @@ def attach_media(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real decode: dimensions derived
-    from a blake2 digest of the payload (stable across runs/engines)."""
-    d = hashlib.blake2b(payload, digest_size=8).digest()
+    from a sha256 digest of the payload — sha256 (not blake2) so any
+    other engine (the DuckDB oracle included) can reproduce the fake
+    decode byte-for-byte from the same payload."""
+    d = hashlib.sha256(payload).digest()
     width = 16 + d[0] % 240
     height = 16 + d[1] % 240
     n_frames = 1 + d[2] % 30

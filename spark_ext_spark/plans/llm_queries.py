@@ -481,11 +481,14 @@ ASOF LEFT JOIN o
 
 
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: documents' bytes treated as opaque media payloads →
-    attach → stub-decode → stub-resize(64×64) → frame-sample → per-
-    format stats (the full multimodal plumbing end-to-end; every stage
-    is the real Arrow batch path, only the codec bodies are the
-    documented stubs)."""
+    """Documents' bytes treated as opaque media payloads → attach →
+    stub-decode → stub-resize(64×64) → frame-sample → per-source stats
+    (the full multimodal plumbing end-to-end; every stage is the real
+    Arrow batch path, only the codec bodies are the documented stubs).
+    Oracle-checkable because the fake decode derives dimensions from
+    sha256(payload), which DuckDB reproduces from the same text bytes;
+    the format sniff is separately oracle-checked by
+    media_sniff_formats."""
     docs = load(spark, sf_dir, "documents")
     media = multimodal.attach_media(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
@@ -496,14 +499,29 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fcnt = frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_sampled"))
     items = decoded.select(
-        "media_id",
-        F.col("media_meta.format").alias("format"),
-        F.col("media_meta.byte_len").alias("byte_len"))
+        "media_id", F.col("media_meta.byte_len").alias("byte_len"))
     return (items.join(fcnt, "media_id", "left")
-            .groupBy("format")
+            .join(docs.select(F.col("doc_id").alias("media_id"), "source"),
+                  "media_id")
+            .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("byte_len").alias("total_bytes"),
                  F.round(F.avg("n_sampled"), 4).alias("avg_frames_sampled")))
+
+
+MEDIA_PIPELINE_SQL = """
+WITH m AS (
+  SELECT doc_id, source,
+         octet_length(encode(text)) AS byte_len,
+         1 + ('0x' || substr(sha256(text), 5, 2))::INTEGER % 30
+             AS n_frames
+  FROM documents
+)
+SELECT source, count(*) AS n_items, sum(byte_len) AS total_bytes,
+       round(avg(floor((n_frames - 1) / 5) + 1), 4)
+           AS avg_frames_sampled
+FROM m GROUP BY source
+"""
 
 
 def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

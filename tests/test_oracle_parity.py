@@ -49,7 +49,6 @@ KNOWN_ROWS_ONLY = {
     "s2_cells",            # S2 Hilbert bit math not SQL-expressible
     "local_lr_model",      # iterative optimizer
     "ann_ivf_topk",        # trained k-means quantizer
-    "media_pipeline",      # blake2-based stub decode
     "approx_user_stats",   # HLL++/GK sketch internals engine-specific
     "sketch_user_rollup",  # Datasketches HLL binary sketches
 }
