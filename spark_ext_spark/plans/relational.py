@@ -330,6 +330,69 @@ GROUP BY 1, 2
 """
 
 
+def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with LOCF (timescale
+    `time_bucket_gapfill` + `locf` shape): a dense (hour × event_type)
+    grid from the observed min/max hour, missing buckets filled with
+    n_events=0 and the last observed hourly average carried forward
+    (null before the first observation).
+
+    Plan: the hourly rollup aggregates first (data-sized shuffle); the
+    grid is built from a broadcast single-row min/max aggregate
+    exploded through sequence() and cross-joined with the distinct
+    type table — grid cardinality is hours × types, independent of the
+    fact-table size, so at 100 TB the grid side stays tiny and
+    broadcast. The LOCF window partitions by type and orders by hour —
+    rows per partition bounded by the calendar, not the data."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg("value"), 4).alias("avg_v")))
+    bounds = ev.agg(F.min(F.date_trunc("hour", "ts")).alias("lo"),
+                    F.max(F.date_trunc("hour", "ts")).alias("hi"))
+    grid = (bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+        .crossJoin(ev.select("event_type").distinct()))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(hourly, ["hour", "event_type"], "left")
+            .select("hour", "event_type",
+                    F.coalesce("n", F.lit(0)).alias("n_events"),
+                    F.last("avg_v", ignorenulls=True).over(w)
+                    .alias("locf_avg_value")))
+
+
+HOURLY_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(avg(value), 4) AS avg_v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo,
+         max(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+g AS (
+  SELECT hour, event_type
+  FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.hour, g.event_type,
+       coalesce(h.n, 0) AS n_events,
+       last_value(h.avg_v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS locf_avg_value
+FROM g
+LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type
+"""
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter → 3-way join → revenue agg →
     deterministic top-10."""
