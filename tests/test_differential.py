@@ -233,3 +233,73 @@ def test_random_setop_matches_duckdb(spark, duck, shape):
            f"AND value >= {vmin!r}")
     duck_rows = sorted(r[0] for r in duck.execute(sql).fetchall())
     assert spark_rows == duck_rows
+
+
+time_shapes = st.tuples(
+    st.sampled_from(["hour", "day", "week", "month"]),     # trunc unit
+    st.sampled_from([None, "hour", "dayofweek", "day"]),   # extract key
+    st.lists(st.sampled_from(["n", "sum_v", "min_ts", "max_ts"]),
+             unique=True, min_size=1, max_size=3),
+    st.one_of(st.none(), st.sampled_from([5, 12, 20])),    # hour filter
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=time_shapes)
+def test_random_time_bucket_matches_duckdb(spark, duck, shape):
+    """Randomized date_trunc/extract aggregation shapes over events.ts.
+    The time path is where the engines (and the driver's testdata
+    encoding) have historically diverged — r2's TIMESTAMP_NTZ drift —
+    so keep it under differential fire: trunc granularities, extract
+    keys, min/max of timestamps, and hour-of-day filters must agree
+    with DuckDB bit-for-bit under the UTC session timezone."""
+    trunc_unit, extract_key, agg_names, hour_min = shape
+
+    spark_extract = {"hour": F.hour("ts"),
+                     "dayofweek": F.dayofweek("ts"),
+                     "day": F.dayofmonth("ts")}
+    duck_extract = {"hour": "extract(hour FROM ts)",
+                    # DuckDB dow is 0=Sunday; Spark dayofweek 1=Sunday
+                    "dayofweek": "(extract(dow FROM ts) + 1)",
+                    "day": "extract(day FROM ts)"}
+    spark_aggs = {"n": F.count(F.lit(1)),
+                  "sum_v": F.round(F.sum("value"), 4),
+                  "min_ts": F.min("ts"), "max_ts": F.max("ts")}
+    duck_aggs = {"n": "count(*)", "sum_v": "round(sum(value), 4)",
+                 "min_ts": "min(ts)", "max_ts": "max(ts)"}
+
+    ev = load(spark, SF, "events")
+    conds = []
+    if hour_min is not None:
+        ev = ev.filter(F.hour("ts") >= hour_min)
+        conds.append(f"extract(hour FROM ts) >= {hour_min}")
+
+    keys = [F.date_trunc(trunc_unit, "ts").alias("bucket")]
+    key_names = ["bucket"]
+    if extract_key is not None:
+        keys.append(spark_extract[extract_key].cast("long").alias("k2"))
+        key_names.append("k2")
+    out = ev.groupBy(*keys).agg(
+        *[spark_aggs[a].alias(a) for a in agg_names])
+    cols = key_names + agg_names
+    spark_rows = sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in out.collect()), key=repr)
+
+    # DuckDB returns DATE for day/week/month truncs, Spark a TIMESTAMP
+    # — align the oracle type explicitly
+    sel = [f"CAST(date_trunc('{trunc_unit}', ts) AS TIMESTAMP) AS bucket"]
+    if extract_key is not None:
+        sel.append(f"CAST({duck_extract[extract_key]} AS BIGINT) AS k2")
+    sel += [f"{duck_aggs[a]} AS {a}" for a in agg_names]
+    sql = f"SELECT {', '.join(sel)} FROM events"
+    if conds:
+        sql += " WHERE " + " AND ".join(conds)
+    sql += " GROUP BY " + ", ".join(key_names)
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    duck_rows = sorted(
+        (tuple(_norm(dict(zip(names, r))[c]) for c in cols)
+         for r in res.fetchall()), key=repr)
+
+    assert spark_rows == duck_rows
