@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": rel.price_percentiles,
         "hourly_rollup": rel.hourly_rollup,
         "hourly_gapfill": rel.hourly_gapfill,
+        "hourly_interpolate": rel.hourly_interpolate,
         "shipping_priority": rel.shipping_priority,
         "intersect_buyers": rel.intersect_high_value_buyers,
         "except_non_urgent": rel.except_low_priority_only,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": rel.PRICE_PERCENTILES_SQL,
         "hourly_rollup": rel.HOURLY_ROLLUP_SQL,
         "hourly_gapfill": rel.HOURLY_GAPFILL_SQL,
+        "hourly_interpolate": rel.HOURLY_INTERPOLATE_SQL,
         "shipping_priority": rel.SHIPPING_PRIORITY_SQL,
         "range_join_windows": rel.EVENTS_IN_ORDER_WINDOWS_SQL,
         "intersect_buyers": rel.INTERSECT_HIGH_VALUE_BUYERS_SQL,

@@ -393,6 +393,110 @@ LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type
 """
 
 
+def hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps in the hourly series (the
+    companion to hourly_gapfill's LOCF): missing buckets get
+    prev + (next-prev) · elapsed/gap from the nearest observed hourly
+    averages on each side; edges fall back to the single available
+    neighbor. Four ignorenulls windows (value+time, each direction)
+    per type — same calendar-bounded partitions as the gapfill, so the
+    cost never scales with the fact table."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.round(F.avg("value"), 4).alias("v")))
+    bounds = ev.agg(F.min(F.date_trunc("hour", "ts")).alias("lo"),
+                    F.max(F.date_trunc("hour", "ts")).alias("hi"))
+    grid = (bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+        .crossJoin(ev.select("event_type").distinct()))
+    g = grid.join(hourly, ["hour", "event_type"], "left")
+    back = (Window.partitionBy("event_type").orderBy("hour")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy("event_type").orderBy("hour")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_h = F.when(F.col("v").isNotNull(), F.col("hour"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    prev_h = F.last(obs_h, ignorenulls=True).over(back)
+    next_h = F.first(obs_h, ignorenulls=True).over(fwd)
+    frac = ((F.unix_timestamp("hour") - F.unix_timestamp(prev_h))
+            / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)))
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(prev_v.isNull(), next_v)
+              .when(next_v.isNull(), prev_v)
+              .otherwise(prev_v + (next_v - prev_v) * frac))
+    return (g.select("hour", "event_type",
+                     F.col("v").isNotNull().alias("observed"),
+                     prev_v.alias("pv"), next_v.alias("nv"),
+                     prev_h.alias("ph"), next_h.alias("nh"),
+                     interp.alias("raw"))
+            .select("hour", "event_type", "observed",
+                    # NOT F.round: interpolating 4-decimal inputs lands
+                    # on exact decimal halves constantly, and Spark
+                    # rounds the double's shortest-decimal repr while
+                    # SQL engines round the true binary value — they
+                    # disagree on those halves. floor(x·10⁴ + 0.5)/10⁴
+                    # is pure same-ordered double math, so both engines
+                    # quantize the identical double identically.
+                    (F.floor(F.col("raw") * 10000 + F.lit(0.5)) / 10000.0)
+                    .alias("interp_value")))
+
+
+HOURLY_INTERPOLATE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         round(avg(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo,
+         max(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+g AS (
+  SELECT hour, event_type
+  FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+),
+j AS (
+  SELECT g.hour, g.event_type, h.v
+  FROM g LEFT JOIN hourly h
+    ON h.hour = g.hour AND h.event_type = g.event_type
+),
+w AS (
+  SELECT hour, event_type, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT hour, event_type, (v IS NOT NULL) AS observed,
+       -- floor-quantization instead of round(), and fraction-first
+       -- association, to match the Spark double-op chain bit-for-bit
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv)
+                        * ((epoch(hour) - epoch(ph))
+                           / (epoch(nh) - epoch(ph)))
+              END) * 10000 + 0.5) / 10000.0 AS interp_value
+FROM w
+"""
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter → 3-way join → revenue agg →
     deterministic top-10."""
