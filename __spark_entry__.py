@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": rel.pricing_summary,
         # --- 51+: §2B dataflow surface (bench coverage; all green via
         # tests/test_oracle_parity.py at sf0.001) ------------------------
+        "source_temperature_mix": lq.source_temperature_mix,
         "gather_flat": gq.gather_user_events_flat,
         "gather_count": gq.gather_user_event_counts,
         "token_counts": lq.token_counts,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": lq.TOKEN_COUNTS_SQL,
         "source_capped_corpus": lq.SOURCE_CAPPED_CORPUS_SQL,
         "doc_sample_k": lq.DOC_SAMPLE_K_SQL,
+        "source_temperature_mix": lq.SOURCE_TEMPERATURE_MIX_SQL,
         "embedding_quantize": lq.EMBEDDING_QUANTIZE_SQL,
         "zorder_events": rel.ZORDER_EVENT_KEYS_SQL,
         "train_test_split": lq.TRAIN_TEST_SPLIT_SQL,

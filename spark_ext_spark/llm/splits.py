@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from spark_ext_spark.llm.text import tokens
 from spark_ext_spark.operators.prefix import partitioned_cumulative_sums
 
-__all__ = ["hash_unit_interval", "hash_split", "pack_sequences"]
+__all__ = ["hash_unit_interval", "hash_split", "pack_sequences",
+           "temperature_mix_sample"]
 
 
 def hash_unit_interval(key: Column | str, salt: str = "") -> Column:
@@ -108,3 +109,32 @@ def hash_sample_k(df: DataFrame, id_col: str, k: int,
     return (df.withColumn("__u", u)
             .orderBy(F.col("__u").asc(), F.col(id_col).asc())
             .limit(k).drop("__u"))
+
+
+def temperature_mix_sample(df: DataFrame, group_col: str, id_col: str,
+                           alpha: float = 0.7, budget: int = 1000,
+                           salt: str = "mix") -> DataFrame:
+    """Temperature-based source mixing — the size^alpha re-weighting
+    used to balance heterogeneous corpora (small sources upsampled
+    relative to their share when alpha < 1): expected take per group
+    m_g = budget · n_g^α / Σ_h n_h^α, capped at n_g, realised as a
+    deterministic per-row filter u(id) < m_g/n_g with the md5 uniform
+    from hash_unit_interval — reproducible across engines, runs and
+    cluster sizes, and stable under task retries (unlike Bernoulli
+    ``sample``).
+
+    Plan: one group-count agg, a two-row broadcast chain (per-group
+    rates via a single-row normalizer cross join), then a scan-fused
+    filter — the corpus itself never shuffles."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    z = counts.agg(F.sum(F.pow("__n", F.lit(alpha))).alias("__z"))
+    rates = (counts.crossJoin(F.broadcast(z))
+             .select(group_col,
+                     F.least(
+                         F.lit(1.0),
+                         F.lit(float(budget)) * F.pow("__n", F.lit(alpha))
+                         / F.col("__z") / F.col("__n")).alias("__rate")))
+    u = hash_unit_interval(id_col, salt)
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(u < F.col("__rate"))
+            .drop("__rate"))

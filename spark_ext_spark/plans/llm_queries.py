@@ -1068,11 +1068,39 @@ LIMIT 100
 """
 
 
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed corpus sample (size^0.5 source re-weighting,
+    budget 200) — llm/splits.py temperature_mix_sample; membership is a
+    pure function of md5(doc_id), so DuckDB replays it exactly."""
+    from spark_ext_spark.llm import splits
+    docs = load(spark, sf_dir, "documents")
+    out = splits.temperature_mix_sample(docs, "source", "doc_id",
+                                        alpha=0.5, budget=200, salt="mix")
+    return out.select("doc_id", "source")
+
+
+SOURCE_TEMPERATURE_MIX_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+z AS (SELECT sum(pow(n, 0.5)) AS z FROM counts),
+rates AS (
+  SELECT source, least(1.0, 200.0 * pow(n, 0.5) / z / n) AS rate
+  FROM counts CROSS JOIN z
+)
+SELECT doc_id, d.source
+FROM documents d
+JOIN rates r ON d.source = r.source
+WHERE ('0x' || substring(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
+      / 1152921504606846976.0 < r.rate
+"""
+
+
 def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup signal: word 8-grams shared by ≥3 documents
     (llm/text.py repeated_ngram_spans — Lee et al. 2022 primitive).
-    One gram-keyed shuffle; sliding windows built as array expressions
-    inside the row, so the only row explosion is the final explode."""
+    Grams built by per-doc lead windows over the posexploded token
+    stream (codegen), then one map-side-combined gram-keyed shuffle."""
     docs = load(spark, sf_dir, "documents")
     return text.repeated_ngram_spans(docs, "doc_id", "text",
                                      n=8, min_df=3, k=50)

@@ -44,3 +44,40 @@ def test_pack_sequences_contract(spark):
     # non-decreasing function of doc order
     seqs = [out[i][1] for i in sorted(out)]
     assert seqs == sorted(seqs)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from spark_ext_spark.llm.splits import temperature_mix_sample
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix_sample(df, "source", "doc_id",
+                                 alpha=0.5, budget=200)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_big, n_small = got.get("big", 0), got.get("small", 0)
+    # expected takes: 200·sqrt(n_g)/Σsqrt — big 150, small 50 — so the
+    # small source's SAMPLING RATE (50%) far exceeds the big one's
+    # (17%); hash noise is ~±3σ ≈ ±35 rows on big, ±20 on small
+    assert 100 <= n_big <= 200
+    assert 30 <= n_small <= 70
+    assert n_small / 100 > n_big / 900  # per-row upweighting holds
+    # deterministic: same inputs, same sample
+    again = temperature_mix_sample(df, "source", "doc_id",
+                                   alpha=0.5, budget=200)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+
+
+def test_temperature_mix_alpha_one_is_proportional(spark):
+    from spark_ext_spark.llm.splits import temperature_mix_sample
+    rows = ([(i, "a") for i in range(600)]
+            + [(2000 + i, "b") for i in range(300)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix_sample(df, "source", "doc_id",
+                                 alpha=1.0, budget=300)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha=1 -> uniform rate budget/N = 1/3 for every source
+    assert 160 <= got.get("a", 0) <= 240
+    assert 70 <= got.get("b", 0) <= 130
