@@ -157,37 +157,48 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
 
         order = [F.desc("count"), F.asc("key")]
         n_fit = self.getOrDefault(self.fitPartitions)
+        # The coverage/support total rides INSIDE the plan as a
+        # broadcast single-row cross join — not a driver .first()
+        # round-trip — so the whole fit is one Spark job (dictionary
+        # collect) instead of two, and there is no driver sync point
+        # between the count and the threshold filter at scale.
+        def with_total(cdf):
+            tot = cdf.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).alias("__total"))
+            return cdf.crossJoin(F.broadcast(tot))
+
         if transformation == "top":
             # Exclusion BEFORE the coverage total (GatherEncoder.scala:178-183).
             if exclude:
                 counts = counts.filter(~F.col("key").isin(list(exclude)))
             cover = self.getOrDefault(self.cover)
-            total = counts.select(F.sum("count")).first()[0] or 0
-            threshold = (cover / 100.0) * total
+            threshold = F.lit(cover / 100.0) * F.col("__total")
             if n_fit > 1:
                 # distributed: exclusive coverage cumsum AND the slot
                 # index (exclusive count of preceding rows = rank-1)
                 # share one range shuffle
                 cs = partitioned_cumulative_sums(
-                    counts, order, {"cum": "count", "slot": F.lit(1)},
+                    with_total(counts), order,
+                    {"cum": "count", "slot": F.lit(1)},
                     num_partitions=n_fit, inclusive=False)
-                return (cs.filter(F.col("cum") < F.lit(threshold))
+                return (cs.filter(F.col("cum") < threshold)
                         .select("key", "count",
                                 F.col("slot").cast("int").alias("slot")))
             w_excl = (Window.orderBy(*order)
                       .rowsBetween(Window.unboundedPreceding, -1))
-            selected = (counts
+            selected = (with_total(counts)
                         .withColumn("cum", F.coalesce(
                             F.sum("count").over(w_excl), F.lit(0)))
-                        .filter(F.col("cum") < F.lit(threshold))
-                        .drop("cum"))
+                        .filter(F.col("cum") < threshold)
+                        .drop("cum", "__total"))
         else:
             # Threshold over the UNFILTERED total; exclusion after
             # (GatherEncoder.scala:200-220).
             support = self.getOrDefault(self.support)
-            total = counts.select(F.sum("count")).first()[0] or 0
-            threshold = (support / 100.0) * total
-            selected = counts.filter(F.col("count") >= F.lit(threshold))
+            threshold = F.lit(support / 100.0) * F.col("__total")
+            selected = (with_total(counts)
+                        .filter(F.col("count") >= threshold)
+                        .drop("__total"))
             if exclude:
                 selected = selected.filter(~F.col("key").isin(list(exclude)))
             if n_fit > 1:

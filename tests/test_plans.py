@@ -154,7 +154,15 @@ def test_no_query_plans_cartesian(spark, sf_small):
                         "lift_curve", "precision_by_threshold",
                         "recall_by_threshold", "f_measure",
                         "tpch_q22_idle_rich", "tfidf_top_terms",
-                        "doc_lm_scores"}
+                        "doc_lm_scores",
+                        # 1-row bounds/normalizer attaches: the hourly
+                        # grid (min/max × type table), the mixing-rate
+                        # normalizer, the Q15 max-revenue scalar, and
+                        # the encoder coverage total
+                        "hourly_gapfill", "hourly_interpolate",
+                        "source_temperature_mix", "tpch_q15_top_supplier",
+                        "gather_encoder_top", "gather_encoder_top_allother",
+                        "gather_encoder_index", "gather_encoder_distfit"}
     offenders = {}
     for name, fn in entrymod.queries().items():
         p = plan_of(fn(spark, sf_small))
