@@ -93,6 +93,8 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         if changed == 0:
             e1.unpersist()
             return labels
+    e1.unpersist()
+    cached.unpersist()
     raise RuntimeError(f"connected_components: no convergence in "
                        f"{max_iter} rounds")
 

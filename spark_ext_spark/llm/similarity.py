@@ -385,8 +385,12 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
             F.round(F.aggregate(err, F.lit(0.0),
                                 lambda acc, e: F.greatest(acc, e)),
                     round_to).alias("max_abs_err"),
-            F.round(F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e)
-                    / n, round_to).alias("mean_abs_err"))
+            # try_divide: empty vector → NULL mean (a plain divide is a
+            # DIVIDE_BY_ZERO error under ANSI mode), matching the arrow
+            # path's pinned null/empty contract
+            F.round(F.try_divide(
+                F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e), n),
+                round_to).alias("mean_abs_err"))
     if method != "arrow":
         raise ValueError(f"unknown method: {method!r}")
 
@@ -395,8 +399,17 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     def qstats(vs: pd.Series) -> pd.DataFrame:
         out = []
         for vec in vs:
+            # null/empty contract pinned to the expr path's outputs
+            # (test-asserted): null vector → all-null row; empty vector
+            # → scale 0, max 0, mean null (0/0 is NULL in Spark SQL)
+            if vec is None:
+                out.append((None, None, None))
+                continue
             x = np.asarray(vec, dtype=np.float64)
-            s = float(np.abs(x).max()) / 127.0 if x.size else 0.0
+            if x.size == 0:
+                out.append((0.0, 0.0, None))
+                continue
+            s = float(np.abs(x).max()) / 127.0
             safe = s if s > 0 else 1.0
             # half-away-from-zero to match F.round / SQL round()
             # (np.round is half-even)
@@ -404,7 +417,7 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
             err = np.abs(x - q * s)
             # sequential sum matches the expr path / SQL list_reduce
             out.append((s, float(err.max(initial=0.0)),
-                        float(sum(err.tolist())) / max(x.size, 1)))
+                        float(sum(err.tolist())) / x.size))
         return pd.DataFrame(out, columns=["scale", "max_abs_err",
                                           "mean_abs_err"])
 

@@ -498,7 +498,11 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(resized, every_n=5)
     fcnt = frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_sampled"))
-    items = decoded.select(
+    # byte_len is filled by attach_media and copied unchanged through
+    # decode — read it from the attach output so the decode UDF runs
+    # once (reading from `decoded` here re-executed the Arrow decode
+    # pass a second time for this branch)
+    items = media.select(
         "media_id", F.col("media_meta.byte_len").alias("byte_len"))
     return (items.join(fcnt, "media_id", "left")
             .join(docs.select(F.col("doc_id").alias("media_id"), "source"),

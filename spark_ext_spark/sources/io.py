@@ -129,13 +129,27 @@ def ensure_fanout(df: DataFrame, *key_cols: str,
     explode. No-op whenever the input already meets the session's
     default parallelism (the large-cluster / many-files case), so at
     100 TB this never adds a shuffle; at bench scale it converts a
-    1-task explode into a 32-task one (measured 4.0 s → 1.7 s on
-    doc_lm_scores at sf0.1).
+    1-task explode into a 32-task one (repartition alone measured
+    4.0 s → 1.7 s on doc_lm_scores at sf0.1; 1.1 s with the codegen
+    trigram rewrite on top).
+
+    Contract: call this on SCAN-FED inputs, before any shuffle. On a
+    plan that already contains a shuffle the partition probe would be
+    wrong twice over — ``.rdd`` on an adaptive plan materializes the
+    upstream stages at plan-build time, and the pre-AQE static
+    partition count over-reports what AQE later coalesces — so inputs
+    whose optimized plan carries a shuffle-bearing node are returned
+    unchanged.
 
     Hash-partitions on ``key_cols`` when given (deterministic under
     task retries); round-robin otherwise (Spark sorts round-robin
     partitions internally to stay retry-safe)."""
     if df.isStreaming:
+        return df
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(tok in plan for tok in
+           ("Join", "Aggregate", "Window", "Sort", "Repartition",
+            "Deduplicate", "Generate")):
         return df
     target = target or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -67,10 +67,20 @@ def test_quantize_zero_vector_safe(spark):
 
 def test_quantize_arrow_and_expr_paths_agree(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # include the degenerate shapes in the equivalence check: null
+    # vector → all-null row, empty vector → (0, 0, null)
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, [])],
+        "vec_id long, embedding array<float>")
+    emb = emb.select("vec_id", "embedding").unionByName(extra)
     arrow = {r["vec_id"]: r for r in
              quantize_embeddings(emb, method="arrow").collect()}
     expr = {r["vec_id"]: r for r in
             quantize_embeddings(emb, method="expr").collect()}
+    assert (arrow[900001]["scale"], arrow[900001]["mean_abs_err"]) == \
+        (None, None)
+    assert (arrow[900002]["scale"], arrow[900002]["max_abs_err"],
+            arrow[900002]["mean_abs_err"]) == (0.0, 0.0, None)
     assert set(arrow) == set(expr)
     for vid, a in arrow.items():
         e = expr[vid]
