@@ -46,12 +46,26 @@ def read_parquet(spark: SparkSession, path: str,
             df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
         elif dtype == "string":
             df = df.withColumn(c, F.to_timestamp(F.col(c)))
+        elif dtype == "date":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+# Temporal columns normalized per table — the testdata's physical
+# encoding has CHANGED between driver rounds before (r1 nano-int64 →
+# r2 timestamp_ntz on events.ts); normalize every temporal column we
+# query so the next drift (date32, strings, nanos) degrades to a
+# value-level diff instead of an AnalysisException crash.
+_TEMPORAL_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """TESTDATA table loader (the driver's layout: {sf_dir}/{name}.parquet)."""
-    nano = ("ts",) if name == "events" else ()
+    nano = _TEMPORAL_COLS.get(name, ())
     return read_parquet(spark, f"{sf_dir}/{name}.parquet", nano_ts_cols=nano)
 
 

@@ -94,3 +94,22 @@ def test_python_udtf_explode_ngrams(spark):
     got = sorted((r["doc_id"], r["pos"], r["ngram"]) for r in rows)
     assert got == [(1, 0, "the quick"), (1, 1, "quick brown"),
                    (1, 2, "brown fox")]
+
+
+def test_read_table_normalizes_date_and_orderdate(spark, tmp_path):
+    """Drift insurance: if a temporal column arrives as DATE (or ntz /
+    string / bigint-nanos), read_table must still hand queries a plain
+    session-tz TIMESTAMP."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([dt.date(2024, 1, 1), dt.date(2024, 2, 3)],
+                                pa.date32()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    df = read_table(spark, str(tmp_path), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    got = {r["o_orderkey"]: r["o_orderdate"] for r in df.collect()}
+    assert got[1].isoformat() == "2024-01-01T00:00:00"
