@@ -56,8 +56,12 @@ def connected_components(edges: DataFrame, src: str, dst: str,
           .repartition("u")
           .localCheckpoint())
     sym = e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = (sym.select(F.col("u").alias("node")).distinct()
-              .select("node", F.col("node").alias("comp"))
+    # init = the first neighbor-min round, fused into one aggregate:
+    # label(u) = min(u, min(neighbors)) — saves a full round's three
+    # joins compared to starting from label(u) = u
+    labels = (sym.groupBy("u").agg(F.min("v").alias("__mv"))
+              .select(F.col("u").alias("node"),
+                      F.least("u", "__mv").alias("comp"))
               .localCheckpoint())
 
     cached = labels
