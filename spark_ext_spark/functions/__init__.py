@@ -23,6 +23,7 @@ __all__ = [
     "gather_struct",
     "register_sql_functions",
     "zorder_key",
+    "attach_scalar_agg",
 ]
 
 
@@ -113,3 +114,18 @@ def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
              + F.shiftleft(F.shiftrightunsigned(cb, i).bitwiseAND(F.lit(1)),
                            2 * i + 1))
     return z
+
+
+def attach_scalar_agg(df, aggs: dict, source=None):
+    """Attach scalar aggregate(s) to every row of ``df`` as a broadcast
+    single-row cross join — the plan-side scalar-subquery idiom used
+    throughout the engine (coverage totals, corpus sizes, global
+    averages, max-revenue lookups). The scalar rides INSIDE the plan:
+    no driver ``.first()`` round trip, no sync point, and the cross
+    join against one broadcast row costs one comparison per row.
+
+    ``aggs``: {column_name: aggregate Column}; ``source``: the
+    DataFrame to aggregate (defaults to ``df`` itself)."""
+    src = source if source is not None else df
+    one = src.agg(*[c.alias(n) for n, c in aggs.items()])
+    return df.crossJoin(F.broadcast(one))

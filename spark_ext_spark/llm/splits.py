@@ -126,9 +126,10 @@ def temperature_mix_sample(df: DataFrame, group_col: str, id_col: str,
     Plan: one group-count agg, a two-row broadcast chain (per-group
     rates via a single-row normalizer cross join), then a scan-fused
     filter — the corpus itself never shuffles."""
+    from spark_ext_spark.functions import attach_scalar_agg
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    z = counts.agg(F.sum(F.pow("__n", F.lit(alpha))).alias("__z"))
-    rates = (counts.crossJoin(F.broadcast(z))
+    rates = (attach_scalar_agg(
+        counts, {"__z": F.sum(F.pow("__n", F.lit(alpha)))})
              .select(group_col,
                      F.least(
                          F.lit(1.0),

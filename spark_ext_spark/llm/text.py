@@ -123,10 +123,10 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    from spark_ext_spark.functions import attach_scalar_agg
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
-    scored = (tf.join(dfreq, "term")
-              .crossJoin(F.broadcast(n))
+    scored = (attach_scalar_agg(tf.join(dfreq, "term"),
+                                {"n_docs": F.count(F.lit(1))}, source=df)
               .select(F.col(id_col), "term", "tf",
                       F.round(F.col("tf") * idf, round_to).alias("tfidf")))
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
@@ -238,12 +238,11 @@ def char_trigram_lm_scores(df: DataFrame, id_col: str, text_col: str,
     tf = (exploded.groupBy(id_col, "tri")
           .agg(F.count(F.lit(1)).alias("tf")))
     profile = tf.groupBy("tri").agg(F.sum("tf").alias("cnt"))
-    total = profile.agg(F.sum("cnt").alias("total"))
+    from spark_ext_spark.functions import attach_scalar_agg
     # profile is charset³-bounded → broadcast; the only remaining big
     # shuffle is the final per-doc aggregation
-    scored = (tf
-              .join(F.broadcast(profile), "tri")
-              .crossJoin(F.broadcast(total))
+    scored = (attach_scalar_agg(tf.join(F.broadcast(profile), "tri"),
+                                {"total": F.sum("cnt")}, source=profile)
               .groupBy(id_col)
               .agg(F.sum("tf").alias("n_trigrams"),
                    F.round(F.sum(F.col("tf")

@@ -163,9 +163,9 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
         # collect) instead of two, and there is no driver sync point
         # between the count and the threshold filter at scale.
         def with_total(cdf):
-            tot = cdf.agg(
-                F.coalesce(F.sum("count"), F.lit(0)).alias("__total"))
-            return cdf.crossJoin(F.broadcast(tot))
+            from spark_ext_spark.functions import attach_scalar_agg
+            return attach_scalar_agg(
+                cdf, {"__total": F.coalesce(F.sum("count"), F.lit(0))})
 
         if transformation == "top":
             # Exclusion BEFORE the coverage total (GatherEncoder.scala:178-183).

@@ -191,9 +191,9 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = (load(spark, sf_dir, "orders")
               .filter(F.col("o_orderpriority") == "1-URGENT"))
-    avg_bal = (customer.filter(F.col("c_acctbal") > 0)
-               .agg(F.avg("c_acctbal").alias("avg_bal")))
-    rich = (customer.crossJoin(F.broadcast(avg_bal))
+    from spark_ext_spark.functions import attach_scalar_agg
+    rich = (attach_scalar_agg(customer, {"avg_bal": F.avg("c_acctbal")},
+                              source=customer.filter(F.col("c_acctbal") > 0))
             .filter(F.col("c_acctbal") > F.col("avg_bal")))
     idle = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"),
                      "left_anti")
@@ -491,9 +491,9 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     revenue = (lineitem.groupBy("l_suppkey")
                .agg(F.round(F.sum(_revenue()), 4).alias("total_revenue")))
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
-    return (revenue
-            .crossJoin(F.broadcast(max_rev))
+    from spark_ext_spark.functions import attach_scalar_agg
+    return (attach_scalar_agg(revenue,
+                              {"max_revenue": F.max("total_revenue")})
             .filter(F.col("total_revenue") == F.col("max_revenue"))
             .join(F.broadcast(supplier),
                   F.col("l_suppkey") == F.col("s_suppkey"))
