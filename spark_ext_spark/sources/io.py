@@ -16,7 +16,8 @@ from pyspark.sql.types import StructType
 
 
 def read_parquet(spark: SparkSession, path: str,
-                 nano_ts_cols: tuple[str, ...] = ()) -> DataFrame:
+                 nano_ts_cols: tuple[str, ...] = (),
+                 lenient_ts_cols: tuple[str, ...] = ()) -> DataFrame:
     """Parquet scan; pass nano_ts_cols for timestamp columns whose
     physical encoding varies by producer. Whatever arrives, the column
     leaves here as a session-tz TIMESTAMP (µs) so downstream
@@ -38,8 +39,9 @@ def read_parquet(spark: SparkSession, path: str,
     # enters (runtime-settable, idempotent).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in nano_ts_cols:
-        dtype = dict(df.dtypes).get(c)
+        dtype = dtypes.get(c)
         if dtype == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
         elif dtype == "timestamp_ntz":
@@ -48,16 +50,31 @@ def read_parquet(spark: SparkSession, path: str,
             df = df.withColumn(c, F.to_timestamp(F.col(c)))
         elif dtype == "date":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # lenient: fix only encodings Spark can't query at all (int64
+    # nanos, strings). ntz/date stay NATIVE — they compare, truncate
+    # and extract correctly as-is, and wrapping them in a conversion
+    # expression would destroy parquet predicate pushdown (the range
+    # filter then evaluates post-scan; plan-asserted in test_plans).
+    for c in lenient_ts_cols:
+        dtype = dtypes.get(c)
+        if dtype == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+        elif dtype == "string":
+            df = df.withColumn(c, F.to_timestamp(F.col(c)))
     return df
 
 
-# Temporal columns normalized per table — the testdata's physical
-# encoding has CHANGED between driver rounds before (r1 nano-int64 →
-# r2 timestamp_ntz on events.ts); normalize every temporal column we
-# query so the next drift (date32, strings, nanos) degrades to a
-# value-level diff instead of an AnalysisException crash.
-_TEMPORAL_COLS: dict[str, tuple[str, ...]] = {
-    "events": ("ts",),
+# Temporal normalization per table — the testdata's physical encoding
+# has CHANGED between driver rounds before (r1 nano-int64 → r2
+# timestamp_ntz on events.ts). events.ts gets the FULL session-tz
+# normalization (its queries use unix_micros/unix_timestamp, which
+# require TIMESTAMP, and the sessionization math needs one canonical
+# type). orders/lineitem dates are only queried through comparisons /
+# date_trunc / year — all of which work on any temporal type — so they
+# get the LENIENT pass that fixes unreadable encodings without
+# sacrificing scan pushdown.
+_FULL_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+_LENIENT_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
 }
@@ -65,8 +82,9 @@ _TEMPORAL_COLS: dict[str, tuple[str, ...]] = {
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """TESTDATA table loader (the driver's layout: {sf_dir}/{name}.parquet)."""
-    nano = _TEMPORAL_COLS.get(name, ())
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet", nano_ts_cols=nano)
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet",
+                        nano_ts_cols=_FULL_TS_COLS.get(name, ()),
+                        lenient_ts_cols=_LENIENT_TS_COLS.get(name, ()))
 
 
 def read_csv(spark: SparkSession, path: str,

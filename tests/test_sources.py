@@ -96,20 +96,32 @@ def test_python_udtf_explode_ngrams(spark):
                    (1, 2, "brown fox")]
 
 
-def test_read_table_normalizes_date_and_orderdate(spark, tmp_path):
-    """Drift insurance: if a temporal column arrives as DATE (or ntz /
-    string / bigint-nanos), read_table must still hand queries a plain
-    session-tz TIMESTAMP."""
+def test_read_table_lenient_orderdate_drift(spark, tmp_path):
+    """Drift insurance for orders/lineitem temporal columns: string
+    arrivals are fixed to TIMESTAMP; DATE arrivals stay native (they
+    compare/truncate correctly and keep scan pushdown — see io.py)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     import datetime as dt
+    from pyspark.sql import functions as F
     t = pa.table({
         "o_orderkey": pa.array([1, 2], pa.int64()),
-        "o_orderdate": pa.array([dt.date(2024, 1, 1), dt.date(2024, 2, 3)],
-                                pa.date32()),
+        "o_orderdate": pa.array(["2024-01-01 00:00:00",
+                                 "2024-02-03 00:00:00"], pa.string()),
     })
     pq.write_table(t, str(tmp_path / "orders.parquet"))
     df = read_table(spark, str(tmp_path), "orders")
     assert dict(df.dtypes)["o_orderdate"] == "timestamp"
-    got = {r["o_orderkey"]: r["o_orderdate"] for r in df.collect()}
-    assert got[1].isoformat() == "2024-01-01T00:00:00"
+
+    t2 = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([dt.date(2024, 1, 1), dt.date(2024, 2, 3)],
+                                pa.date32()),
+    })
+    import os
+    os.makedirs(str(tmp_path / "d2"), exist_ok=True)
+    pq.write_table(t2, str(tmp_path / "d2" / "orders.parquet"))
+    df2 = read_table(spark, str(tmp_path / "d2"), "orders")
+    # date stays native but still answers range queries correctly
+    assert df2.filter(F.col("o_orderdate")
+                      >= F.lit("2024-02-01")).count() == 1
