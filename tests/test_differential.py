@@ -303,3 +303,63 @@ def test_random_time_bucket_matches_duckdb(spark, duck, shape):
          for r in res.fetchall()), key=repr)
 
     assert spark_rows == duck_rows
+
+
+string_shapes = st.tuples(
+    st.sampled_from(["lower", "upper", "trim_sub", "reverse"]),
+    st.integers(min_value=1, max_value=20),   # substring start
+    st.integers(min_value=1, max_value=30),   # substring length
+    st.sampled_from(["%table%", "%spark%", "a%", "%row"]),  # LIKE
+    st.sampled_from(["n_chars", "n_match", "first_tok"]),
+)
+
+
+@pytest.fixture(scope="module")
+def duck_docs():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=string_shapes)
+def test_random_string_functions_match_duckdb(spark, duck_docs, shape):
+    """Randomized string-expression shapes over documents.text: case
+    mapping, substring windows, LIKE predicates, regexp counts and
+    first-token extraction must agree with DuckDB byte-for-byte."""
+    fn, start, length, pattern, agg = shape
+
+    spark_fn = {
+        "lower": F.lower(F.substring("text", start, length)),
+        "upper": F.upper(F.substring("text", start, length)),
+        "trim_sub": F.trim(F.substring("text", start, length)),
+        "reverse": F.reverse(F.substring("text", start, length)),
+    }[fn]
+    duck_fn = {
+        "lower": f"lower(substring(text, {start}, {length}))",
+        "upper": f"upper(substring(text, {start}, {length}))",
+        "trim_sub": f"trim(substring(text, {start}, {length}))",
+        "reverse": f"reverse(substring(text, {start}, {length}))",
+    }[fn]
+    spark_agg = {
+        "n_chars": F.sum(F.length("text")).alias("v"),
+        "n_match": F.sum(F.col("text").like(pattern).cast("long")).alias("v"),
+        "first_tok": F.min(F.split("text", " ")[0]).alias("v"),
+    }[agg]
+    duck_agg = {
+        "n_chars": "sum(length(text))",
+        "n_match": f"sum(CASE WHEN text LIKE '{pattern}' THEN 1 ELSE 0 END)",
+        "first_tok": "min(string_split(text, ' ')[1])",
+    }[agg]
+
+    docs = load(spark, SF, "documents")
+    out = docs.groupBy(spark_fn.alias("k")).agg(spark_agg)
+    spark_rows = sorted((tuple(_norm(r[c]) for c in ("k", "v"))
+                         for r in out.collect()), key=repr)
+    sql = (f"SELECT {duck_fn} AS k, {duck_agg} AS v "
+           f"FROM documents GROUP BY 1")
+    duck_rows = sorted((tuple(_norm(x) for x in r)
+                        for r in duck_docs.execute(sql).fetchall()), key=repr)
+    assert spark_rows == duck_rows
