@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_priority_counts": tpch.linestatus_priority_counts,
         "tpch_q15_top_supplier": tpch.top_supplier,
         "tpch_q17_small_qty": tpch.small_quantity_revenue,
+        "tpch_q19_discounted": tpch.discounted_revenue,
+        "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
+        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
         "daily_active_users": rel.daily_active_users,
         "cheapest_order_per_customer": rel.cheapest_order_per_customer,
         "props_json_extract": rel.props_json_extract,
@@ -239,6 +242,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12_priority_counts": tpch.LINESTATUS_PRIORITY_COUNTS_SQL,
         "tpch_q15_top_supplier": tpch.TOP_SUPPLIER_SQL,
         "tpch_q17_small_qty": tpch.SMALL_QUANTITY_REVENUE_SQL,
+        "tpch_q19_discounted": tpch.DISCOUNTED_REVENUE_SQL,
+        "tpch_q20_promo_suppliers": tpch.PROMOTION_SUPPLIERS_SQL,
+        "tpch_q21_waiting_suppliers": tpch.WAITING_SUPPLIERS_SQL,
         "event_sessions": rel.EVENT_SESSIONS_SQL,
         "daily_active_users": rel.DAILY_ACTIVE_USERS_SQL,
         "cheapest_order_per_customer": rel.CHEAPEST_ORDER_PER_CUSTOMER_SQL,

@@ -550,3 +550,143 @@ WHERE p_brand = 'Brand#4'
                     FROM lineitem l2
                     WHERE l2.l_partkey = p_partkey)
 """
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive multi-clause predicates over the
+    lineitem↔part join — three (brand, size-range, quantity-range)
+    alternatives OR-ed together. Catalyst keeps the equi-join on
+    partkey and evaluates the disjunction as a post-join filter with
+    the per-side conjuncts (p_size ≥ 1, quantity bounds) pushed to the
+    scans."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    alt = (((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+            & q.between(1, 11))
+           | ((F.col("p_brand") == "Brand#2")
+              & F.col("p_size").between(1, 10) & q.between(10, 20))
+           | ((F.col("p_brand") == "Brand#3")
+              & F.col("p_size").between(1, 15) & q.between(20, 30)))
+    return (lineitem
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(alt)
+            .agg(F.round(F.sum(_revenue()), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+DISCOUNTED_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (adapted — no partsupp in the schema): suppliers whose
+    1996 shipped quantity of PROMO parts exceeds a threshold. The IN
+    (SELECT ... GROUP BY ... HAVING) subquery becomes an aggregate →
+    filter → LEFT SEMI join onto supplier; the heavy side aggregates
+    down to ≤ |supplier| rows before any join."""
+    lineitem = (load(spark, sf_dir, "lineitem")
+                .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                        & (F.col("l_shipdate") < F.lit("1997-01-01"))))
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    supplier = load(spark, sf_dir, "supplier")
+    heavy = (lineitem
+             .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_suppkey")
+             .agg(F.sum("l_quantity").alias("promo_qty"))
+             .filter(F.col("promo_qty") > 300))
+    return (supplier
+            .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name",
+                    F.round("s_acctbal", 4).alias("acctbal")))
+
+
+PROMOTION_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name, round(s_acctbal, 4) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 300)
+"""
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders (late = shipped >60 days after the
+    order date; the schema has no commit/receipt dates). The classic
+    EXISTS / NOT-EXISTS pair is re-expressed as one per-order
+    aggregation — distinct-supplier count and the set of late
+    suppliers — then orders with exactly one late supplier and ≥2
+    suppliers total credit that supplier's late lines. One lineitem
+    shuffle on orderkey replaces two correlated self-joins; the oracle
+    keeps the textbook EXISTS form, so the rewrite is verified
+    equivalent."""
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = (lineitem
+          .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+          .withColumn("late",
+                      F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    per_order = (lo.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.collect_set(F.when(F.col("late"),
+                                           F.col("l_suppkey")))
+                      .alias("late_supps"),
+                      F.sum(F.when(F.col("late"), 1).otherwise(0))
+                      .alias("n_late_lines")))
+    qual = (per_order
+            .filter((F.size("late_supps") == 1) & (F.col("n_supp") >= 2))
+            .select(F.col("l_orderkey").alias("qok"),
+                    F.col("late_supps")[0].alias("late_supp"),
+                    "n_late_lines"))
+    return (qual.groupBy("late_supp")
+            .agg(F.sum("n_late_lines").alias("numwait"))
+            .join(F.broadcast(supplier),
+                  F.col("late_supp") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))
+
+
+WAITING_SUPPLIERS_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
