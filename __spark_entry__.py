@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_discounted": tpch.discounted_revenue,
         "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
         "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_q11_important_parts": tpch.important_parts,
         "daily_active_users": rel.daily_active_users,
         "cheapest_order_per_customer": rel.cheapest_order_per_customer,
         "props_json_extract": rel.props_json_extract,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19_discounted": tpch.DISCOUNTED_REVENUE_SQL,
         "tpch_q20_promo_suppliers": tpch.PROMOTION_SUPPLIERS_SQL,
         "tpch_q21_waiting_suppliers": tpch.WAITING_SUPPLIERS_SQL,
+        "tpch_q11_important_parts": tpch.IMPORTANT_PARTS_SQL,
         "event_sessions": rel.EVENT_SESSIONS_SQL,
         "daily_active_users": rel.DAILY_ACTIVE_USERS_SQL,
         "cheapest_order_per_customer": rel.CHEAPEST_ORDER_PER_CUSTOMER_SQL,

@@ -690,3 +690,30 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 20
 """
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (adapted — shipped value per part standing in for
+    partsupp stock value): parts whose total shipped value exceeds a
+    fixed fraction of the corpus-wide total — a scalar subquery inside
+    HAVING. The global total rides as attach_scalar_agg's broadcast
+    single-row cross join over the per-part aggregate, so the fact
+    table is scanned and aggregated once."""
+    from spark_ext_spark.functions import attach_scalar_agg
+    lineitem = load(spark, sf_dir, "lineitem")
+    per_part = (lineitem
+                .groupBy("l_partkey")
+                .agg(F.sum(F.col("l_extendedprice")
+                           * F.col("l_quantity")).alias("value")))
+    return (attach_scalar_agg(per_part, {"total": F.sum("value")})
+            .filter(F.col("value") > F.lit(0.0008) * F.col("total"))
+            .select("l_partkey", F.round("value", 4).alias("part_value")))
+
+
+IMPORTANT_PARTS_SQL = """
+SELECT l_partkey, round(value, 4) AS part_value
+FROM (SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+      FROM lineitem GROUP BY l_partkey) p
+WHERE value > (SELECT sum(l_extendedprice * l_quantity) * 0.0008
+               FROM lineitem)
+"""
