@@ -717,3 +717,104 @@ FROM (SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
 WHERE value > (SELECT sum(l_extendedprice * l_quantity) * 0.0008
                FROM lineitem)
 """
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (adapted — observed lineitem unit price stands in for
+    ps_supplycost): for each LARGE part, the EUROPE supplier(s) whose
+    average unit price equals the per-part minimum among EUROPE
+    suppliers. The correlated MIN subquery becomes groupBy(part).min
+    joined back on equality of the ROUNDED cost (same float-order
+    discipline as Q15). Dimension chain supplier→nation→region is
+    broadcast; the (part, supplier) aggregate is the only data-sized
+    shuffle."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = (load(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "LARGE").select("p_partkey"))
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    euro_supp = (supplier
+                 .join(F.broadcast(nation),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+                 .join(F.broadcast(region),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+                 .filter(F.col("r_name") == "EUROPE")
+                 .select("s_suppkey", "s_name"))
+    ps = (lineitem.groupBy("l_partkey", "l_suppkey")
+          .agg(F.round(F.avg(F.col("l_extendedprice")
+                             / F.col("l_quantity")), 4).alias("unit_cost")))
+    cand = (ps
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(euro_supp),
+                  F.col("l_suppkey") == F.col("s_suppkey")))
+    min_cost = (cand.groupBy(F.col("l_partkey").alias("mk"))
+                .agg(F.min("unit_cost").alias("min_cost")))
+    return (cand
+            .join(min_cost, (F.col("l_partkey") == F.col("mk"))
+                  & (F.col("unit_cost") == F.col("min_cost")))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("l_suppkey").alias("s_suppkey"),
+                    "s_name", "unit_cost"))
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+euro AS (
+  SELECT s_suppkey, s_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT l_partkey, l_suppkey, s_name, unit_cost
+  FROM ps
+  JOIN part ON p_partkey = l_partkey AND p_type = 'LARGE'
+  JOIN euro ON s_suppkey = l_suppkey
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name, unit_cost
+FROM cand c
+WHERE unit_cost = (SELECT min(c2.unit_cost) FROM cand c2
+                   WHERE c2.l_partkey = c.l_partkey)
+"""
+
+
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (adapted): distinct-supplier counts per (brand, type,
+    size) part class, excluding one brand and suppliers with negative
+    balances (the NOT IN subquery → a broadcast LEFT ANTI join on the
+    tiny excluded-supplier set)."""
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    part = (load(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(1, 5, 9, 14, 20))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (load(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (lineitem
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+PARTS_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 14, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
