@@ -363,3 +363,51 @@ def test_random_string_functions_match_duckdb(spark, duck_docs, shape):
     duck_rows = sorted((tuple(_norm(x) for x in r)
                         for r in duck_docs.execute(sql).fetchall()), key=repr)
     assert spark_rows == duck_rows
+
+
+array_shapes = st.tuples(
+    st.sampled_from(["sort_join", "distinct_count", "slice_join",
+                     "reverse_first"]),
+    st.integers(min_value=1, max_value=8),    # slice length
+    st.integers(min_value=2, max_value=40),   # min token count filter
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=array_shapes)
+def test_random_array_functions_match_duckdb(spark, duck_docs, shape):
+    """Randomized array-expression shapes over tokenized documents —
+    sort/distinct/slice/indexing on Spark arrays must agree with
+    DuckDB lists (our shingle/chunk/gram operators are built on
+    exactly these primitives)."""
+    fn, k, min_toks = shape
+
+    # identical tokenization on both engines (split on single spaces,
+    # drop empties)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    duck_toks = ("list_filter(string_split(text, ' '), t -> t <> '')")
+
+    spark_expr = {
+        "sort_join": F.array_join(F.array_sort(toks), "|"),
+        "distinct_count": F.size(F.array_distinct(toks)).cast("long"),
+        "slice_join": F.array_join(F.slice(toks, 1, k), "|"),
+        "reverse_first": F.reverse(toks)[0],
+    }[fn]
+    duck_expr = {
+        "sort_join": f"array_to_string(list_sort({duck_toks}), '|')",
+        "distinct_count": f"CAST(len(list_distinct({duck_toks})) AS BIGINT)",
+        "slice_join": f"array_to_string(list_slice({duck_toks}, 1, {k}), '|')",
+        "reverse_first": f"list_reverse({duck_toks})[1]",
+    }[fn]
+
+    docs = load(spark, SF, "documents")
+    out = (docs.filter(F.size(toks) >= min_toks)
+           .select("doc_id", spark_expr.alias("m")))
+    spark_rows = sorted(((r["doc_id"], _norm(r["m"]))
+                         for r in out.collect()), key=repr)
+    sql = (f"SELECT doc_id, {duck_expr} AS m FROM documents "
+           f"WHERE len({duck_toks}) >= {min_toks}")
+    duck_rows = sorted(((i, _norm(m)) for i, m in
+                        duck_docs.execute(sql).fetchall()), key=repr)
+    assert spark_rows == duck_rows
