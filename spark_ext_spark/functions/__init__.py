@@ -13,6 +13,8 @@ eligible for whole-stage codegen around it.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -24,6 +26,7 @@ __all__ = [
     "register_sql_functions",
     "zorder_key",
     "attach_scalar_agg",
+    "median_abs_deviation",
 ]
 
 
@@ -129,3 +132,26 @@ def attach_scalar_agg(df, aggs: dict, source=None):
     src = source if source is not None else df
     one = src.agg(*[c.alias(n) for n, c in aggs.items()])
     return df.crossJoin(F.broadcast(one))
+
+
+def median_abs_deviation() -> Column:
+    """Robust spread: median(|x - median(x)|), as an Arrow GROUPED_AGG
+    pandas UDF — the engine's demonstration of the custom-UDAF surface
+    (the reference's only UDAF, collectArray, maps to a builtin; this
+    is the seam for aggregates Spark genuinely lacks). One Arrow batch
+    per group lands in numpy; partial aggregation does NOT apply
+    (medians don't decompose), so at 100 TB keep group cardinality ≥
+    cores and group size bounded — the same contract as any holistic
+    aggregate (exact percentile included)."""
+
+    @F.pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        x = v.to_numpy(dtype=float)
+        if x.size == 0:
+            return float("nan")
+        m = np.median(x)
+        return float(np.median(np.abs(x - m)))
+
+    return _mad
+
+

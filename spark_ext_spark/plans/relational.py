@@ -1227,3 +1227,33 @@ SELECT event_id,
               >> i) & 1) << (2*i + 1))))::BIGINT AS zkey
 FROM events
 """
+
+
+def value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust statistics: exact median (builtin holistic agg)
+    and median absolute deviation via the engine's GROUPED_AGG pandas
+    UDF (functions.median_abs_deviation — the custom-UDAF seam). Both
+    are holistic (no partial agg), so parallelism = groups; acceptable
+    whenever group cardinality ≥ cores and per-group rows are
+    task-sized — same contract as exact percentiles."""
+    from spark_ext_spark.functions import median_abs_deviation
+    ev = load(spark, sf_dir, "events")
+    mad = median_abs_deviation()
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one agg() — two group-keyed aggs joined on the key
+    # (both group tables are tiny; the join is broadcast)
+    jvm = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.median("value"), 4).alias("median_value")))
+    robust = (ev.groupBy("event_type")
+              .agg(F.round(mad("value"), 4).alias("mad_value")))
+    return jvm.join(F.broadcast(robust), "event_type")
+
+
+VALUE_ROBUST_STATS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(median(value), 4) AS median_value,
+       round(mad(value), 4) AS mad_value
+FROM events
+GROUP BY event_type
+"""

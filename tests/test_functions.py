@@ -75,3 +75,17 @@ def test_collect_array_sorted_is_deterministic(spark):
     row = (_df(spark).filter(F.col("cookie_id") == "cookie_1")
            .agg(collect_array_sorted("site").alias("sites"))).first()
     assert row["sites"] == ["site_1", "site_1", "site_2", "site_3"]
+
+
+def test_median_abs_deviation_golden(spark):
+    from spark_ext_spark.functions import median_abs_deviation
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 9.0),
+         ("b", 5.0)],
+        "g string, v double")
+    mad = median_abs_deviation()
+    got = {r["g"]: r["m"] for r in
+           df.groupBy("g").agg(mad("v").alias("m")).collect()}
+    # median([1,2,4,9]) = 3 -> |x-3| = [2,1,1,6] -> median = 1.5
+    assert got["a"] == 1.5
+    assert got["b"] == 0.0  # single element deviates from itself by 0
