@@ -134,9 +134,12 @@ def attach_scalar_agg(df, aggs: dict, source=None):
     return df.crossJoin(F.broadcast(one))
 
 
-def median_abs_deviation() -> Column:
-    """Robust spread: median(|x - median(x)|), as an Arrow GROUPED_AGG
-    pandas UDF — the engine's demonstration of the custom-UDAF surface
+def median_abs_deviation():
+    """Robust spread: median(|x - median(x)|). Returns the GROUPED_AGG
+    pandas UDF itself — invoke it to get a Column
+    (``mad = median_abs_deviation(); df.agg(mad("value"))``).
+
+    The engine's demonstration of the custom-UDAF surface
     (the reference's only UDAF, collectArray, maps to a builtin; this
     is the seam for aggregates Spark genuinely lacks). One Arrow batch
     per group lands in numpy; partial aggregation does NOT apply
@@ -146,7 +149,9 @@ def median_abs_deviation() -> Column:
 
     @F.pandas_udf("double")
     def _mad(v: pd.Series) -> float:
-        x = v.to_numpy(dtype=float)
+        # drop nulls like every SQL aggregate (incl. DuckDB mad());
+        # otherwise one NULL NaN-poisons np.median for the whole group
+        x = v.dropna().to_numpy(dtype=float)
         if x.size == 0:
             return float("nan")
         m = np.median(x)

@@ -91,11 +91,13 @@ class BinaryModelMetrics:
         cum = (counts
                .withColumn("tp", F.sum("pos").over(w))
                .withColumn("fp", F.sum("neg").over(w)))
-        totals = counts.agg(F.sum("pos").alias("tot_pos"),
-                            F.sum("neg").alias("tot_neg"))
+        from spark_ext_spark.functions import attach_scalar_agg
         # Cached like the reference persists cumulativeCounts
         # (BinaryModelMetrics.scala:216): every curve/AUC reuses it.
-        return (cum.crossJoin(F.broadcast(totals))
+        return (attach_scalar_agg(cum,
+                                  {"tot_pos": F.sum("pos"),
+                                   "tot_neg": F.sum("neg")},
+                                  source=counts)
                 .select("score", "tp", "fp",
                         (F.col("tot_pos") - F.col("tp")).alias("fn"),
                         (F.col("tot_neg") - F.col("fp")).alias("tn"),

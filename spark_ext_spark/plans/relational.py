@@ -1246,8 +1246,13 @@ def value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.median("value"), 4).alias("median_value")))
     robust = (ev.groupBy("event_type")
-              .agg(F.round(mad("value"), 4).alias("mad_value")))
-    return jvm.join(F.broadcast(robust), "event_type")
+              .agg(F.round(mad("value"), 4).alias("mad_value"))
+              .withColumnRenamed("event_type", "__et"))
+    # null-safe key so a NULL event_type group (legal in the oracle's
+    # single GROUP BY) survives the rejoin
+    return (jvm.join(F.broadcast(robust),
+                     jvm["event_type"].eqNullSafe(robust["__et"]))
+            .drop("__et"))
 
 
 VALUE_ROBUST_STATS_SQL = """

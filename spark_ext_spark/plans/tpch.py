@@ -660,8 +660,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("n_late_lines")))
     qual = (per_order
             .filter((F.size("late_supps") == 1) & (F.col("n_supp") >= 2))
-            .select(F.col("l_orderkey").alias("qok"),
-                    F.col("late_supps")[0].alias("late_supp"),
+            .select(F.col("late_supps")[0].alias("late_supp"),
                     "n_late_lines"))
     return (qual.groupBy("late_supp")
             .agg(F.sum("n_late_lines").alias("numwait"))

@@ -350,7 +350,10 @@ def test_random_string_functions_match_duckdb(spark, duck_docs, shape):
     }[agg]
     duck_agg = {
         "n_chars": "sum(length(text))",
-        "n_match": f"sum(CASE WHEN text LIKE '{pattern}' THEN 1 ELSE 0 END)",
+        # the extra IS NULL branch keeps all-NULL groups null-faithful
+        # to Spark's sum over like().cast() (sum skips nulls)
+        "n_match": (f"sum(CASE WHEN text LIKE '{pattern}' THEN 1 "
+                    f"WHEN text IS NULL THEN NULL ELSE 0 END)"),
         "first_tok": "min(string_split(text, ' ')[1])",
     }[agg]
 

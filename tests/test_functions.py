@@ -89,3 +89,15 @@ def test_median_abs_deviation_golden(spark):
     # median([1,2,4,9]) = 3 -> |x-3| = [2,1,1,6] -> median = 1.5
     assert got["a"] == 1.5
     assert got["b"] == 0.0  # single element deviates from itself by 0
+
+
+def test_median_abs_deviation_skips_nulls(spark):
+    from spark_ext_spark.functions import median_abs_deviation
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("a", 9.0)],
+        "g string, v double")
+    mad = median_abs_deviation()
+    got = df.groupBy("g").agg(mad("v").alias("m")).first()["m"]
+    # nulls skipped (SQL aggregate contract): median([1,2,9])=2,
+    # |x-2| = [1,0,7] -> median = 1.0
+    assert got == 1.0
