@@ -156,7 +156,8 @@ def test_random_join_agg_matches_duckdb(spark, duck_tpch, shape):
 window_shapes = st.tuples(
     st.sampled_from(["user_id", "event_type"]),       # partition col
     st.sampled_from(["value", "ts", "event_id"]),     # order col
-    st.sampled_from(["row_number", "rank", "cumsum", "lag"]),
+    st.sampled_from(["row_number", "rank", "cumsum", "lag",
+                     "percent_rank", "cume_dist", "ntile"]),
 )
 
 
@@ -181,9 +182,19 @@ def test_random_window_matches_duckdb(spark, duck, shape):
         sql_fn = ("round(sum(value) OVER (PARTITION BY {p} ORDER BY {o}, "
                   "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
                   "ROW), 4)")
-    else:
+    elif fn == "lag":
         expr = F.lag("value", 1).over(w)
         sql_fn = "lag(value, 1) OVER w"
+    elif fn == "percent_rank":
+        expr = F.round(F.percent_rank().over(w), 6)
+        sql_fn = "round(percent_rank() OVER w, 6)"
+    elif fn == "cume_dist":
+        expr = F.round(F.cume_dist().over(w), 6)
+        sql_fn = "round(cume_dist() OVER w, 6)"
+    else:
+        # deterministic: the window's ORDER BY is a total order
+        expr = F.ntile(7).over(w)
+        sql_fn = "ntile(7) OVER w"
 
     out = ev.select("event_id", expr.alias("m"))
     spark_rows = sorted(((r["event_id"], _norm(r["m"]))
