@@ -125,3 +125,40 @@ def test_read_table_lenient_orderdate_drift(spark, tmp_path):
     # date stays native but still answers range queries correctly
     assert df2.filter(F.col("o_orderdate")
                       >= F.lit("2024-02-01")).count() == 1
+
+
+def test_ensure_fanout_repartitions_compact_scan(spark, tmp_path):
+    from spark_ext_spark.sources.io import ensure_fanout
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS k") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    assert df.rdd.getNumPartitions() == 1
+    out = ensure_fanout(df, "id")
+    assert (out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+    # values untouched
+    assert out.count() == 1000
+
+
+def test_ensure_fanout_noops_on_shuffle_bearing_plans(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from spark_ext_spark.sources.io import ensure_fanout
+    spark.range(0, 100).selectExpr("id", "id % 7 AS k") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    agg = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    # plan already carries an Aggregate: returned unchanged (same object)
+    assert ensure_fanout(agg, "k") is agg
+    joined = df.join(df.selectExpr("id AS id2"),
+                     F.col("id") == F.col("id2"))
+    assert ensure_fanout(joined) is joined
+
+
+def test_ensure_fanout_noops_when_already_parallel(spark):
+    from spark_ext_spark.sources.io import ensure_fanout
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, numPartitions=par).selectExpr(
+        "id", "id % 3 AS k")
+    # range() plans no shuffle-bearing node and meets parallelism
+    out = ensure_fanout(df, "id")
+    assert out.rdd.getNumPartitions() == par
