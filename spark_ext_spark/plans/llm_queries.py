@@ -1129,3 +1129,64 @@ HAVING count(DISTINCT doc_id) >= 3
 ORDER BY df DESC, occurrences DESC, gram ASC
 LIMIT 50
 """
+
+
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline report: corpus-level dedup metrics — document count,
+    exact-unique normalized texts, duplicate rate, and byte totals.
+    One scan, one global aggregate (count distinct on the md5 digest
+    shuffles 16-byte keys, not documents)."""
+    docs = load(spark, sf_dir, "documents")
+    digest = F.md5(dedup.normalize_text("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(digest).alias("n_unique"),
+        F.round(F.lit(1.0)
+                - F.countDistinct(digest) / F.count(F.lit(1)), 4)
+        .alias("dup_rate"),
+        F.sum(F.length("text")).alias("total_chars"))
+
+
+CORPUS_DEDUP_STATS_SQL = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+           AS n_unique,
+       round(1.0 - count(DISTINCT
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+             / count(*), 4) AS dup_rate,
+       sum(length(text)) AS total_chars
+FROM documents
+"""
+
+
+def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline report: the per-source data-mixture table (docs,
+    whitespace tokens, token share) every training run logs. Token
+    totals aggregate map-side; the share's corpus total rides as the
+    broadcast scalar attach."""
+    from spark_ext_spark.functions import attach_scalar_agg
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                         lambda t: t != ""))
+    per_source = (docs.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum(ws).cast("bigint").alias("n_tokens")))
+    return (attach_scalar_agg(per_source,
+                              {"__tot": F.sum("n_tokens")})
+            .select("source", "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("__tot"), 6)
+                    .alias("token_share")))
+
+
+MIXTURE_REPORT_SQL = """
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE)
+                         FROM per_source), 6) AS token_share
+FROM per_source
+"""
