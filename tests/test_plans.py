@@ -161,7 +161,7 @@ def test_no_query_plans_cartesian(spark, sf_small):
                         # the encoder coverage total
                         "hourly_gapfill", "hourly_interpolate",
                         "source_temperature_mix", "tpch_q15_top_supplier",
-                        "tpch_q11_important_parts",
+                        "tpch_q11_important_parts", "mixture_report",
                         "gather_encoder_top", "gather_encoder_top_allother",
                         "gather_encoder_index", "gather_encoder_distfit"}
     offenders = {}
