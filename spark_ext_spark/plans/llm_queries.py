@@ -1,10 +1,12 @@
 """LLM-pipeline headline queries over documents/embeddings.
 
-Oracle-checked where ANSI-SQL-expressible (exact dedup via sha256,
-n-gram Jaccard via pure set arithmetic, text stats via regexps,
-fingerprints via md5, language-ID via a stopword VALUES table,
-brute-force cosine via list_cosine_similarity); hash-based ops
-(MinHash-LSH, SimHash, LSH ANN) are rows-only with goldens in tests/.
+Oracle-checked where expressible — which is almost everything: exact
+dedup via sha256, n-gram Jaccard via set arithmetic, text stats via
+regexps, fingerprints via md5, language-ID via a stopword VALUES
+table, brute-force cosine via list_cosine_similarity, and the
+hash-based ops (MinHash-LSH, SimHash, hyperplane-LSH ANN, multimodal
+decode) replayed in exact integer/hex SQL. Rows-only remainders
+(trained IVF quantizer, stub media features) keep golden unit tests.
 """
 
 from __future__ import annotations
