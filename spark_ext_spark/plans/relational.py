@@ -1262,3 +1262,75 @@ SELECT event_type, count(*) AS n_events,
 FROM events
 GROUP BY event_type
 """
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of three lineitem columns in ONE scan
+    (operators/validation.py): null counts/rates, distinct counts,
+    stringified min/max — the batch-acceptance report a 100 TB ingest
+    runs before promoting data."""
+    from spark_ext_spark.operators.validation import profile_columns
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_suppkey", "l_returnflag", "l_quantity"])
+
+
+TABLE_PROFILE_SQL = """
+WITH one AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS null_a,
+         count(DISTINCT l_suppkey) AS dist_a,
+         CAST(min(l_suppkey) AS VARCHAR) AS min_a,
+         CAST(max(l_suppkey) AS VARCHAR) AS max_a,
+         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_b,
+         count(DISTINCT l_returnflag) AS dist_b,
+         CAST(min(l_returnflag) AS VARCHAR) AS min_b,
+         CAST(max(l_returnflag) AS VARCHAR) AS max_b,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_c,
+         count(DISTINCT l_quantity) AS dist_c,
+         CAST(min(l_quantity) AS VARCHAR) AS min_c,
+         CAST(max(l_quantity) AS VARCHAR) AS max_c
+  FROM lineitem
+)
+SELECT 'l_suppkey' AS column, n AS n_rows, null_a AS n_null,
+       round(null_a / CAST(n AS DOUBLE), 6) AS null_rate,
+       dist_a AS n_distinct, min_a AS min_value, max_a AS max_value
+FROM one
+UNION ALL
+SELECT 'l_returnflag', n, null_b, round(null_b / CAST(n AS DOUBLE), 6),
+       dist_b, min_b, max_b FROM one
+UNION ALL
+SELECT 'l_quantity', n, null_c, round(null_c / CAST(n AS DOUBLE), 6),
+       dist_c, min_c, max_c FROM one
+"""
+
+
+def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-check report (operators/validation.py): key
+    non-null/unique, quantity bounds, returnflag domain — one scan."""
+    from spark_ext_spark.operators.validation import check_expectations
+    li = load(spark, sf_dir, "lineitem")
+    return check_expectations(li, {
+        "l_orderkey": {"not_null": True},
+        "l_quantity": {"min": 0.0, "max": 100.0},
+        "l_returnflag": {"in_set": ["A", "N", "R"]},
+    })
+
+
+LINEITEM_EXPECTATIONS_SQL = """
+WITH one AS (
+  SELECT sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn,
+         min(l_quantity) AS mn, max(l_quantity) AS mx,
+         sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                   AND l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS os
+  FROM lineitem
+)
+SELECT 'l_orderkey' AS column, 'not_null' AS rule, nn = 0 AS ok,
+       CAST(nn AS VARCHAR) AS observed FROM one
+UNION ALL
+SELECT 'l_quantity', 'min', mn >= 0.0, CAST(mn AS VARCHAR) FROM one
+UNION ALL
+SELECT 'l_quantity', 'max', mx <= 100.0, CAST(mx AS VARCHAR) FROM one
+UNION ALL
+SELECT 'l_returnflag', 'in_set[A|N|R]', os = 0, CAST(os AS VARCHAR)
+FROM one
+"""

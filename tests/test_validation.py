@@ -1,0 +1,55 @@
+"""profile_columns / check_expectations unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ext_spark.operators.validation import (check_expectations,
+                                                  profile_columns)
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "a", 2.5), (4, None, 0.5)],
+        "id long, k string, v double")
+    prof = {r["column"]: r for r in
+            profile_columns(df, ["id", "k", "v"]).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["id"]["n_distinct"] == 4
+    assert prof["k"]["n_null"] == 1 and prof["k"]["n_distinct"] == 2
+    assert prof["k"]["null_rate"] == 0.25
+    assert prof["v"]["min_value"] == "0.5" and prof["v"]["max_value"] == "2.5"
+
+
+def test_profile_single_scan(spark):
+    df = spark.range(100).selectExpr("id", "id % 5 AS k")
+    plan = profile_columns(df, ["id", "k"])._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # single source scan — no per-column union of jobs (multiple
+    # count_distincts legitimately expand to a 2-level aggregate)
+    assert plan.count("Range") == 1
+    assert "Union" not in plan
+
+
+def test_check_expectations(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 5.0), (2, "z", -1.0), (4, None, 3.0)],
+        "id long, k string, v double")
+    report = {(r["column"], r["rule"]): (r["ok"], r["observed"]) for r in
+              check_expectations(df, {
+                  "id": {"unique": True, "not_null": True},
+                  "k": {"not_null": True},
+                  "v": {"min": 0.0, "max": 100.0},
+              }).collect()}
+    assert report[("id", "not_null")][0] is True
+    assert report[("id", "unique")] == (False, "1")   # one duplicate
+    assert report[("k", "not_null")] == (False, "1")  # one null
+    assert report[("v", "min")][0] is False           # -1.0 below bound
+    assert report[("v", "max")][0] is True
+
+
+def test_check_in_set(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("q",), (None,)],
+                               "s string")
+    rep = check_expectations(df, {"s": {"in_set": ["a", "b"]}}).first()
+    assert rep["ok"] is False and rep["observed"] == "1"  # 'q' outside
