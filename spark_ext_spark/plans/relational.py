@@ -1334,3 +1334,43 @@ UNION ALL
 SELECT 'l_returnflag', 'in_set[A|N|R]', os = 0, CAST(os AS VARCHAR)
 FROM one
 """
+
+
+def hourly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly scoring: each hour's event count against the
+    trailing-24h mean/stddev per type (the ops-monitoring z-score).
+    Windows partition by type — calendar-bounded partitions, same scale
+    argument as the gapfill family. std=0 and sub-2-sample windows
+    yield NULL scores on both engines (guarded division; ANSI mode
+    would otherwise error on the constant-window case)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-24, -1))
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_samp("n_events").over(w)
+    z = F.when(std > 0, (F.col("n_events") - mean) / std)
+    return hourly.select(
+        "hour", "event_type", "n_events",
+        F.round(mean, 4).alias("trailing_mean"),
+        F.round(z, 4).alias("zscore"))
+
+
+HOURLY_ZSCORES_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events,
+       round(avg(n_events) OVER w, 4) AS trailing_mean,
+       round(CASE WHEN stddev_samp(n_events) OVER w > 0
+                  THEN (n_events - avg(n_events) OVER w)
+                       / stddev_samp(n_events) OVER w
+             END, 4) AS zscore
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+"""
