@@ -17,9 +17,11 @@ from spark_ext_spark.functions import collect_array_sorted
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """TESTDATA loader; events.ts arrives as parquet TIMESTAMP(NANOS)
-    and is normalized to µs timestamps (the same truncation DuckDB
-    applies, so oracle comparisons and orderings agree)."""
+    """TESTDATA loader. Temporal encodings have drifted between driver
+    rounds (r1 nano-int64 → r2+ timestamp_ntz); read_table normalizes
+    events.ts to a session-tz TIMESTAMP and repairs unreadable
+    orders/lineitem date encodings while keeping scan pushdown — see
+    sources/io.py for the per-table policy."""
     from spark_ext_spark.sources import read_table
     return read_table(spark, sf_dir, name)
 

@@ -53,3 +53,13 @@ def test_check_in_set(spark):
                                "s string")
     rep = check_expectations(df, {"s": {"in_set": ["a", "b"]}}).first()
     assert rep["ok"] is False and rep["observed"] == "1"  # 'q' outside
+
+
+def test_profile_approx_distinct_path(spark):
+    df = spark.range(0, 5000).selectExpr("id", "id % 50 AS k")
+    prof = {r["column"]: r for r in
+            profile_columns(df, ["id", "k"],
+                            exact_distinct=False).collect()}
+    # HLL++ default rsd is 5%; allow 3 sigma
+    assert abs(prof["id"]["n_distinct"] - 5000) <= 0.15 * 5000
+    assert abs(prof["k"]["n_distinct"] - 50) <= 5
