@@ -1192,3 +1192,47 @@ SELECT source, n_docs, n_tokens,
                          FROM per_source), 6) AS token_share
 FROM per_source
 """
+
+
+def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic duplicate clustering: embedding-cosine
+    near-dup pairs (the sharded co-group GEMM, sim ≥ 0.4) → connected
+    components → every vector labeled with its cluster's canonical
+    (min) id. Same pointer-jumping engine as the text dup_clusters;
+    the oracle replays the closure with a recursive CTE over the
+    list_cosine_similarity pair set."""
+    from spark_ext_spark.llm.clusters import duplicate_clusters
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(emb, threshold=0.4,
+                                           method="exact", round_to=4)
+    return duplicate_clusters(emb, "vec_id", pairs,
+                              pair_a="id_a", pair_b="id_b")
+
+
+SEMANTIC_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 4) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+cc AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT m.vec_id, coalesce(cc.cluster_id, m.vec_id) AS cluster_id
+  FROM embeddings m LEFT JOIN cc ON m.vec_id = cc.node
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (vec_id = cluster_id) AS is_canonical
+FROM lab
+"""
