@@ -4,9 +4,13 @@ every large ingestion/training pipeline runs before accepting a batch
 
 Everything is ONE pass over the table: all per-column statistics fold
 into a single global aggregate row (count/sum/min/max/approx-distinct
-all partial-aggregate), then unpivot to the (column, metric) report.
+all partial-aggregate), then explode to the (column, metric) report.
 No per-column jobs, no driver loops — at 100 TB the profile costs one
 scan regardless of how many columns are profiled.
+
+Report rows are built with the Column API (array-of-struct explode),
+never interpolated SQL strings — column names and rule values may
+contain quotes, spaces, or any other character safely.
 """
 
 from __future__ import annotations
@@ -16,6 +20,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile_columns", "check_expectations"]
 
+_RULE_KEYS = {"not_null", "unique", "min", "max", "in_set"}
+
+
+def _report(one: DataFrame, rows: list) -> DataFrame:
+    return (one.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))
+
 
 def profile_columns(df: DataFrame, cols: list[str],
                     exact_distinct: bool = True) -> DataFrame:
@@ -23,33 +34,33 @@ def profile_columns(df: DataFrame, cols: list[str],
     min/max (stringified so mixed types share one schema).
 
     One aggregate row carries every statistic (single scan, partial
-    aggregation); the unpivot to (column, ...) rows is driver-free
-    stack(). ``exact_distinct=False`` swaps count_distinct for the
-    HLL++ approx — at 100 TB exact distinct on a high-cardinality
-    column is its own shuffle per column, the sketch is one pass."""
+    aggregation). ``exact_distinct=False`` swaps count_distinct for
+    the HLL++ approx — at 100 TB exact distinct on a high-cardinality
+    column is its own expansion per column, the sketch is one pass."""
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         col = F.col(c)
         distinct = (F.count_distinct(col) if exact_distinct
                     else F.approx_count_distinct(col))
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"__null_{c}"),
-            distinct.alias(f"__dist_{c}"),
-            F.min(col).cast("string").alias(f"__min_{c}"),
-            F.max(col).cast("string").alias(f"__max_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"__null_{i}"),
+            distinct.alias(f"__dist_{i}"),
+            F.min(col).cast("string").alias(f"__min_{i}"),
+            F.max(col).cast("string").alias(f"__max_{i}"),
         ]
     one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}"
-        for c in cols)
-    return one.selectExpr(
-        "__n AS n_rows",
-        f"stack({len(cols)}, {stack}) AS "
-        "(column, n_null, n_distinct, min_value, max_value)"
-    ).select(
-        "column", "n_rows", "n_null",
-        F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_rate"),
-        "n_distinct", "min_value", "max_value")
+    rows = [F.struct(
+        F.lit(c).alias("column"),
+        F.col("__n").alias("n_rows"),
+        F.col(f"__null_{i}").alias("n_null"),
+        F.round(F.col(f"__null_{i}") / F.col("__n"), 6).alias("null_rate"),
+        F.col(f"__dist_{i}").alias("n_distinct"),
+        F.col(f"__min_{i}").alias("min_value"),
+        F.col(f"__max_{i}").alias("max_value"),
+    ) for i, c in enumerate(cols)]
+    return _report(one, rows)
 
 
 def check_expectations(df: DataFrame, rules: dict[str, dict]) -> DataFrame:
@@ -58,43 +69,51 @@ def check_expectations(df: DataFrame, rules: dict[str, dict]) -> DataFrame:
 
     - ``not_null``: no null values;
     - ``unique``: distinct count == non-null count;
-    - ``min`` / ``max``: numeric bounds on observed min/max;
+    - ``min`` / ``max``: bounds on observed min/max;
     - ``in_set``: every non-null value within the given list.
 
-    Callers gate the batch on ``report.filter(~col("ok")).count() == 0``
-    — still a single job over the one-row aggregate."""
+    Unknown rule keys raise (a typo must fail loudly, not produce a
+    silently-empty report). Callers gate the batch on
+    ``report.filter(~col("ok")).count() == 0`` — one job over the
+    one-row aggregate."""
     aggs = [F.count(F.lit(1)).alias("__n")]
-    checks: list[tuple[str, str, str, str]] = []  # col, rule, okcol, obscol
-    for c, spec in rules.items():
+    rows = []
+
+    def add(col_name: str, rule: str, ok, observed) -> None:
+        rows.append(F.struct(
+            F.lit(col_name).alias("column"), F.lit(rule).alias("rule"),
+            ok.alias("ok"), observed.cast("string").alias("observed")))
+
+    for i, (c, spec) in enumerate(rules.items()):
+        unknown = set(spec) - _RULE_KEYS
+        if unknown:
+            raise ValueError(
+                f"check_expectations: unknown rule(s) {sorted(unknown)} "
+                f"for column {c!r}; supported: {sorted(_RULE_KEYS)}")
         col = F.col(c)
         if spec.get("not_null"):
-            aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nn_{c}"))
-            checks.append((c, "not_null", f"__nn_{c} = 0",
-                           f"CAST(__nn_{c} AS STRING)"))
+            aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nn_{i}"))
+            add(c, "not_null", F.col(f"__nn_{i}") == 0, F.col(f"__nn_{i}"))
         if spec.get("unique"):
-            aggs.append(F.count_distinct(col).alias(f"__ud_{c}"))
-            aggs.append(F.count(col).alias(f"__uc_{c}"))
-            checks.append((c, "unique", f"__ud_{c} = __uc_{c}",
-                           f"CAST(__uc_{c} - __ud_{c} AS STRING)"))
+            aggs.append(F.count_distinct(col).alias(f"__ud_{i}"))
+            aggs.append(F.count(col).alias(f"__uc_{i}"))
+            add(c, "unique", F.col(f"__ud_{i}") == F.col(f"__uc_{i}"),
+                F.col(f"__uc_{i}") - F.col(f"__ud_{i}"))
         if "min" in spec:
-            aggs.append(F.min(col).alias(f"__mn_{c}"))
-            checks.append((c, "min", f"__mn_{c} >= {spec['min']!r}",
-                           f"CAST(__mn_{c} AS STRING)"))
+            aggs.append(F.min(col).alias(f"__mn_{i}"))
+            add(c, "min", F.col(f"__mn_{i}") >= F.lit(spec["min"]),
+                F.col(f"__mn_{i}"))
         if "max" in spec:
-            aggs.append(F.max(col).alias(f"__mx_{c}"))
-            checks.append((c, "max", f"__mx_{c} <= {spec['max']!r}",
-                           f"CAST(__mx_{c} AS STRING)"))
+            aggs.append(F.max(col).alias(f"__mx_{i}"))
+            add(c, "max", F.col(f"__mx_{i}") <= F.lit(spec["max"]),
+                F.col(f"__mx_{i}"))
         if "in_set" in spec:
-            # rule label kept quote-free: it is embedded in stack()'s
-            # SQL string literal below
-            lits = "|".join(str(v) for v in spec["in_set"])
-            aggs.append(F.sum((~col.isin(list(spec["in_set"]))
-                               & col.isNotNull()).cast("long"))
-                        .alias(f"__os_{c}"))
-            checks.append((c, f"in_set[{lits}]", f"__os_{c} = 0",
-                           f"CAST(__os_{c} AS STRING)"))
+            allowed = list(spec["in_set"])
+            aggs.append(F.sum((~col.isin(allowed) & col.isNotNull())
+                              .cast("long")).alias(f"__os_{i}"))
+            label = "in_set[" + "|".join(str(v) for v in allowed) + "]"
+            add(c, label, F.col(f"__os_{i}") == 0, F.col(f"__os_{i}"))
+    if not rows:
+        raise ValueError("check_expectations: no supported rules given")
     one = df.agg(*aggs)
-    stack = ", ".join(f"'{c}', '{rule}', {ok}, {obs}"
-                      for c, rule, ok, obs in checks)
-    return one.selectExpr(
-        f"stack({len(checks)}, {stack}) AS (column, rule, ok, observed)")
+    return _report(one, rows)

@@ -1150,11 +1150,15 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_DEDUP_STATS_SQL = """
+-- trim-then-collapse ordering matches Spark's normalize_text (and
+-- EXACT_DEDUP_SQL): collapse-first would merge texts differing only
+-- in edge whitespace into different digests than the engine's
 SELECT count(*) AS n_docs,
-       count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+       count(DISTINCT md5(regexp_replace(trim(lower(text)),
+                                         '\\s+', ' ', 'g')))
            AS n_unique,
        round(1.0 - count(DISTINCT
-                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
              / count(*), 4) AS dup_rate,
        sum(length(text)) AS total_chars
 FROM documents

@@ -1340,7 +1340,11 @@ FROM one
 
 def hourly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series anomaly scoring: each hour's event count against the
-    trailing-24h mean/stddev per type (the ops-monitoring z-score).
+    trailing-24-ROW mean/stddev per type (the ops-monitoring z-score).
+    Rows, not hours: the baseline is the last 24 OBSERVED buckets —
+    hours with zero events are absent from the rollup, so for sparse
+    types the window reaches further back in wall time (compose with
+    hourly_gapfill first when a strict 24-hour baseline is needed).
     Windows partition by type — calendar-bounded partitions, same scale
     argument as the gapfill family. std=0 and sub-2-sample windows
     yield NULL scores on both engines (guarded division; ANSI mode

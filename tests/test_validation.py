@@ -63,3 +63,23 @@ def test_profile_approx_distinct_path(spark):
     # HLL++ default rsd is 5%; allow 3 sigma
     assert abs(prof["id"]["n_distinct"] - 5000) <= 0.15 * 5000
     assert abs(prof["k"]["n_distinct"] - 50) <= 5
+
+
+def test_validation_hostile_names_and_values(spark):
+    """Column names with spaces/quotes and rule values with quotes must
+    not break report construction (Column API, no SQL interpolation)."""
+    df = spark.createDataFrame(
+        [("O'Brien", 1.0), ("Smith", 2.0)],
+        ["last name", "the-value"])
+    prof = profile_columns(df, ["last name", "the-value"]).collect()
+    assert {r["column"] for r in prof} == {"last name", "the-value"}
+    rep = check_expectations(df, {
+        "last name": {"in_set": ["O'Brien", "Smith"], "not_null": True},
+        "the-value": {"min": 0.5},
+    }).collect()
+    assert all(r["ok"] for r in rep)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown rule"):
+        check_expectations(df, {"the-value": {"nonnull": True}})
+    with _pytest.raises(ValueError):
+        profile_columns(df, [])
