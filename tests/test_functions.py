@@ -101,3 +101,20 @@ def test_median_abs_deviation_skips_nulls(spark):
     # nulls skipped (SQL aggregate contract): median([1,2,9])=2,
     # |x-2| = [1,0,7] -> median = 1.0
     assert got == 1.0
+
+
+def test_attach_scalar_agg(spark):
+    from spark_ext_spark.functions import attach_scalar_agg
+    df = spark.createDataFrame([(1, 10.0), (2, 30.0), (3, 20.0)],
+                               "id long, v double")
+    out = attach_scalar_agg(df, {"total": F.sum("v"), "mx": F.max("v")})
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["total"] == 60.0 and r["mx"] == 30.0 for r in rows)
+    # separate source DataFrame
+    src = spark.createDataFrame([(100.0,)], "v double")
+    out2 = attach_scalar_agg(df.select("id"), {"s": F.sum("v")}, source=src)
+    assert all(r["s"] == 100.0 for r in out2.collect())
+    # the scalar rides as a broadcast single-row join, not a driver job
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
