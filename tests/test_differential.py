@@ -425,3 +425,46 @@ def test_random_array_functions_match_duckdb(spark, duck_docs, shape):
     duck_rows = sorted(((i, _norm(m)) for i, m in
                         duck_docs.execute(sql).fetchall()), key=repr)
     assert spark_rows == duck_rows
+
+
+having_shapes = st.tuples(
+    st.sampled_from(["user_id", "event_type"]),
+    st.floats(min_value=0.0, max_value=3000.0, allow_nan=False),
+    st.integers(min_value=1, max_value=30),
+    st.sampled_from(["sum", "count", "both"]),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=having_shapes)
+def test_random_having_matches_duckdb(spark, duck, shape):
+    """Randomized HAVING shapes: aggregate then filter on the
+    aggregate(s) — the Q18/Q20 path."""
+    key, sum_min, cnt_min, mode = shape
+
+    ev = load(spark, SF, "events")
+    agg = (ev.groupBy(key)
+           .agg(F.round(F.sum("value"), 4).alias("sv"),
+                F.count(F.lit(1)).alias("n")))
+    conds, sql_conds = [], []
+    if mode in ("sum", "both"):
+        conds.append(F.col("sv") > sum_min)
+        sql_conds.append(f"round(sum(value), 4) > {sum_min!r}")
+    if mode in ("count", "both"):
+        conds.append(F.col("n") >= cnt_min)
+        sql_conds.append(f"count(*) >= {cnt_min}")
+    out = agg
+    for c in conds:
+        out = out.filter(c)
+    spark_rows = sorted(
+        (tuple(_norm(r[c]) for c in (key, "sv", "n"))
+         for r in out.collect()), key=repr)
+
+    sql = (f"SELECT {key}, round(sum(value), 4) AS sv, count(*) AS n "
+           f"FROM events GROUP BY {key} "
+           f"HAVING {' AND '.join(sql_conds)}")
+    res = duck.execute(sql)
+    duck_rows = sorted((tuple(_norm(x) for x in r)
+                        for r in res.fetchall()), key=repr)
+    assert spark_rows == duck_rows
