@@ -23,7 +23,8 @@ from spark_ext_spark.llm.text import tokens
 from spark_ext_spark.operators.prefix import partitioned_cumulative_sums
 
 __all__ = ["hash_unit_interval", "hash_split", "pack_sequences",
-           "temperature_mix_sample"]
+           "temperature_mix_sample", "length_bucketed_batches",
+           "source_cap_sample", "hash_sample_k"]
 
 
 def hash_unit_interval(key: Column | str, salt: str = "") -> Column:
@@ -139,3 +140,32 @@ def temperature_mix_sample(df: DataFrame, group_col: str, id_col: str,
     return (df.join(F.broadcast(rates), group_col)
             .filter(u < F.col("__rate"))
             .drop("__rate"))
+
+
+def length_bucketed_batches(df: DataFrame, id_col: str, text_col: str,
+                            bucket_tokens: int = 64,
+                            batch_size: int = 32) -> DataFrame:
+    """Padding-minimizing batch assignment: documents grouped into
+    token-length buckets (floor(n_tokens / bucket_tokens)), then
+    batched ``batch_size`` at a time within each bucket in id order —
+    the dynamic-batching primitive that keeps same-batch sequences
+    near-equal length so padding waste stays O(bucket_tokens), not
+    O(max_len).
+
+    Plan: one tokenize pass, a per-bucket row_number window (bucket
+    count is bounded by max_len / bucket_tokens, and rows per bucket
+    by the corpus — partition-parallel across buckets; for a corpus
+    with billions of docs per bucket swap the window for the
+    distributed prefix sums as pack_sequences does). Deterministic:
+    ordering is (doc id), a total order."""
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.size(tokens(text_col)).alias("n_tokens"))
+    bucket = F.floor(F.col("n_tokens") / F.lit(bucket_tokens))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("bucket").orderBy("doc")
+    return (toks.withColumn("bucket", bucket.cast("long"))
+            .withColumn("batch_idx",
+                        F.floor((F.row_number().over(w) - 1)
+                                / F.lit(batch_size)).cast("long"))
+            .select(F.col("doc").alias(id_col), "n_tokens", "bucket",
+                    "batch_idx"))

@@ -1240,3 +1240,32 @@ SELECT vec_id, cluster_id,
        (vec_id = cluster_id) AS is_canonical
 FROM lab
 """
+
+
+def length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (llm/splits.py
+    length_bucketed_batches): 32-token buckets, 16 docs per batch."""
+    from spark_ext_spark.llm import splits
+    docs = load(spark, sf_dir, "documents")
+    return splits.length_bucketed_batches(docs, "doc_id", "text",
+                                          bucket_tokens=32, batch_size=16)
+
+
+LENGTH_BATCHES_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text),
+             '[\\s[:punct:]]+'), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(n_tokens / 32) AS BIGINT) AS bucket
+  FROM toks
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor((row_number() OVER (PARTITION BY bucket
+                                      ORDER BY doc_id) - 1) / 16)
+            AS BIGINT) AS batch_idx
+FROM b
+"""
