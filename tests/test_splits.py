@@ -81,3 +81,25 @@ def test_temperature_mix_alpha_one_is_proportional(spark):
     # alpha=1 -> uniform rate budget/N = 1/3 for every source
     assert 160 <= got.get("a", 0) <= 240
     assert 70 <= got.get("b", 0) <= 130
+
+
+def test_length_bucketed_batches_golden(spark):
+    from spark_ext_spark.llm.splits import length_bucketed_batches
+    # token counts: 2, 2, 3, 5, 5 -> buckets (size 3): 0,0,1,1,1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "e f g"),
+         (4, "h i j k l"), (5, "m n o p q")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            length_bucketed_batches(df, "doc_id", "text",
+                                    bucket_tokens=3, batch_size=2).collect()}
+    assert (rows[1]["bucket"], rows[2]["bucket"]) == (0, 0)
+    assert (rows[3]["bucket"], rows[4]["bucket"], rows[5]["bucket"]) == \
+        (1, 1, 1)
+    # within bucket 1 (docs 3,4,5 in id order, batch_size 2):
+    # docs 3,4 -> batch 0; doc 5 -> batch 1
+    assert (rows[3]["batch_idx"], rows[4]["batch_idx"],
+            rows[5]["batch_idx"]) == (0, 0, 1)
+    assert (rows[1]["batch_idx"], rows[2]["batch_idx"]) == (0, 0)
+    # same-batch documents differ by < bucket_tokens in length
+    assert abs(rows[3]["n_tokens"] - rows[4]["n_tokens"]) < 3
