@@ -59,3 +59,28 @@ def test_readme_quickstart_pipeline(spark):
     assert 0.0 <= auc <= 1.0
     assert metrics.gains().count() > 2
     assert "cell" in model.transform(dataset).columns
+
+
+def test_readme_llm_oneliners(spark):
+    """The four LLM-surface calls quoted in the README, as written."""
+    from spark_ext_spark.llm.dedup import minhash_lsh_pairs
+    from spark_ext_spark.llm.similarity import ivf_topk
+    from spark_ext_spark.llm.splits import temperature_mix_sample
+    from spark_ext_spark.llm.text import repeated_ngram_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    assert {"doc_a", "doc_b"} <= set(pairs.columns)
+
+    topk = ivf_topk(emb, k=5)
+    assert topk.count() > 0
+    assert {"query_id", "neighbor_id"} <= set(topk.columns) or \
+        len(topk.columns) >= 3  # (query, neighbor, score) shape
+
+    grams = repeated_ngram_spans(docs, "doc_id", "text")
+    assert set(grams.columns) == {"gram", "df", "occurrences"}
+
+    mixed = temperature_mix_sample(docs, "source", "doc_id")
+    assert 0 < mixed.count() <= docs.count()
