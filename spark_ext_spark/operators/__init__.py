@@ -19,3 +19,5 @@ from spark_ext_spark.operators.prefix import (  # noqa: F401
     partitioned_cumulative_sums)
 from spark_ext_spark.operators.range_join import range_join  # noqa: F401
 from spark_ext_spark.operators.s2cell import S2CellTransformer  # noqa: F401
+from spark_ext_spark.operators.validation import (  # noqa: F401
+    check_expectations, profile_columns)
