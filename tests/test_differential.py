@@ -468,3 +468,41 @@ def test_random_having_matches_duckdb(spark, duck, shape):
     duck_rows = sorted((tuple(_norm(x) for x in r)
                         for r in res.fetchall()), key=repr)
     assert spark_rows == duck_rows
+
+
+semianti_shapes = st.tuples(
+    st.sampled_from(["semi", "anti"]),
+    st.one_of(st.none(), st.sampled_from(["BUILDING", "MACHINERY",
+                                          "HOUSEHOLD"])),
+    st.one_of(st.none(), st.sampled_from(["1-URGENT", "5-LOW"])),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=semianti_shapes)
+def test_random_semi_anti_join_matches_duckdb(spark, duck_tpch, shape):
+    """Randomized LEFT SEMI / LEFT ANTI joins (EXISTS / NOT EXISTS)
+    with independent filters on both sides."""
+    how, segment, priority = shape
+
+    cust = load(spark, SF, "customer")
+    orders = load(spark, SF, "orders")
+    conds = []
+    if segment is not None:
+        cust = cust.filter(F.col("c_mktsegment") == segment)
+        conds.append(f"c_mktsegment = '{segment}'")
+    sub = "SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+    if priority is not None:
+        orders = orders.filter(F.col("o_orderpriority") == priority)
+        sub += f" AND o_orderpriority = '{priority}'"
+    out = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                    "left_semi" if how == "semi" else "left_anti")
+    spark_rows = sorted(r["c_custkey"] for r in out.collect())
+
+    exists = "EXISTS" if how == "semi" else "NOT EXISTS"
+    sql = f"SELECT c_custkey FROM customer WHERE {exists} ({sub})"
+    if conds:
+        sql += " AND " + " AND ".join(conds)
+    duck_rows = sorted(r[0] for r in duck_tpch.execute(sql).fetchall())
+    assert spark_rows == duck_rows
