@@ -33,7 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that EVERY operator family has ≥1 entry inside the
     driver's 50-query correctness window; always-green redundant OLAP
-    variants sit past position 50 (they still run in the bench)."""
+    variants sit past position 50 (they still run in the bench).
+
+    Oracle output-type contract: every oracle_sql() result column must
+    be BIGINT/DOUBLE/VARCHAR/BOOLEAN/DATE/TIMESTAMP (or lists/structs
+    of those). Never HUGEINT or DECIMAL — DuckDB types a bare integer
+    ``sum()`` as HUGEINT, which the driver's Arrow fetch turns into
+    float64 (``7949.0`` vs Spark's int64 ``7949``) and the hash
+    compare fails on equal values. Wrap integer aggregates in
+    ``CAST(... AS BIGINT)``; enforced by tests/test_oracle_types.py."""
     return {
         # --- 1-20: reference §2A surface --------------------------------
         "collect_array": rel.user_event_types,

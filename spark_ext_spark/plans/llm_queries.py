@@ -523,7 +523,8 @@ WITH m AS (
              AS n_frames
   FROM documents
 )
-SELECT source, count(*) AS n_items, sum(byte_len) AS total_bytes,
+SELECT source, count(*) AS n_items,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
        round(avg(floor((n_frames - 1) / 5) + 1), 4)
            AS avg_frames_sampled
 FROM m GROUP BY source
@@ -961,7 +962,8 @@ fmt AS (
               ELSE 'unknown' END AS format
   FROM sniffed
 )
-SELECT format, count(*) AS n_items, sum(byte_len) AS total_bytes
+SELECT format, count(*) AS n_items,
+       CAST(sum(byte_len) AS BIGINT) AS total_bytes
 FROM fmt GROUP BY format
 """
 
@@ -1016,7 +1018,7 @@ WITH ranked AS (
   FROM documents
 )
 SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc,
-       sum(n_chars) AS kept_chars
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM ranked WHERE rk <= 12 GROUP BY source
 """
 
@@ -1160,7 +1162,7 @@ SELECT count(*) AS n_docs,
        round(1.0 - count(DISTINCT
                  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
              / count(*), 4) AS dup_rate,
-       sum(length(text)) AS total_chars
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents
 """
 

@@ -1081,7 +1081,8 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_VARIANT_EXTRACT_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -1279,15 +1280,18 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 TABLE_PROFILE_SQL = """
 WITH one AS (
   SELECT count(*) AS n,
-         sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS null_a,
+         CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_a,
          count(DISTINCT l_suppkey) AS dist_a,
          CAST(min(l_suppkey) AS VARCHAR) AS min_a,
          CAST(max(l_suppkey) AS VARCHAR) AS max_a,
-         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_b,
+         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_b,
          count(DISTINCT l_returnflag) AS dist_b,
          CAST(min(l_returnflag) AS VARCHAR) AS min_b,
          CAST(max(l_returnflag) AS VARCHAR) AS max_b,
-         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_c,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_c,
          count(DISTINCT l_quantity) AS dist_c,
          CAST(min(l_quantity) AS VARCHAR) AS min_c,
          CAST(max(l_quantity) AS VARCHAR) AS max_c
