@@ -84,7 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lq.cosine_topk_bruteforce,
         "ann_lsh_topk": lq.ann_lsh_topk,
         "embedding_near_dups": lq.embedding_near_dup_pairs,
-        "ann_ivf_topk": lq.ann_ivf_topk,        # rows-only
+        "ann_ivf_topk": lq.ann_ivf_topk,
         "embedding_quantize": lq.embedding_quantize,
         "media_sniff_formats": lq.media_sniff_formats,
         "media_pipeline": lq.media_pipeline,
@@ -208,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": lq.DOC_LANGUAGE_ID_SQL,
         "cosine_topk": lq.COSINE_TOPK_SQL,
         "ann_lsh_topk": lq.ANN_LSH_TOPK_SQL,
+        "ann_ivf_topk": lq.ANN_IVF_TOPK_SQL,
         "embedding_near_dups": lq.EMBEDDING_NEAR_DUPS_SQL,
         "token_counts": lq.TOKEN_COUNTS_SQL,
         "source_capped_corpus": lq.SOURCE_CAPPED_CORPUS_SQL,

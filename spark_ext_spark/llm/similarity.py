@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["cosine_similarity_col", "cosine_topk", "lsh_buckets",
            "lsh_topk", "fit_ivf_centroids", "ivf_topk",
+           "fit_ivf_centroids_quantized", "ivf_topk_deterministic",
            "embedding_near_dups"]
 
 
@@ -347,6 +348,113 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
                         F.lit("q").alias("role"))
     c = assigned.select("vec_id", "vec", "cell", F.lit("c").alias("role"))
     return _grouped_candidate_topk(q.unionByName(c), "cell", k)
+
+
+IVF_QUANT_SCALE = 1_000_000
+
+
+def _ivf_quantize_expr(vec_col: str) -> Column:
+    """floor(x * 1e6) as array<long> — the integer-lattice projection
+    that makes Lloyd's algorithm bit-exact across engines (integer
+    sums are associative; double sums are not)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(IVF_QUANT_SCALE))).cast("long"))
+
+
+def _ivf_cells_by_dist(cents: list[list[int]], qv_col: str = "qv") -> Column:
+    """array of (squared-L2-distance, cell) structs sorted asc — all
+    integer arithmetic over the quantized vector against literal
+    centroids, so argmin and probe order are deterministic (ties break
+    to the smaller cell id via struct comparison)."""
+    structs = []
+    for j, c in enumerate(cents):
+        row = F.array(*[F.lit(int(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(qv_col, row, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, z: acc + z)
+        structs.append(F.struct(d2.alias("d"),
+                                F.lit(j).cast("int").alias("cell")))
+    return F.array_sort(F.array(*structs))
+
+
+def fit_ivf_centroids_quantized(df: DataFrame, n_centroids: int = 16,
+                                n_iter: int = 3, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                dim: int | None = None) -> list[list[int]]:
+    """Deterministic distributed Lloyd on integer-quantized vectors.
+
+    Unlike :func:`fit_ivf_centroids` (MLlib KMeans — the production
+    fit when exact reproducibility across engines is not needed), this
+    quantizer is cross-engine replayable: vectors land on an integer
+    lattice (floor(x*1e6)), initial centroids are the ``n_centroids``
+    smallest ids, and each Lloyd step is (integer argmin assignment,
+    exact integer per-dim sums, floor-mean). Integer sums are
+    order-independent, so Spark's partial aggregation and any SQL
+    engine produce identical centroids — see ANN_IVF_TOPK_SQL, which
+    re-derives them via unrolled CTEs.
+
+    Scale shape: each iteration is ONE distributed aggregation
+    (groupBy(cell) with dim+1 exact integer sums); the only driver
+    artifact is the n_centroids × dim centroid matrix.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        if first is None:
+            raise ValueError("empty DataFrame and no dim given")
+        dim = first[0]
+    q = (df.select(F.col(id_col).alias("vec_id"),
+                   _ivf_quantize_expr(vec_col).alias("qv")).cache())
+    init = q.orderBy("vec_id").limit(n_centroids).collect()
+    cents = [[int(x) for x in r["qv"]] for r in init]
+    for _ in range(n_iter):
+        cell = _ivf_cells_by_dist(cents)[0]["cell"]
+        stats = (q.withColumn("cell", cell)
+                 .groupBy("cell")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      *[F.sum(F.col("qv")[i]).alias(f"s{i}")
+                        for i in range(dim)])
+                 .collect())
+        # floor(sum/n) in DOUBLE division — sums stay < 2^53 (1e6-scale
+        # values), so the division is exact-operand IEEE and matches
+        # the oracle's floor(CAST(sum AS DOUBLE) / n) bit-for-bit
+        new = {r["cell"]: [math.floor(r[f"s{i}"] / r["n"])
+                           for i in range(dim)] for r in stats}
+        cents = [new.get(j, cents[j]) for j in range(n_centroids)]
+    q.unpersist()
+    return cents
+
+
+def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
+                           n_probes: int = 3, n_iter: int = 3,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           round_to: int = 4,
+                           centroids: list[list[int]] | None = None
+                           ) -> DataFrame:
+    """IVF ANN over the quantized-Lloyd coarse quantizer — identical
+    candidate generation to :func:`ivf_topk` (probe ``n_probes``
+    nearest cells, exact GEMM re-rank inside), but every stage up to
+    the final cosine is integer arithmetic, so a SQL oracle can replay
+    assignment, probe selection, and the candidate set exactly.
+    Similarities are rounded to ``round_to`` decimals BEFORE ranking
+    (both engines) to pin tie-breaks."""
+    if centroids is None:
+        centroids = fit_ivf_centroids_quantized(
+            df, n_centroids, n_iter, id_col, vec_col)
+    emb = df.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("vec"),
+                    _ivf_quantize_expr(vec_col).alias("qv"))
+    cbd = _ivf_cells_by_dist(centroids)
+    emb = emb.withColumn("__cbd", cbd).drop("qv")
+    probes = F.transform(F.slice("__cbd", 1, n_probes), lambda s: s["cell"])
+    own = F.col("__cbd")[0]["cell"]
+    q = emb.select("vec_id", "vec", F.explode(probes).alias("cell"),
+                   F.lit("q").alias("role"))
+    c = emb.select("vec_id", "vec", own.alias("cell"),
+                   F.lit("c").alias("role"))
+    return _grouped_candidate_topk(q.unionByName(c), "cell", k,
+                                   round_to=round_to)
 
 
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",

@@ -326,16 +326,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, k=5, n_planes=8, round_to=4)
 
 
-def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42,
-                    k: int = 5) -> str:
-    """DuckDB replica of lsh_topk(k=5, n_planes=8, multiprobe=True,
-    round_to=4). Plane constants come from the SAME numpy generator;
-    the dot product is a left fold starting at 0.0 in BOTH engines
-    (F.aggregate's fold order == list_reduce's), so bucket signs agree
-    bit-for-bit. Per-bucket top-k + max-merge in Spark equals global
-    top-k over the DISTINCT candidate set (a candidate beaten by k
-    bucket-mates is beaten by them globally), so the oracle ranks the
-    candidate set directly."""
+def _lsh_bucket_ctes(dim: int = 64, n_planes: int = 8,
+                     seed: int = 42) -> str:
+    """Shared CTE prefix replaying lsh_buckets + multiprobe in DuckDB:
+    plane constants come from the SAME numpy generator as the Spark
+    plan literals; the dot product is a left fold starting at 0.0 in
+    BOTH engines (F.aggregate's fold order == list_reduce's), so
+    bucket signs agree bit-for-bit. Yields CTEs ``buckets`` (vec_id,
+    own bucket) and ``probes`` (vec_id, each probed bucket incl. the
+    1-bit flips)."""
     from spark_ext_spark.llm.similarity import _projections
     planes = _projections(dim, n_planes, seed)
     rows = ",\n    ".join(
@@ -343,8 +342,7 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42,
             p, ", ".join(repr(float(x)) for x in planes[p]))
         for p in range(n_planes))
     probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(n_planes))
-    return f"""
-WITH planes(p, plane) AS (VALUES
+    return f"""planes(p, plane) AS (VALUES
     {rows}),
 dots AS (
   SELECT e.vec_id, p.p,
@@ -360,7 +358,18 @@ buckets AS (
 ),
 probes AS (
   SELECT vec_id, unnest([bucket, {probes}]) AS bucket FROM buckets
-),
+)"""
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42,
+                    k: int = 5) -> str:
+    """DuckDB replica of lsh_topk(k=5, n_planes=8, multiprobe=True,
+    round_to=4). Per-bucket top-k + max-merge in Spark equals global
+    top-k over the DISTINCT candidate set (a candidate beaten by k
+    bucket-mates is beaten by them globally), so the oracle ranks the
+    candidate set directly."""
+    return f"""
+WITH {_lsh_bucket_ctes(dim, n_planes, seed)},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM probes q
@@ -387,22 +396,109 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
 ANN_LSH_TOPK_SQL = _ann_lsh_oracle()
 
 
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+_IVF_CENTROIDS: dict[str, list[list[int]]] = {}
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF ANN with a trained k-means coarse quantizer
-    (recall/probe-tradeoff asserted in tests). 5 Lloyd iterations — a
-    coarse quantizer converges in a few sweeps, and each MLlib
-    iteration is a full driver-coordinated job. The fitted quantizer is
+    """IVF ANN with a trained coarse quantizer — oracle-checked: the
+    quantized-Lloyd fit (integer lattice, deterministic init from the
+    n_centroids smallest ids, exact integer sums) produces centroids a
+    SQL engine re-derives bit-for-bit, so ANN_IVF_TOPK_SQL replays the
+    fit, cell assignment, probe selection, and candidate re-rank (see
+    similarity.fit_ivf_centroids_quantized). The MLlib-KMeans variant
+    (similarity.ivf_topk) stays the float-centroid production path and
+    keeps its recall/probe-tradeoff tests. The fitted quantizer is
     cached per corpus: production IVF fits once and serves many
     queries, so repeat invocations must not re-run Lloyd."""
     emb = load(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = similarity.fit_ivf_centroids(
-            emb, n_centroids=16, max_iter=5)
-    return similarity.ivf_topk(emb, k=5, n_centroids=16, n_probes=3,
-                               centroids=_IVF_CENTROIDS[sf_dir])
+        _IVF_CENTROIDS[sf_dir] = similarity.fit_ivf_centroids_quantized(
+            emb, n_centroids=16, n_iter=3)
+    return similarity.ivf_topk_deterministic(
+        emb, k=5, n_centroids=16, n_probes=3, round_to=4,
+        centroids=_IVF_CENTROIDS[sf_dir])
+
+
+def _ann_ivf_oracle(dim: int = 64, n_centroids: int = 16, n_iter: int = 3,
+                    n_probes: int = 3, k: int = 5,
+                    scale: int = 1_000_000) -> str:
+    """DuckDB replica of ivf_topk_deterministic(k=5, n_centroids=16,
+    n_probes=3, n_iter=3, round_to=4) INCLUDING the quantizer fit:
+    each Lloyd iteration is an unrolled CTE pair (integer argmin
+    assignment, floor-mean recompute with empty cells keeping their
+    previous centroid), so the oracle works at any sf_dir without
+    shipping fitted centroids as literals. All pre-cosine arithmetic
+    is on BIGINTs (associative, order-independent); the final cosine
+    re-rank rounds to 4dp before ranking on both engines."""
+    mean_list = ", ".join(
+        f"CAST(floor(CAST(sum(qv[{i}]) AS DOUBLE) / count(*)) AS BIGINT)"
+        for i in range(1, dim + 1))
+    dist = (f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), "
+            f"(a, b) -> a + b)")
+    iters = []
+    for t in range(1, n_iter + 1):
+        iters.append(f"""
+a{t} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist} ASC, c.cell ASC) AS rk
+    FROM q CROSS JOIN c{t - 1} c)
+  WHERE rk = 1
+),
+m{t} AS (
+  SELECT cell, list_value({mean_list}) AS cv
+  FROM a{t} GROUP BY cell
+),
+c{t} AS (
+  SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+  FROM c{t - 1} p LEFT JOIN m{t} m USING (cell)
+)""")
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * {scale}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+         qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {n_centroids})
+),{",".join(iters)},
+final AS (
+  SELECT q.vec_id, c.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {dist} ASC, c.cell ASC) AS rk
+  FROM q CROSS JOIN c{n_iter} c
+),
+assigned AS (SELECT vec_id, cell FROM final WHERE rk = 1),
+probes AS (SELECT vec_id, cell FROM final WHERE rk <= {n_probes}),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probes p
+  JOIN assigned a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 4) AS sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.query_id
+  JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_IVF_TOPK_SQL = _ann_ivf_oracle()
 
 
 # --- multimodal ---------------------------------------------------------------
@@ -1201,21 +1297,74 @@ FROM per_source
 
 
 def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shape semantic duplicate clustering: embedding-cosine
-    near-dup pairs (the sharded co-group GEMM, sim ≥ 0.4) → connected
+    """SemDeDup-shape semantic duplicate clustering, 100 TB shape:
+    LSH-blocked embedding-cosine near-dup pairs (hyperplane buckets +
+    1-bit multiprobe, exact cosine re-check ≥ 0.4 inside buckets —
+    candidates from equi-joins only, never all-pairs) → connected
     components → every vector labeled with its cluster's canonical
-    (min) id. Same pointer-jumping engine as the text dup_clusters;
-    the oracle replays the closure with a recursive CTE over the
-    list_cosine_similarity pair set."""
+    (min) id. Same pointer-jumping engine as the text dup_clusters.
+    The oracle replays bucket assignment (plan-literal hyperplanes,
+    same trick as ANN_LSH_TOPK_SQL), the blocked pair set, and the
+    closure via a recursive CTE. The exact all-pairs variant stays
+    oracle-checked as embedding_near_dups and in
+    tests/test_llm_similarity.py."""
     from spark_ext_spark.llm.clusters import duplicate_clusters
     emb = load(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dups(emb, threshold=0.4,
-                                           method="exact", round_to=4)
+                                           method="lsh", n_planes=8,
+                                           round_to=4)
     return duplicate_clusters(emb, "vec_id", pairs,
                               pair_a="id_a", pair_b="id_b")
 
 
-SEMANTIC_CLUSTERS_SQL = """
+def _semantic_clusters_oracle(dim: int = 64, n_planes: int = 8,
+                              seed: int = 42,
+                              threshold: float = 0.4) -> str:
+    """DuckDB replica of semantic_clusters: LSH-blocked candidate pairs
+    (a pair qualifies iff one side probes the other's own bucket — the
+    probe relation is symmetric, hamming(bucket_a, bucket_b) ≤ 1), the
+    exact cosine threshold check, then the transitive closure."""
+    return f"""
+WITH RECURSIVE {_lsh_bucket_ctes(dim, n_planes, seed)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+  FROM probes q
+  JOIN buckets c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.id_a
+  JOIN embeddings b ON b.vec_id = cand.id_b
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 4)
+        >= {threshold}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+cc AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT m.vec_id, coalesce(cc.cluster_id, m.vec_id) AS cluster_id
+  FROM embeddings m LEFT JOIN cc ON m.vec_id = cc.node
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (vec_id = cluster_id) AS is_canonical
+FROM lab
+"""
+
+
+SEMANTIC_CLUSTERS_SQL = _semantic_clusters_oracle()
+
+# exact all-pairs closure variant, kept for the local parity suite
+SEMANTIC_CLUSTERS_EXACT_SQL = """
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a, embeddings b

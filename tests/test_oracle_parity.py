@@ -48,10 +48,25 @@ KNOWN_ROWS_ONLY = {
     # justified no-oracle queries — each has golden unit tests instead
     "s2_cells",            # S2 Hilbert bit math not SQL-expressible
     "local_lr_model",      # iterative optimizer
-    "ann_ivf_topk",        # trained k-means quantizer
     "approx_user_stats",   # HLL++/GK sketch internals engine-specific
     "sketch_user_rollup",  # Datasketches HLL binary sketches
 }
+
+
+def test_semantic_clusters_exact_variant(spark, duck):
+    """The driver query uses LSH-blocked pairs (the 100 TB shape); the
+    exact all-pairs closure stays parity-checked here."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from spark_ext_spark.llm import similarity
+    from spark_ext_spark.llm.clusters import duplicate_clusters
+    from spark_ext_spark.plans import llm_queries as lq
+    from spark_ext_spark.plans.llm_queries import load
+    emb = load(spark, SF, "embeddings")
+    pairs = similarity.embedding_near_dups(emb, threshold=0.4,
+                                           method="exact", round_to=4)
+    df = duplicate_clusters(emb, "vec_id", pairs,
+                            pair_a="id_a", pair_b="id_b")
+    compare_to_oracle(df, duck, lq.SEMANTIC_CLUSTERS_EXACT_SQL)
 
 
 def test_rows_only_set_is_pinned():
