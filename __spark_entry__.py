@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precision_by_threshold": eq.precision_by_threshold,
         "recall_by_threshold": eq.recall_by_threshold,
         "f_measure": eq.f_measure_by_threshold,
-        "s2_cells": mq.s2_cells,                # rows-only (UDF math)
+        "s2_cells": mq.s2_cells,
         "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
         # --- 21-35: LLM dedup + text analysis ---------------------------
         "exact_dedup": lq.exact_dedup,
@@ -209,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": lq.COSINE_TOPK_SQL,
         "ann_lsh_topk": lq.ANN_LSH_TOPK_SQL,
         "ann_ivf_topk": lq.ANN_IVF_TOPK_SQL,
+        "s2_cells": mq.S2_CELLS_SQL,
         "embedding_near_dups": lq.EMBEDDING_NEAR_DUPS_SQL,
         "token_counts": lq.TOKEN_COUNTS_SQL,
         "source_capped_corpus": lq.SOURCE_CAPPED_CORPUS_SQL,

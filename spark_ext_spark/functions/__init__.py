@@ -150,10 +150,12 @@ def median_abs_deviation():
     @F.pandas_udf("double")
     def _mad(v: pd.Series) -> float:
         # drop nulls like every SQL aggregate (incl. DuckDB mad());
-        # otherwise one NULL NaN-poisons np.median for the whole group
+        # otherwise one NULL NaN-poisons np.median for the whole group.
+        # An all-null/empty group yields SQL NULL (None), matching what
+        # any SQL aggregate — and the DuckDB mad() oracle — returns.
         x = v.dropna().to_numpy(dtype=float)
         if x.size == 0:
-            return float("nan")
+            return None
         m = np.median(x)
         return float(np.median(np.abs(x - m)))
 

@@ -473,8 +473,16 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     higher-order array lambdas interpreted, not codegen.
     ``method="expr"`` keeps the all-expression plan (zero Python) for
     callers who need the op to fuse into a larger codegen stage.
-    Rounding stays JVM-side (``F.round``, HALF_UP) in both paths so
-    results are bit-identical across the two and against SQL oracles.
+
+    The two methods are bit-identical to each other: the arrow path
+    replicates ``F.round``'s JVM rule (HALF_UP on the SHORTEST-decimal
+    repr, BigDecimal.valueOf) — vectorized binary rounding with an
+    exact Decimal fixup for the rare elements within 1e-9 of a .5
+    boundary, where binary +0.5 and shortest-repr rounding disagree
+    (e.g. 0.49999999999999994 → 0, not 1). SQL oracles (DuckDB
+    ``round`` = binary-value HALF_UP) agree everywhere EXCEPT exactly
+    those boundary doubles, which real-valued embeddings don't
+    produce.
     """
     if method == "expr":
         v = F.col(vec_col).cast("array<double>")
@@ -521,7 +529,19 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
             safe = s if s > 0 else 1.0
             # half-away-from-zero to match F.round / SQL round()
             # (np.round is half-even)
-            q = np.trunc(x / safe + np.copysign(0.5, x))
+            r = x / safe
+            q = np.trunc(r + np.copysign(0.5, x))
+            # F.round rounds the SHORTEST-decimal repr (BigDecimal.
+            # valueOf), not the binary value: 0.49999999999999994 + 0.5
+            # is 1.0 in binary but reads "0.4999..." decimal → 0.
+            # Vectorized binary rounding above, exact Decimal fixup for
+            # the (measure-zero) elements near a .5 boundary.
+            sus = np.abs(np.abs(r - np.trunc(r)) - 0.5) < 1e-9
+            if sus.any():
+                from decimal import ROUND_HALF_UP, Decimal
+                for bi in np.nonzero(sus)[0]:
+                    q[bi] = float(Decimal(repr(float(r[bi]))).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP))
             err = np.abs(x - q * s)
             # sequential sum matches the expr path / SQL list_reduce
             out.append((s, float(err.max(initial=0.0)),

@@ -667,26 +667,33 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(supplier),
                   F.col("late_supp") == F.col("s_suppkey"))
             .select("s_name", "numwait")
-            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            # suppkey tiebreak: grouping is per supplier KEY on both
+            # engines (two suppliers sharing a name stay two rows), so
+            # the LIMIT boundary must also break ties on the key
+            .orderBy(F.desc("numwait"), F.asc("s_name"),
+                     F.asc("late_supp"))
             .limit(20))
 
 
 WAITING_SUPPLIERS_SQL = """
-SELECT s_name, count(*) AS numwait
-FROM supplier
-JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-JOIN orders ON o_orderkey = l1.l_orderkey
-WHERE o_orderstatus = 'F'
-  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-  AND EXISTS (SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                  WHERE l3.l_orderkey = l1.l_orderkey
-                    AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-GROUP BY s_name
-ORDER BY numwait DESC, s_name ASC
+WITH per_supp AS (
+  SELECT l1.l_suppkey AS k, count(*) AS numwait
+  FROM lineitem l1
+  JOIN orders ON o_orderkey = l1.l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  GROUP BY l1.l_suppkey
+)
+SELECT s_name, numwait
+FROM per_supp JOIN supplier ON s_suppkey = k
+ORDER BY numwait DESC, s_name ASC, k ASC
 LIMIT 20
 """
 
@@ -705,7 +712,11 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum(F.col("l_extendedprice")
                            * F.col("l_quantity")).alias("value")))
     return (attach_scalar_agg(per_part, {"total": F.sum("value")})
-            .filter(F.col("value") > F.lit(0.0008) * F.col("total"))
+            # round BOTH comparison sides (Q15 discipline): the raw
+            # sums are partition-order-dependent float accumulations,
+            # so an unrounded > could flip membership cross-engine
+            .filter(F.round(F.col("value"), 4)
+                    > F.round(F.lit(0.0008) * F.col("total"), 4))
             .select("l_partkey", F.round("value", 4).alias("part_value")))
 
 
@@ -713,8 +724,9 @@ IMPORTANT_PARTS_SQL = """
 SELECT l_partkey, round(value, 4) AS part_value
 FROM (SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
       FROM lineitem GROUP BY l_partkey) p
-WHERE value > (SELECT sum(l_extendedprice * l_quantity) * 0.0008
-               FROM lineitem)
+WHERE round(value, 4) > (SELECT round(0.0008 * sum(l_extendedprice
+                                                   * l_quantity), 4)
+                         FROM lineitem)
 """
 
 

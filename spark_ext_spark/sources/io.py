@@ -151,6 +151,28 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite",
     writer.json(path)
 
 
+_SHUFFLE_NODE_NAMES = frozenset({
+    "Join", "Aggregate", "Window", "Sort", "Repartition",
+    "RepartitionByExpression", "RebalancePartitions", "Deduplicate",
+    "Generate"})
+
+
+def _plan_has_shuffle_node(jplan) -> bool:
+    """Walk the logical plan's node CLASSES for shuffle-bearing (or
+    row-amplifying) operators. Class names, not the rendered plan
+    string — a column named 'join_key' or a literal containing 'Sort'
+    must not trip the detector (that would silently skip the
+    rebalance, a perf-only but real regression)."""
+    name = jplan.getClass().getSimpleName().rstrip("$")
+    if name in _SHUFFLE_NODE_NAMES:
+        return True
+    it = jplan.children().iterator()
+    while it.hasNext():
+        if _plan_has_shuffle_node(it.next()):
+            return True
+    return False
+
+
 def ensure_fanout(df: DataFrame, *key_cols: str,
                   target: int | None = None) -> DataFrame:
     """Re-balance BEFORE a row-amplifying op (explode/shingle/signature
@@ -178,10 +200,7 @@ def ensure_fanout(df: DataFrame, *key_cols: str,
     partitions internally to stay retry-safe)."""
     if df.isStreaming:
         return df
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(tok in plan for tok in
-           ("Join", "Aggregate", "Window", "Sort", "Repartition",
-            "Deduplicate", "Generate")):
+    if _plan_has_shuffle_node(df._jdf.queryExecution().optimizedPlan()):
         return df
     target = target or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

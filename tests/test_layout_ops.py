@@ -89,3 +89,37 @@ def test_quantize_arrow_and_expr_paths_agree(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         quantize_embeddings(emb, method="nope")
+
+
+def test_quantize_paths_agree_on_halfway_doubles(spark):
+    """Adversarial .5-boundary doubles where binary +0.5 rounding and
+    F.round's shortest-decimal-repr HALF_UP disagree — the arrow path
+    must replicate the JVM rule bit-for-bit (its Decimal fixup), so
+    both methods still agree. 127.0 pins scale=1 → x/safe == x."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.one_of(
+        # exact halves, nextafter-adversarial neighbors, random doubles
+        st.sampled_from([0.5, -0.5, 1.5, -1.5, 2.5,
+                         float(np.nextafter(0.5, 0)),       # 0.49999...994
+                         float(np.nextafter(0.5, 1)),
+                         float(np.nextafter(-0.5, 0)),
+                         float(np.nextafter(2.5, 2)),
+                         float(np.nextafter(126.5, 126))]),
+        st.floats(min_value=-127, max_value=127,
+                  allow_nan=False, allow_infinity=False)),
+        min_size=1, max_size=8))
+    def check(vals):
+        vec = [127.0] + vals
+        df = spark.createDataFrame([(1, vec)],
+                                   "vec_id long, embedding array<double>")
+        a = quantize_embeddings(df, method="arrow").collect()[0]
+        e = quantize_embeddings(df, method="expr").collect()[0]
+        assert (a["scale"], a["max_abs_err"], a["mean_abs_err"]) == (
+            e["scale"], e["max_abs_err"], e["mean_abs_err"]), vec
+
+    check()

@@ -46,7 +46,6 @@ def test_entry_smoke(spark):
 
 KNOWN_ROWS_ONLY = {
     # justified no-oracle queries — each has golden unit tests instead
-    "s2_cells",            # S2 Hilbert bit math not SQL-expressible
     "local_lr_model",      # iterative optimizer
     "approx_user_stats",   # HLL++/GK sketch internals engine-specific
     "sketch_user_rollup",  # Datasketches HLL binary sketches
