@@ -66,6 +66,18 @@ def main() -> None:
     # the driver tail-captures stdout, so a long final line loses its
     # head (r1: parsed=null). Keep the last line short and parseable.
     print(json.dumps({"queries": timings, "errors": errors}))
+    # The driver's 2000-char tail capture truncates the per-query map;
+    # persist the full detail so round-over-round per-query regression
+    # diffing never needs a bench re-run.
+    detail = {"sf": sf, "runs": RUNS, "total_sec": total,
+              "queries": timings, "errors": errors}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_local.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not break the bench
     print(json.dumps({
         "metric": "sum of per-query median wall-clock (3 runs) over "
                   f"{len(timings)} ok queries ({len(errors)} errored)",

@@ -93,6 +93,13 @@ class _GatherEncoderParams(Params):
                           "partitions (operators/prefix.py) for huge "
                           "dictionaries",
                           typeConverter=TypeConverters.toInt)
+    encodeMethod = Param(Params._dummy(), "encodeMethod",
+                         "vector encode path: 'udf' (row-at-a-time, "
+                         "SparseVector output, any dictionary width) | "
+                         "'arrow' (Arrow-batched dense intermediate -> "
+                         "DenseVector; faster for bounded dictionaries, "
+                         "avoid for very wide ones)",
+                         typeConverter=TypeConverters.toString)
 
     def _validate_schema(self, schema: StructType) -> StructType:
         """GatherEncoder.scala:52-80: input must be array<struct>, key
@@ -131,7 +138,8 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
         self._setDefault(transformation="top", support=0.1, cover=100.0,
                          allOther=False, keepInputCol=True,
                          failOnEmptyKeys=True, excludeKeys=[],
-                         maxKeys=1 << 20, fitPartitions=0)
+                         maxKeys=1 << 20, fitPartitions=0,
+                         encodeMethod="udf")
         kwargs = self._input_kwargs
         if kwargs.get("excludeKeys") is not None:
             kwargs["excludeKeys"] = list(kwargs["excludeKeys"])
@@ -252,7 +260,8 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
         self._setDefault(transformation="top", support=0.1, cover=100.0,
                          allOther=True, keepInputCol=True,
                          failOnEmptyKeys=True, excludeKeys=[],
-                         maxKeys=1 << 20, modelKeys=[])
+                         maxKeys=1 << 20, modelKeys=[],
+                         encodeMethod="udf")
         if keys is not None:
             self._set(modelKeys=list(keys))
 
@@ -288,28 +297,67 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
 
         sc = dataset.sparkSession.sparkContext
         key_index_bc = sc.broadcast({k: i for i, k in enumerate(self.keys)})
+        method = self.getOrDefault(self.encodeMethod)
 
-        @F.udf(returnType=VectorUDT())
-        def encode(keys, values):
-            if feature_size == 0:
-                return SparseVector(0, {})
-            if keys is None or values is None:
-                return SparseVector(feature_size, {})
-            key_index = key_index_bc.value
-            elements: dict[int, float] = {}
-            for k, v in zip(keys, values):
-                idx = key_index.get(k)
-                if idx is not None:
-                    elements[idx] = v            # last value wins
-                elif all_other:
-                    elements[n_keys] = elements.get(n_keys, 0.0) + (v or 0.0)
-            return SparseVector(feature_size, elements)
+        if method == "arrow":
+            # Arrow-batched path: the whole column batch crosses the
+            # JVM↔Python boundary once (vs one pickled Row per call for
+            # F.udf); output is a dense float array converted JVM-side
+            # with array_to_vector (Arrow can't carry VectorUDT).
+            # Value-identical to the udf path (test-pinned); vector
+            # STORAGE differs (DenseVector), so keep 'udf' for very
+            # wide dictionaries where sparse output matters.
+            import numpy as np
+            import pandas as pd
+            from pyspark.ml.functions import array_to_vector
+
+            # no type hints: PEP-563 string annotations (module-level
+            # future import) are unresolvable by pyspark's hint
+            # inspection — the returnType string is authoritative
+            @F.pandas_udf("array<double>")
+            def encode_arrow(keys, values):
+                key_index = key_index_bc.value
+                out_arrs = []
+                for ks, vs in zip(keys, values):
+                    arr = np.zeros(feature_size)
+                    if ks is not None and vs is not None:
+                        for k, v in zip(ks, vs):
+                            idx = key_index.get(k)
+                            if idx is not None:
+                                arr[idx] = v     # last value wins
+                            elif all_other:
+                                arr[n_keys] += v if v is not None else 0.0
+                    out_arrs.append(arr)
+                return pd.Series(out_arrs)
+
+            raw = array_to_vector(encode_arrow(
+                F.col(f"{in_col}.{key}"),
+                F.col(f"{in_col}.{value}").cast("array<double>")))
+        elif method == "udf":
+            @F.udf(returnType=VectorUDT())
+            def encode(keys, values):
+                if feature_size == 0:
+                    return SparseVector(0, {})
+                if keys is None or values is None:
+                    return SparseVector(feature_size, {})
+                key_index = key_index_bc.value
+                elements: dict[int, float] = {}
+                for k, v in zip(keys, values):
+                    idx = key_index.get(k)
+                    if idx is not None:
+                        elements[idx] = v            # last value wins
+                    elif all_other:
+                        elements[n_keys] = elements.get(n_keys, 0.0) + (v or 0.0)
+                return SparseVector(feature_size, elements)
+
+            raw = encode(
+                F.col(f"{in_col}.{key}"),
+                F.col(f"{in_col}.{value}").cast("array<double>"))
+        else:
+            raise ValueError(f"unknown encodeMethod: {method!r}")
 
         out = self.getOrDefault(self.outputCol)
-        encoded = encode(
-            F.col(f"{in_col}.{key}"),
-            F.col(f"{in_col}.{value}").cast("array<double>")
-        ).alias(out, metadata=self._output_metadata())
+        encoded = raw.alias(out, metadata=self._output_metadata())
 
         if self.getOrDefault(self.keepInputCol):
             return dataset.select("*", encoded)

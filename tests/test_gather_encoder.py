@@ -175,6 +175,30 @@ def test_encode_with_all_other(model_df):
         assert fs[c].size == 4 and list(fs[c].indices) == []
 
 
+def test_encode_arrow_method_value_identical(model_df):
+    """encodeMethod='arrow' (Arrow batch + dense intermediate) must be
+    VALUE-identical to the default 'udf' path on every contract shape:
+    known keys, last-wins duplicates via transform order, all-other
+    sums, empty/null arrays, empty dictionary."""
+    for kw in (dict(allOther=False), dict(allOther=True),
+               dict(allOther=True, keyCol="site_id")):
+        keys = SITE_IDS if kw.get("keyCol") == "site_id" else SITES
+        udf_fs = _features(_model(keys, encodeMethod="udf", **kw), model_df)
+        arr_fs = _features(_model(keys, encodeMethod="arrow", **kw),
+                           model_df)
+        assert set(udf_fs) == set(arr_fs)
+        for c, v in udf_fs.items():
+            assert list(arr_fs[c].toArray()) == list(v.toArray()), (kw, c)
+    # empty dictionary + allOther=False → size-0 vector in both paths
+    e_udf = _features(_model([], failOnEmptyKeys=False, allOther=False,
+                             encodeMethod="udf"), model_df)
+    e_arr = _features(_model([], failOnEmptyKeys=False, allOther=False,
+                             encodeMethod="arrow"), model_df)
+    assert all(e_arr[c].size == 0 and e_udf[c].size == 0 for c in e_arr)
+    with pytest.raises(ValueError):
+        _features(_model(SITES, encodeMethod="nope"), model_df)
+
+
 def test_remove_input_col(model_df):
     out = _model(SITES, keepInputCol=False).transform(model_df)
     assert len(out.columns) == len(model_df.columns)
