@@ -241,23 +241,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     @F.pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        shifts = np.arange(64, dtype=np.uint64)
+        powers = np.uint64(1) << shifts
+        memo: dict[str, int] = {}  # vocab is Zipf-small vs token count
         out = []
         for t in texts:
             words = " ".join((t or "").lower().split()).split(" ")
             if not words or words == [""]:
                 out.append(0)
                 continue
-            acc = np.zeros(64, dtype=np.int64)
-            for w in set(words):
-                h = np.uint64(_hash64(w))
-                weight = words.count(w)
-                bits = ((h >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)).astype(np.int64)
-                acc += np.where(bits == 1, weight, -weight)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
+            cnt = Counter(words)
+            hvals = []
+            for w in cnt:
+                h = memo.get(w)
+                if h is None:
+                    h = _hash64(w)
+                    memo[w] = h
+                hvals.append(h)
+            hs = np.array(hvals, dtype=np.uint64)
+            weights = np.fromiter(cnt.values(), dtype=np.int64,
+                                  count=len(cnt))
+            # (n_distinct, 64) sign matrix in one shot — same
+            # weight-majority vote as the per-word loop it replaces
+            bits = ((hs[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits - 1) * weights[:, None]).sum(axis=0)
+            val = int(powers[acc > 0].sum())
             # to signed 64-bit
             out.append(val - (1 << 64) if val >= (1 << 63) else val)
         return pd.Series(out)
