@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": lq.length_batches,
         "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
         "lineitem_measure_stats": rel.lineitem_measure_stats,
+        "doc_gopher_rules": lq.doc_gopher_rules,
     }
 
 
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "top_event_per_user": rel.TOP_EVENT_PER_USER_SQL,
         "props_variant_extract": rel.PROPS_VARIANT_EXTRACT_SQL,
         "lineitem_measure_stats": rel.LINEITEM_MEASURE_STATS_SQL,
+        "doc_gopher_rules": lq.GOPHER_RULES_SQL,
         "doc_chunks": lq.DOC_CHUNKS_SQL,
         "pii_redaction": lq.PII_REDACTION_SQL,
         "doc_repetition": lq.DOC_REPETITION_SQL,

@@ -14,7 +14,8 @@ from spark_ext_spark.llm.dedup import normalize_text
 
 __all__ = ["tokens", "text_stats", "quality_score", "language_id",
            "fingerprint", "tfidf_top_terms", "chunk_documents",
-           "redact_pii", "repeated_ngram_spans", "STOPWORDS"]
+           "redact_pii", "repeated_ngram_spans", "gopher_rules",
+           "STOPWORDS"]
 
 # Tiny per-language stopword profiles (top function words) for the
 # n-gram/stopword language-ID heuristic.
@@ -74,6 +75,67 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
         F.lit(1.0) - (F.col("punct_ratio") + F.col("digit_ratio")) * 5)
     score = F.round(0.4 * length_ok + 0.3 * diversity + 0.3 * noise, 4)
     return stats.select(id_col, score.alias("quality_score"))
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_ratio: float = 0.8,
+                 min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style hard quality rules (Rae et al. 2021, §A1.1) as one
+    per-document rule report plus an overall ``keep`` flag — the
+    published-recipe counterpart to the soft :func:`quality_score`:
+
+    - word count in [min_words, max_words] (whitespace words);
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (# and ellipsis) ≤ max_symbol_ratio;
+    - ≥ min_alpha_ratio of words contain an alphabetic character;
+    - ≥ min_stopwords distinct common English stopwords present.
+
+    One scan, no shuffle, no UDF. Word-character total comes from
+    ``length(regexp_replace(text, '\\s', ''))`` (codegen) instead of a
+    higher-order fold (interpreted); thresholds compare ROUNDED (4dp)
+    ratios so the booleans are reproducible across engines. The
+    alpha-word count uses one higher-order filter (interpreted but
+    linear); everything else stays in whole-stage codegen.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nzw = F.greatest(n_words, F.lit(1)).cast("double")
+    word_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_len = F.round(word_chars / nzw, 4)
+    n_symbols = (F.regexp_count(c, F.lit("#"))
+                 + F.regexp_count(c, F.lit(r"(\.\.\.|…)")))
+    symbol_ratio = F.round(n_symbols / nzw, 4)
+    alpha_words = F.size(F.filter(words,
+                                  lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(alpha_words / nzw, 4)
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(tokens(text_col)),
+        F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_len = ((mean_len >= min_mean_word_len)
+                   & (mean_len <= max_mean_word_len))
+    ok_symbols = symbol_ratio <= max_symbol_ratio
+    ok_alpha = alpha_ratio >= min_alpha_ratio
+    ok_stop = n_stop >= min_stopwords
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_mean_len & ok_symbols & ok_alpha
+         & ok_stop).alias("keep"))
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str,

@@ -898,6 +898,59 @@ FROM stats
 """
 
 
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality rules (llm/text.py gopher_rules):
+    per-doc rule booleans + keep flag, one scan, no shuffle.
+    min_words lowered to 10 so the synthetic short docs exercise both
+    outcomes of every rule."""
+    docs = load(spark, sf_dir, "documents")
+    return text.gopher_rules(docs, "doc_id", "text", min_words=10)
+
+
+GOPHER_RULES_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '' AND regexp_matches(x, '[A-Za-z]')))
+             AS alpha_words,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS n_symbols,
+         len(list_intersect(
+             list_distinct(list_filter(string_split_regex(lower(text),
+                 '[\\s[:punct:]]+'), t -> t <> '')),
+             ['the','a','of','and','to','in','is','that','it','for']))
+             AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_words,
+         round(word_chars / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+             AS mean_word_len,
+         round(n_symbols / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+             AS symbol_ratio,
+         round(alpha_words / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+             AS alpha_ratio,
+         n_stop AS n_stopwords
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+       n_stopwords,
+       (n_words >= 10 AND n_words <= 100000) AS ok_words,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+       (symbol_ratio <= 0.1) AS ok_symbols,
+       (alpha_ratio >= 0.8) AS ok_alpha,
+       (n_stopwords >= 2) AS ok_stop,
+       ((n_words >= 10 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (symbol_ratio <= 0.1) AND (alpha_ratio >= 0.8)
+        AND (n_stopwords >= 2)) AS keep
+FROM r
+"""
+
+
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: every corpus document scored by
     how many of its 5-gram shingles collide with a held-out

@@ -79,6 +79,37 @@ def test_chunk_documents_windows_and_overlap(spark):
         chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap=10)
 
 
+def test_gopher_rules_each_rule_fails_somewhere(spark):
+    """Crafted docs exercise BOTH outcomes of every Gopher rule."""
+    from spark_ext_spark.llm.text import gopher_rules
+    good = ("the cat sat of the mat and it is that good for a story "
+            "about cats and dogs in the big old house near the lake")
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "too few words"),                        # fails ok_words
+        (3, " ".join(["extraordinarily"] * 30)),     # fails ok_mean_len (high)
+        (4, " ".join(["a", "is", "of", "to"] * 10)), # fails ok_mean_len (low)
+        (5, good + " " + "# " * 20),                 # fails ok_symbols
+        (6, " ".join(["1234"] * 15) + " the of is"), # fails ok_alpha
+        (7, " ".join(["apple", "banana", "cherry"] * 10)),  # fails ok_stop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           gopher_rules(df, "doc_id", "text", min_words=10).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["ok_words"] is False and got[2]["keep"] is False
+    assert got[3]["ok_mean_len"] is False
+    assert got[4]["ok_mean_len"] is False
+    assert got[5]["ok_symbols"] is False
+    assert got[6]["ok_alpha"] is False
+    assert got[7]["ok_stop"] is False
+    # ellipsis characters count as symbols too
+    dots = spark.createDataFrame(
+        [(8, good + " " + "... " * 20 + "… " * 5)], "doc_id long, text string")
+    r8 = gopher_rules(dots, "doc_id", "text", min_words=10).collect()[0]
+    assert r8["ok_symbols"] is False
+
+
 def test_redact_pii(spark):
     from spark_ext_spark.llm.text import redact_pii
     df = spark.createDataFrame(
