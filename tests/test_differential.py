@@ -208,6 +208,105 @@ def test_random_window_matches_duckdb(spark, duck, shape):
     assert spark_rows == duck_rows
 
 
+frame_shapes = st.tuples(
+    st.sampled_from(["user_id", "event_type"]),          # partition col
+    st.sampled_from(["sum", "avg", "min", "max", "count"]),
+    st.integers(min_value=0, max_value=5),               # preceding
+    st.integers(min_value=0, max_value=5),               # following
+    st.booleans(),                                       # unbounded start
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=frame_shapes)
+def test_random_window_frame_matches_duckdb(spark, duck, shape):
+    """Randomized ROWS-frame window aggregates: sliding sum/avg/min/
+    max/count with drawn PRECEDING/FOLLOWING bounds (and unbounded
+    starts) — the moving-average / sessionization frame surface.
+
+    Values are quantized to integer cents first: DuckDB evaluates
+    window aggregates over a segment tree (pairwise association) while
+    Spark keeps a running accumulation, so raw double frames differ in
+    final-ULP and flip round() at boundaries. Integer frame sums are
+    associative, so the comparison is exact; avg is expressed as
+    sum/count with identical operand order on both engines."""
+    from pyspark.sql.window import Window
+    part, fn, prec, foll, unbounded = shape
+
+    ev = (load(spark, SF, "events")
+          .withColumn("vq", F.floor(F.col("value") * 100).cast("long")))
+    start = Window.unboundedPreceding if unbounded else -prec
+    w = (Window.partitionBy(part)
+         .orderBy(F.col("vq").asc(), F.col("event_id").asc())
+         .rowsBetween(start, foll))
+    spark_fns = {"sum": F.sum("vq").over(w),
+                 "avg": F.round(F.sum("vq").over(w).cast("double")
+                                / F.count(F.lit(1)).over(w), 4),
+                 "min": F.min("vq").over(w),
+                 "max": F.max("vq").over(w),
+                 "count": F.count(F.lit(1)).over(w)}
+    out = ev.select("event_id", spark_fns[fn].alias("m"))
+    spark_rows = sorted(((r["event_id"], _norm(r["m"]))
+                         for r in out.collect()), key=repr)
+
+    bound_start = ("UNBOUNDED PRECEDING" if unbounded
+                   else f"{prec} PRECEDING" if prec else "CURRENT ROW")
+    bound_end = f"{foll} FOLLOWING" if foll else "CURRENT ROW"
+    duck_fns = {"sum": "sum(vq) OVER w",
+                "avg": ("round(CAST(sum(vq) OVER w AS DOUBLE) "
+                        "/ (count(*) OVER w), 4)"),
+                "min": "min(vq) OVER w",
+                "max": "max(vq) OVER w",
+                "count": "count(*) OVER w"}
+    sql = (f"SELECT event_id, {duck_fns[fn]} AS m FROM "
+           f"(SELECT *, CAST(floor(value * 100) AS BIGINT) AS vq "
+           f" FROM events) "
+           f"WINDOW w AS (PARTITION BY {part} ORDER BY vq, event_id "
+           f"ROWS BETWEEN {bound_start} AND {bound_end})")
+    duck_rows = sorted(((eid, _norm(m))
+                        for eid, m in duck.execute(sql).fetchall()), key=repr)
+    assert spark_rows == duck_rows
+
+
+grouping_shapes = st.tuples(
+    st.sampled_from(["rollup", "cube"]),
+    st.lists(st.sampled_from(["event_type", "user_id"]), unique=True,
+             min_size=1, max_size=2),
+    st.lists(st.sampled_from(["n", "sum_v", "min_v"]), unique=True,
+             min_size=1, max_size=2),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=grouping_shapes)
+def test_random_rollup_cube_matches_duckdb(spark, duck, shape):
+    """Randomized ROLLUP/CUBE multi-level aggregations: the subtotal
+    NULL indicator rows and every grouping-set level must agree."""
+    op, group_cols, agg_names = shape
+
+    ev = load(spark, SF, "events")
+    aggs = [AGGS[a][0]().alias(a) for a in agg_names]
+    grouped = (ev.rollup(*group_cols) if op == "rollup"
+               else ev.cube(*group_cols))
+    out = grouped.agg(*aggs)
+    cols = group_cols + agg_names
+    spark_rows = sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in out.collect()), key=repr)
+
+    select = ", ".join(group_cols
+                       + [f"{AGGS[a][1]} AS {a}" for a in agg_names])
+    sql = (f"SELECT {select} FROM events "
+           f"GROUP BY {op.upper()} ({', '.join(group_cols)})")
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    duck_rows = sorted(
+        (tuple(_norm(dict(zip(names, r))[c]) for c in cols)
+         for r in res.fetchall()), key=repr)
+    assert spark_rows == duck_rows
+
+
 setop_shapes = st.tuples(
     st.sampled_from(["intersect", "except", "union_all", "union_distinct"]),
     st.sampled_from(["view", "click", "purchase"]),
