@@ -175,3 +175,164 @@ def local_lr_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(model.intercept, 3), *[round(c, 3) for c in coefs])],
         "intercept double, w_view double, w_click double, w_events double")
+
+
+# --- cross-engine-replayable Newton steps -----------------------------------
+
+def _det2(a, b, c, d) -> str:
+    return f"(({a})*({d}) - ({b})*({c}))"
+
+
+def _det3(m) -> str:
+    return ("(({})*{} - ({})*{} + ({})*{})".format(
+        m[0][0], _det2(m[1][1], m[1][2], m[2][1], m[2][2]),
+        m[0][1], _det2(m[1][0], m[1][2], m[2][0], m[2][2]),
+        m[0][2], _det2(m[1][0], m[1][1], m[2][0], m[2][1])))
+
+
+def _det4(m) -> str:
+    def minor(j):
+        return [[m[r][c] for c in range(4) if c != j] for r in (1, 2, 3)]
+    return ("(({})*{} - ({})*{} + ({})*{} - ({})*{})".format(
+        m[0][0], _det3(minor(0)), m[0][1], _det3(minor(1)),
+        m[0][2], _det3(minor(2)), m[0][3], _det3(minor(3))))
+
+
+def _newton_sql(n_iter: int = 2) -> str:
+    """SQL text for ``n_iter`` unrolled Newton (IRLS) steps of a
+    4-parameter logistic regression over per-user event features —
+    executed VERBATIM by both Spark SQL and DuckDB, so every arithmetic
+    expression has identical association on both engines and the
+    fitted coefficients hash-match exactly.
+
+    Determinism (the hard part — plain round() is NOT enough):
+
+    - features live on an integer 1e-4 lattice (``floor(x*1e4 + 0.5)``
+      — per-user float sums carry only ~1e-13 noise, far from the
+      boundary);
+    - iteration 1 (p=0.5 ⇒ weight 0.25 and residual ±0.5 constant)
+      has its 14 moment sums computed as EXACT INTEGER sums over the
+      lattice (associative, order-independent); the 0.5·1e-4 /
+      0.25·1e-8 scale factors re-enter as identical double literals.
+      This matters because ±0.5 × lattice features lands the gradient
+      sums EXACTLY on the 6dp rounding grid, where Spark (HALF_UP on
+      the shortest-decimal repr) and DuckDB (binary value) disagree;
+    - iteration ≥2 moments involve exp(); they are quantized with
+      ``floor(x*1e6 + 0.5)/1e6`` — pure double math evaluated
+      identically by both engines — not round(). Off-grid values
+      make a boundary hit ~1e-7-improbable; libm exp() ULP spread
+      washes out in the quantizer;
+    - the 4×4 Newton solve is Cramer's rule emitted once by _det4 —
+      identical text, identical IEEE evaluation, in both dialects.
+
+    Scale shape: each iteration is ONE distributed aggregation over
+    users; the solve is a scalar expression."""
+    # lattice features (units of 1e-4): q0 = intercept's 1.0
+    qs = ["10000", "q1", "q2", "q3"]
+    # real-valued features for the sigmoid
+    xs = ["1.0", "(CAST(q1 AS DOUBLE) * 0.0001)",
+          "(CAST(q2 AS DOUBLE) * 0.0001)", "(CAST(q3 AS DOUBLE) * 0.0001)"]
+
+    def qf(expr: str) -> str:
+        # 1e6/5e-1 literals: Spark SQL types 1000000.0 as DECIMAL and
+        # long/DECIMAL division yields DECIMAL output (driver-unsafe);
+        # scientific notation is DOUBLE in both dialects
+        return f"floor(({expr}) * 1e6 + 5e-1) / 1e6"
+
+    def int_moments(prefix: str) -> str:
+        # p = 0.5: residual (y - 0.5) = (2y-1)/2, weight p(1-p) = 1/4;
+        # integer sums; scales re-applied in the solve inputs below
+        terms = [f"sum(({qs[k]}) * (2*y - 1)) AS {prefix}ig{k}"
+                 for k in range(4)]
+        for j in range(4):
+            for k in range(j, 4):
+                terms.append(f"sum(({qs[j]}) * ({qs[k]})) "
+                             f"AS {prefix}ih{j}{k}")
+        return ",\n         ".join(terms)
+
+    def real_moments(prefix: str) -> str:
+        terms = [f"{qf(f'sum(({xs[k]})*(CAST(y AS DOUBLE) - p))')} "
+                 f"AS {prefix}g{k}" for k in range(4)]
+        for j in range(4):
+            for k in range(j, 4):
+                terms.append(
+                    f"{qf(f'sum(p*(1.0 - p)*({xs[j]})*({xs[k]}))')} "
+                    f"AS {prefix}h{j}{k}")
+        return ",\n         ".join(terms)
+
+    def solve(g, h, out_prefix: str, base: list[str]) -> str:
+        det = _det4(h)
+        cols = []
+        for k in range(4):
+            num = [[g[j] if c == k else h[j][c] for c in range(4)]
+                   for j in range(4)]
+            cols.append(f"{qf(f'({base[k]}) + {_det4(num)} / ({det})')} "
+                        f"AS {out_prefix}{k}")
+        return ",\n         ".join(cols)
+
+    int_g = [f"(CAST(aig{k} AS DOUBLE) * 0.00005)" for k in range(4)]
+    int_h = [[f"(CAST(aih{min(j, k)}{max(j, k)} AS DOUBLE) * 0.0000000025)"
+              for k in range(4)] for j in range(4)]
+
+    parts = [f"""WITH feats AS (
+  SELECT user_id,
+         CAST(floor(sum(CASE WHEN event_type = 'view' THEN value
+                             ELSE 0.0 END) / 1000.0 * 10000.0 + 0.5)
+              AS BIGINT) AS q1,
+         CAST(floor(sum(CASE WHEN event_type = 'click' THEN value
+                             ELSE 0.0 END) / 1000.0 * 10000.0 + 0.5)
+              AS BIGINT) AS q2,
+         CAST(count(*) * 100 AS BIGINT) AS q3,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m1 AS (
+  SELECT {int_moments('a')}
+  FROM feats
+),
+b1 AS (
+  SELECT {solve(int_g, int_h, 'b', ['0.0', '0.0', '0.0', '0.0'])}
+  FROM m1
+)"""]
+    prev = "b1"
+    for it in range(2, n_iter + 1):
+        prob = (f"1.0/(1.0 + exp(-(b0*1.0 + b1*{xs[1]} + b2*{xs[2]} "
+                f"+ b3*{xs[3]})))")
+        c_g = [f"cg{k}" for k in range(4)]
+        c_h = [[f"ch{min(j, k)}{max(j, k)}" for k in range(4)]
+               for j in range(4)]
+        parts.append(f"""i{it} AS (
+  SELECT f.*, b.b0, b.b1, b.b2, b.b3, {prob} AS p
+  FROM feats f CROSS JOIN {prev} b
+),
+m{it} AS (
+  SELECT b0, b1, b2, b3,
+         {real_moments('c')}
+  FROM i{it} GROUP BY b0, b1, b2, b3
+),
+b{it} AS (
+  SELECT {solve(c_g, c_h, 'nb', ['b0', 'b1', 'b2', 'b3'])}
+  FROM m{it}
+),
+b{it}r AS (
+  SELECT nb0 AS b0, nb1 AS b1, nb2 AS b2, nb3 AS b3 FROM b{it}
+)""")
+        prev = f"b{it}r"
+    return (",\n".join(parts)
+            + f"\nSELECT b0 AS intercept, b1 AS w_view, b2 AS w_click,"
+              f" b3 AS w_events FROM {prev}")
+
+
+LR_NEWTON_SQL = _newton_sql(2)
+
+
+def lr_newton_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Newton (IRLS) steps of logistic regression,
+    oracle-checked end-to-end: Spark SQL executes the exact text that
+    DuckDB replays (LR_NEWTON_SQL), so even the iterative-optimizer
+    path gets a cross-engine hash row — the complement to
+    local_lr_model's rows-only FISTA training (whose converged output
+    is pinned by R-glmnet goldens instead)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(LR_NEWTON_SQL)

@@ -125,3 +125,63 @@ def test_l1_regularization_glmnet_goldens(binary_dataset):
     expected2 = [0.0, 0.0, -0.1665453, 0.0]
     for got, exp in zip(m2.coefficients, expected2):
         assert got == pytest.approx(exp, abs=1e-3)
+
+
+def test_lr_newton_steps_matches_numpy_and_descends(spark):
+    """The cross-engine-replayable 2-step Newton query
+    (plans/ml_queries.py lr_newton_steps): a numpy replay of the SAME
+    lattice algorithm must reproduce the coefficients to the 1e-6
+    quantizer, and the fitted betas must beat beta=0 on log-loss."""
+    import numpy as np
+
+    from spark_ext_spark.plans.ml_queries import lr_newton_steps
+    from spark_ext_spark.plans.relational import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = lr_newton_steps(spark, sf).collect()[0]
+    beta_sql = np.array([got["intercept"], got["w_view"],
+                         got["w_click"], got["w_events"]])
+
+    ev = load(spark, sf, "events")
+    feats = (ev.groupBy("user_id")
+             .agg(F.sum(F.when(F.col("event_type") == "view",
+                               F.col("value")).otherwise(0.0)).alias("v"),
+                  F.sum(F.when(F.col("event_type") == "click",
+                               F.col("value")).otherwise(0.0)).alias("c"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("y")).collect())
+    q = np.array([[10000,
+                   math.floor(r["v"] / 1000.0 * 10000.0 + 0.5),
+                   math.floor(r["c"] / 1000.0 * 10000.0 + 0.5),
+                   r["n"] * 100] for r in feats], dtype=np.int64)
+    y = np.array([r["y"] for r in feats], dtype=np.int64)
+
+    def quant(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    # iteration 1: exact integer moments, p = 0.5
+    ig = (q * (2 * y - 1)[:, None]).sum(axis=0)
+    ih = (q[:, :, None] * q[:, None, :]).sum(axis=0)
+    g = ig.astype(np.float64) * 0.00005
+    h = ih.astype(np.float64) * 0.0000000025
+    beta = quant(np.linalg.solve(h, g))
+    # iteration 2: quantized double moments
+    x = q.astype(np.float64) * 0.0001
+    x[:, 0] = 1.0
+    p = 1.0 / (1.0 + np.exp(-(x @ beta)))
+    g2 = quant((x * (y - p)[:, None]).sum(axis=0))
+    w = p * (1 - p)
+    h2 = quant((x[:, :, None] * x[:, None, :] * w[:, None, None]).sum(axis=0))
+    beta2 = quant(beta + np.linalg.solve(h2, g2))
+
+    # Cramer (SQL) vs LAPACK (numpy) agree to the 1e-6 quantizer
+    assert np.allclose(beta_sql, beta2, atol=2e-6), (beta_sql, beta2)
+
+    def loss(b):
+        z = x @ b
+        return float(np.mean(np.log1p(np.exp(-np.abs(z)))
+                             + np.maximum(z, 0) - y * z))
+
+    assert loss(beta_sql) < loss(np.zeros(4))
