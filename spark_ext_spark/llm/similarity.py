@@ -446,7 +446,11 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
                     F.col(vec_col).cast("array<double>").alias("vec"),
                     _ivf_quantize_expr(vec_col).alias("qv"))
     cbd = _ivf_cells_by_dist(centroids)
-    emb = emb.withColumn("__cbd", cbd).drop("qv")
+    # cache: the n_centroids × dim distance fold runs interpreted, and
+    # BOTH union branches (probes + members) read it — uncached it
+    # evaluates twice per action (same discipline as lsh_topk's
+    # bucket cache)
+    emb = emb.withColumn("__cbd", cbd).drop("qv").cache()
     probes = F.transform(F.slice("__cbd", 1, n_probes), lambda s: s["cell"])
     own = F.col("__cbd")[0]["cell"]
     q = emb.select("vec_id", "vec", F.explode(probes).alias("cell"),
