@@ -163,7 +163,9 @@ def test_no_query_plans_cartesian(spark, sf_small):
                         "source_temperature_mix", "tpch_q15_top_supplier",
                         "tpch_q11_important_parts", "mixture_report",
                         "gather_encoder_top", "gather_encoder_top_allother",
-                        "gather_encoder_index", "gather_encoder_distfit"}
+                        "gather_encoder_index", "gather_encoder_distfit",
+                        # 1-row fitted-beta attach per Newton iteration
+                        "lr_newton_steps"}
     offenders = {}
     for name, fn in entrymod.queries().items():
         p = plan_of(fn(spark, sf_small))
