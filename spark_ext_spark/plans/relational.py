@@ -1232,6 +1232,60 @@ FROM events
 """
 
 
+def hilbert_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key per event from (user_id, minute-of-
+    day) — same two dimensions as zorder_event_keys but with the
+    better-locality space-filling curve (consecutive key ranges are
+    contiguous 2-D regions, no Morton jumps), so range-partitioned
+    writes put fewer row groups under any 2-D range predicate. The
+    oracle replays the xy2d rotation walk with one chained CTE per
+    bit level (functions.hilbert_key docstring)."""
+    from spark_ext_spark.functions import hilbert_key
+    ev = load(spark, sf_dir, "events")
+    minute = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+    a = F.pmod(F.col("user_id"), F.lit(65536))
+    return ev.select("event_id",
+                     hilbert_key(a, minute, bits=16).alias("hkey"))
+
+
+def _hilbert_oracle(bits: int = 16) -> str:
+    rounds = []
+    prev = "h_init"
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        cur = f"h{i}"
+        rounds.append(f"""{cur} AS (
+  SELECT event_id,
+         d + {s * s} * CAST(xor(3 * rx, ry) AS BIGINT) AS d,
+         CASE WHEN ry = 0
+              THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN ry = 0
+              THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+              ELSE y END AS y
+  FROM (SELECT event_id, x, y, d,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev})
+)""")
+        prev = cur
+    return f"""
+WITH h_init AS (
+  SELECT event_id,
+         CAST(user_id % 65536 AS BIGINT) AS x,
+         CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts)
+              AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events
+),
+{",".join(rounds)}
+SELECT event_id, d AS hkey FROM {prev}
+"""
+
+
+HILBERT_EVENT_KEYS_SQL = _hilbert_oracle()
+
+
 def value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type robust statistics: exact median (builtin holistic agg)
     and median absolute deviation via the engine's GROUPED_AGG pandas

@@ -123,3 +123,37 @@ def test_quantize_paths_agree_on_halfway_doubles(spark):
             e["scale"], e["max_abs_err"], e["mean_abs_err"]), vec
 
     check()
+
+
+def test_hilbert_key_bijective_and_adjacent(spark):
+    """Defining Hilbert properties on the full 16x16 grid (bits=4):
+    the mapping is a bijection onto 0..255, and consecutive curve
+    positions are ADJACENT cells (|dx|+|dy| == 1) — the locality
+    guarantee Z-order lacks (Morton jumps teleport across the plane)."""
+    from spark_ext_spark.functions import hilbert_key, zorder_key
+    from pyspark.sql import functions as F
+
+    n = 16
+    grid = (spark.range(n * n)
+            .select((F.col("id") % n).alias("x"),
+                    (F.col("id") / n).cast("long").alias("y")))
+    rows = (grid.select("x", "y",
+                        hilbert_key("x", "y", bits=4).alias("d"))
+            .collect())
+    d_by_pos = {(r["x"], r["y"]): r["d"] for r in rows}
+    ds = sorted(d_by_pos.values())
+    assert ds == list(range(n * n))  # bijection
+    pos_by_d = {d: p for p, d in d_by_pos.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos_by_d[d], pos_by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos_by_d[d])
+
+    # Z-order on the same grid violates adjacency (the jumps Hilbert
+    # removes) — pin the contrast so the two keys stay distinct ops
+    zrows = (grid.select("x", "y", zorder_key("x", "y", bits=4).alias("d"))
+             .collect())
+    zpos = {r["d"]: (r["x"], r["y"]) for r in zrows}
+    jumps = sum(1 for d in range(n * n - 1)
+                if abs(zpos[d][0] - zpos[d + 1][0])
+                + abs(zpos[d][1] - zpos[d + 1][1]) > 1)
+    assert jumps > 0
