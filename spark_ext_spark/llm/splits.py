@@ -23,6 +23,7 @@ from spark_ext_spark.llm.text import tokens
 from spark_ext_spark.operators.prefix import partitioned_cumulative_sums
 
 __all__ = ["hash_unit_interval", "hash_split", "pack_sequences",
+           "score_top_fraction",
            "temperature_mix_sample", "length_bucketed_batches",
            "source_cap_sample", "hash_sample_k"]
 
@@ -96,6 +97,24 @@ def source_cap_sample(df: DataFrame, group_col: str, id_col: str,
                                               F.col(id_col).asc())
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= cap).drop("__rk"))
+
+
+def score_top_fraction(df: DataFrame, group_col: str, id_col: str,
+                       score_col: str, fraction: float) -> DataFrame:
+    """Keep the top ``fraction`` of each group by score — the 'top X%
+    per domain by quality/LM score' curation rule. Deterministic
+    ordering (score desc, id asc); per-group budget =
+    ``ceil(fraction * group_size)`` so every non-empty group keeps at
+    least one row. One window shuffle on the group key; emits
+    (original columns + ``rk``) for auditability."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col)
+    wo = w.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (df.withColumn("rk", F.row_number().over(wo))
+            .withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("rk") <= F.ceil(F.lit(fraction) * F.col("__n")))
+            .drop("__n"))
 
 
 def hash_sample_k(df: DataFrame, id_col: str, k: int,

@@ -898,6 +898,46 @@ FROM stats
 """
 
 
+def quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile curation (llm/splits.py
+    score_top_fraction): keep the top 30% of each source by
+    quality_score — 'top X% per domain' with a deterministic
+    (score desc, doc_id asc) budget of ceil(0.3·group_size)."""
+    from spark_ext_spark.llm import splits
+    docs = load(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "source").join(scored, "doc_id")
+    kept = splits.score_top_fraction(joined, "source", "doc_id",
+                                     "quality_score", 0.3)
+    return kept.select("doc_id", "source", "quality_score", "rk")
+
+
+def _quality_top_fraction_oracle(fraction: float = 0.3) -> str:
+    """Composes the proven DOC_QUALITY_SQL as a scored subquery, then
+    replays the per-source window budget (same operand order for the
+    ceil(fraction·n) boundary on both engines)."""
+    return f"""
+WITH scored AS ({DOC_QUALITY_SQL}),
+j AS (
+  SELECT d.doc_id, d.source, s.quality_score
+  FROM documents d JOIN scored s USING (doc_id)
+),
+r AS (
+  SELECT doc_id, source, quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC,
+                                     doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+SELECT doc_id, source, quality_score, rk
+FROM r WHERE rk <= ceil({fraction} * n)
+"""
+
+
+QUALITY_TOP_FRACTION_SQL = _quality_top_fraction_oracle()
+
+
 def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard quality rules (llm/text.py gopher_rules):
     per-doc rule booleans + keep flag, one scan, no shuffle.

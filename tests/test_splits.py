@@ -103,3 +103,23 @@ def test_length_bucketed_batches_golden(spark):
     assert (rows[1]["batch_idx"], rows[2]["batch_idx"]) == (0, 0)
     # same-batch documents differ by < bucket_tokens in length
     assert abs(rows[3]["n_tokens"] - rows[4]["n_tokens"]) < 3
+
+
+def test_score_top_fraction_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ext_spark.llm.splits import score_top_fraction
+    rows = [(i, f"s{i % 3}", float(i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    kept = score_top_fraction(df, "src", "id", "score", 0.3)
+    counts = {r["src"]: r["n"] for r in
+              kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 9 for n in counts.values())  # ceil(0.3*30)
+    # deterministic under repartitioning
+    again = score_top_fraction(df.repartition(13), "src", "id",
+                               "score", 0.3)
+    assert sorted((r["src"], r["id"]) for r in kept.collect()) == \
+        sorted((r["src"], r["id"]) for r in again.collect())
+    # every non-empty group keeps at least one row even at tiny fraction
+    tiny = score_top_fraction(df, "src", "id", "score", 0.001)
+    assert tiny.groupBy("src").count().count() == 3
