@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "normalize_text", "exact_duplicates", "word_shingles",
-    "jaccard_similar_pairs", "minhash_signatures", "minhash_lsh_pairs",
+    "jaccard_similar_pairs", "containment_pairs",
+    "minhash_signatures", "minhash_lsh_pairs",
     "simhash", "simhash_near_pairs",
 ]
 
@@ -144,6 +145,47 @@ def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
                         / (F.col("n_a") + F.col("n_b") - F.col("shared")))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, threshold: float = 0.5,
+                      max_shingle_df: int | None = 1000,
+                      hash_shingles: bool = True,
+                      unique_ids: bool = True) -> DataFrame:
+    """Subset/quote/boilerplate detection: pairs whose n-gram
+    CONTAINMENT ``shared / min(|A|, |B|)`` ≥ threshold. Catches the
+    asymmetric near-dups Jaccard misses — a short document fully
+    quoted inside a long one has tiny Jaccard (union is dominated by
+    the long doc) but containment ≈ 1.
+
+    Same blocked candidate generation as
+    :func:`jaccard_similar_pairs`: shingle equi-join with a
+    document-frequency cap, xxhash64 8-byte shuffle keys — never
+    all-pairs."""
+    sh = word_shingles(df, id_col, text_col, n, hashed=hash_shingles,
+                       unique_ids=unique_ids).cache()
+    if max_shingle_df is not None:
+        rare = (sh.groupBy("shingle").count()
+                .filter(F.col("count") <= max_shingle_df).drop("count"))
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    return (shared
+            .join(sizes.withColumnRenamed("doc", "doc_a")
+                       .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc", "doc_b")
+                       .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+            .withColumn("containment",
+                        F.col("shared") / F.least("n_a", "n_b"))
+            .filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round("containment", 4).alias("containment")))
 
 
 def _hash64(token: str) -> int:

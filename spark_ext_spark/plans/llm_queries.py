@@ -78,6 +78,29 @@ HAVING count(*) / (any_value(sa.n) + any_value(sb.n) - count(*)) >= 0.12
 """
 
 
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT
+    (shared / min sizes) — catches short-doc-quoted-in-long-doc pairs
+    whose Jaccard stays tiny. Same blocked candidate join + df-cap as
+    ngram_jaccard."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", n=3,
+                                   threshold=0.3, max_shingle_df=500)
+
+
+NGRAM_CONTAINMENT_SQL = _SHINGLE_CTE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(count(*) / least(any_value(sa.n), any_value(sb.n)), 4)
+         AS containment
+FROM sh a
+JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) / least(any_value(sa.n), any_value(sb.n)) >= 0.3
+"""
+
+
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified MinHash-LSH pairs at the same τ as ngram_jaccard.
     Oracle-checkable: the base hash is md5-derived (= DuckDB

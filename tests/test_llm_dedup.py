@@ -91,3 +91,22 @@ def test_simhash_near_pairs(docs):
                                 max_hamming=8).collect()}
     assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
     assert all(4 not in p for p in pairs)
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    ~1.0, Jaccard tiny — the asymmetric case the op exists for."""
+    from spark_ext_spark.llm.dedup import (containment_pairs,
+                                           jaccard_similar_pairs)
+    quote = "the quick brown fox jumps over the lazy dog again today"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    rows = [(1, quote), (2, quote + " " + filler), (3, filler[:50])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(df, "doc_id", "text",
+                                       threshold=0.9).collect()}
+    assert cont.get((1, 2)) == 1.0  # every shingle of 1 is inside 2
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_similar_pairs(df, "doc_id", "text",
+                                          threshold=0.5).collect()}
+    assert (1, 2) not in jac  # union dominated by the long doc
