@@ -717,6 +717,50 @@ FROM lab
 """
 
 
+def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTCOME table: per source, how many docs
+    survive keeping one canonical per duplicate cluster — n_docs,
+    n_kept, kept-char volume, reduction rate. This is the number a
+    100 TB curation run reports up; composition of dup_clusters +
+    a broadcast source join + one aggregation."""
+    from spark_ext_spark.llm.clusters import duplicate_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs(docs, "doc_id", "text", n=3,
+                                        threshold=0.12, max_shingle_df=500)
+    lab = duplicate_clusters(docs, "doc_id", pairs)
+    joined = (docs.select("doc_id", "source", "n_chars")
+              .join(lab.select("doc_id", "is_canonical"), "doc_id"))
+    kept_chars = F.when(F.col("is_canonical"), F.col("n_chars"))
+    return (joined.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("is_canonical").cast("long"))
+                 .cast("bigint").alias("n_kept"),
+                 F.coalesce(F.sum(kept_chars), F.lit(0)).cast("bigint")
+                 .alias("kept_chars"),
+                 F.round(F.lit(1.0)
+                         - F.sum(F.col("is_canonical").cast("long"))
+                         / F.count(F.lit(1)), 4).alias("reduction")))
+
+
+DEDUP_REDUCTION_REPORT_SQL = (
+    DUP_CLUSTERS_SQL.rsplit("SELECT doc_id, cluster_id,", 1)[0] + """,
+canon AS (
+  SELECT doc_id, (doc_id = cluster_id) AS is_canonical FROM lab
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(coalesce(sum(CASE WHEN c.is_canonical THEN d.n_chars END), 0)
+            AS BIGINT) AS kept_chars,
+       round(1.0 - sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END)
+                   / count(*), 4) AS reduction
+FROM documents d JOIN canon c USING (doc_id)
+GROUP BY d.source
+""")
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
