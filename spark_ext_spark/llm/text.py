@@ -15,7 +15,7 @@ from spark_ext_spark.llm.dedup import normalize_text
 __all__ = ["tokens", "text_stats", "quality_score", "language_id",
            "fingerprint", "tfidf_top_terms", "chunk_documents",
            "redact_pii", "repeated_ngram_spans", "gopher_rules",
-           "STOPWORDS"]
+           "winnow_fingerprints", "winnow_match_pairs", "STOPWORDS"]
 
 # Tiny per-language stopword profiles (top function words) for the
 # n-gram/stopword language-ID heuristic.
@@ -75,6 +75,71 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
         F.lit(1.0) - (F.col("punct_ratio") + F.col("digit_ratio")) * 5)
     score = F.round(0.4 * length_ok + 0.3 * diversity + 0.3 * noise, 4)
     return stats.select(id_col, score.alias("quality_score"))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 4, window: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every k-gram, slide a ``window`` over the
+    hash sequence, keep each window's MINIMUM hash — guaranteeing any
+    shared substring of length ≥ k+window-1 contributes at least one
+    matching fingerprint, with ~2/(window+1) selection density. The
+    position-aware, local complement to MinHash (which sketches the
+    global shingle SET and can't localize matches).
+
+    Returns distinct (doc, fp) rows. All-JVM: k-gram build via
+    sequence/transform, the 60-bit hash is an md5-prefix (base-16
+    conv — codegen, and DuckDB replays it exactly; xxhash64 does not
+    exist there), window minima via array_min over slices."""
+    from spark_ext_spark.llm.dedup import normalize_text
+    from spark_ext_spark.sources.io import ensure_fanout
+
+    wdf = ensure_fanout(
+        df.select(F.col(id_col).alias("doc"),
+                  F.split(normalize_text(text_col), " ").alias("__w")),
+        "doc")
+    n_words = F.size("__w")
+    gram_idx = F.when(
+        n_words >= k,
+        F.sequence(F.lit(0), n_words - F.lit(k))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(gram_idx, lambda i: F.concat_ws(
+        " ", *[F.element_at("__w", i + j + 1) for j in range(k)]))
+    # md5-prefix 60-bit hash: deterministic, engine-replayable
+    hashes = F.transform(
+        gram, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("long"))
+    hdf = wdf.select("doc", hashes.alias("__h"))
+    n_h = F.size("__h")
+    win_idx = F.when(
+        n_h >= window,
+        F.sequence(F.lit(0), n_h - F.lit(window))
+    ).otherwise(F.when(n_h > 0, F.array(F.lit(0)))
+                .otherwise(F.array().cast("array<int>")))
+    fps = F.transform(
+        win_idx,
+        lambda i: F.array_min(F.slice("__h", i + 1,
+                                      F.least(F.lit(window), n_h))))
+    return (hdf.select("doc", F.explode(F.array_distinct(fps))
+                       .alias("fp"))
+            .distinct())
+
+
+def winnow_match_pairs(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 4, window: int = 5,
+                       min_shared: int = 2) -> DataFrame:
+    """Candidate local-overlap pairs: documents sharing ≥ min_shared
+    winnowing fingerprints (each shared fingerprint certifies a common
+    substring of ≥ k+window-1 words at some position). Blocked
+    equi-join on the fingerprint — never all-pairs."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window).cache()
+    a = fp.select(F.col("doc").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))
 
 
 def gopher_rules(df: DataFrame, id_col: str, text_col: str,

@@ -717,6 +717,56 @@ FROM lab
 """
 
 
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local-overlap candidate pairs: documents
+    sharing ≥2 window-min fingerprints — each certifies a common
+    ≥(k+window-1)-word substring at some position, the local
+    complement to MinHash's global set sketch."""
+    docs = load(spark, sf_dir, "documents")
+    return text.winnow_match_pairs(docs, "doc_id", "text",
+                                   k=4, window=5, min_shared=2)
+
+
+def _winnow_oracle(k: int = 4, window: int = 5,
+                   min_shared: int = 2) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ',
+                                     'g'), ' ') AS w
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {k - 1}))
+               AS i
+        FROM norm WHERE len(w) >= {k})
+),
+wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {window - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM hs
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins
+  WHERE i <= n - {window} + 1 OR (n < {window} AND i = 1)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {min_shared}
+"""
+
+
+WINNOW_PAIRS_SQL = _winnow_oracle()
+
+
 def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's OUTCOME table: per source, how many docs
     survive keeping one canonical per duplicate cluster — n_docs,

@@ -151,3 +151,36 @@ def test_repeated_ngram_spans_short_docs_empty(spark):
                                "doc_id long, text string")
     assert repeated_ngram_spans(df, "doc_id", "text",
                                 n=3, min_df=2).count() == 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer et al. guarantee: any shared substring of at least
+    k+window-1 words yields >=1 shared fingerprint; disjoint texts
+    share none; selection keeps far fewer than all k-gram hashes."""
+    from spark_ext_spark.llm.text import (winnow_fingerprints,
+                                          winnow_match_pairs)
+    common = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, "one two three " + common + " four five six"),
+        (2, "seven eight nine ten " + common + " eleven twelve"),
+        (3, "completely different words with nothing in common here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared_fps"]
+             for r in winnow_match_pairs(df, "doc_id", "text", k=4,
+                                         window=5,
+                                         min_shared=1).collect()}
+    assert (1, 2) in pairs          # 8 >= k+window-1 = 8 → guaranteed
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # density: fingerprints per doc well below the k-gram count
+    fps = winnow_fingerprints(df, "doc_id", "text", k=4, window=5)
+    per_doc = {r["doc"]: r["n"] for r in
+               fps.groupBy("doc").count().withColumnRenamed(
+                   "count", "n").collect()}
+    n_words = len(rows[0][1].split())
+    assert per_doc[1] < (n_words - 3)  # fewer than all k-grams
+    # short-doc edge: fewer hashes than the window still fingerprints
+    tiny = spark.createDataFrame([(9, "just five little words here")],
+                                 "doc_id long, text string")
+    assert winnow_fingerprints(tiny, "doc_id", "text",
+                               k=4, window=5).count() == 1
