@@ -68,6 +68,18 @@ def test_semantic_clusters_exact_variant(spark, duck):
     compare_to_oracle(df, duck, lq.SEMANTIC_CLUSTERS_EXACT_SQL)
 
 
+def test_driver_window_composition():
+    """The driver hash-checks only the FIRST 50 queries() entries.
+    Keep that window maximally oracle-covered: the only rows-only
+    entry allowed inside it is local_lr_model (converged optimizer).
+    Reordering queries() or inserting an oracle-less query before
+    position 50 fails here instead of silently costing a green row."""
+    import __spark_entry__ as em
+    first50 = list(em.queries())[:50]
+    missing = [n for n in first50 if n not in em.oracle_sql()]
+    assert missing == ["local_lr_model"], missing
+
+
 def test_rows_only_set_is_pinned():
     """Every query without an oracle must be on the justified list —
     adding a new query without SQL coverage fails here, so the oracle
