@@ -314,6 +314,42 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
 """
 
 
+def language_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language distribution — the corpus-composition table
+    a multilingual training run logs: (source, lang_pred, n_docs,
+    share-of-source). Composes language_id with a broadcast source
+    join and one aggregation; the share's denominator is a window
+    count, no second scan."""
+    from pyspark.sql.window import Window
+    docs = load(spark, sf_dir, "documents")
+    lang = text.language_id(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "source").join(lang, "doc_id")
+    agg = (joined.groupBy("source", "lang_pred")
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source", "lang_pred", "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
+        .alias("share"))
+
+
+LANGUAGE_MIX_REPORT_SQL = f"""
+WITH lang AS ({DOC_LANGUAGE_ID_SQL}),
+j AS (
+  SELECT d.source, l.lang_pred
+  FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+),
+agg AS (
+  SELECT source, lang_pred, count(*) AS n_docs
+  FROM j GROUP BY source, lang_pred
+)
+SELECT source, lang_pred, n_docs,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY source), 4)
+           AS share
+FROM agg
+"""
+
+
 # --- similarity --------------------------------------------------------------
 
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
