@@ -63,7 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_by_threshold": eq.recall_by_threshold,
         "f_measure": eq.f_measure_by_threshold,
         "s2_cells": mq.s2_cells,
-        "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
+        # A12 LR family, deterministic variant: 2 unrolled IRLS steps
+        # whose SQL text both engines execute verbatim (hash-exact).
+        # The converged-FISTA variant (local_lr_model, rows-only) sits
+        # past the 50-query window; its values are pinned by R-glmnet
+        # goldens in tests/test_classification.py.
+        "lr_newton_steps": mq.lr_newton_steps,
         # --- 21-35: LLM dedup + text analysis ---------------------------
         "exact_dedup": lq.exact_dedup,
         "ngram_jaccard": lq.ngram_jaccard,
@@ -174,7 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
         "lineitem_measure_stats": rel.lineitem_measure_stats,
         "doc_gopher_rules": lq.doc_gopher_rules,
-        "lr_newton_steps": mq.lr_newton_steps,
+        "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
         "hilbert_event_keys": rel.hilbert_event_keys,
         "quality_top_fraction": lq.quality_top_fraction,
         "ngram_containment": lq.ngram_containment,

@@ -18,11 +18,18 @@ Pipeline (reference :156-221, re-expressed declaratively):
    score with summed counts (reference :167-196; we group over the
    GLOBAL order, which equals the reference's per-partition grouping at
    its tested 1-partition layout and is deterministic at any layout);
-3. cumulative pos/neg via a window ordered by score descending — the
-   DataFrame equivalent of the reference's partition-prefix scanLeft
-   round-trip (:198-216). The window runs over the COMPACTED table
-   (cardinality = distinct scores, further bounded by numBins), so the
-   single-partition window sort is bounded, not data-sized;
+3. cumulative pos/neg over score-descending order. Below
+   ``prefix_threshold`` distinct scores the running sums use one
+   global window over the COMPACTED table (cardinality = distinct
+   scores, further bounded by numBins) — one task, fine for discrete
+   scores. Above it — continuous model scores, where distinct ≈ N and
+   a global window is a single-task cliff — they switch to
+   ``operators/prefix.py:partitioned_cumulative_sums``: range-partition
+   on the score, cumsum within partitions, add per-partition offsets
+   from a bounded (#partitions-row) collect. That is EXACTLY the
+   reference's own technique (BinaryModelMetrics.scala:198-216:
+   per-partition totals → driver scanLeft → offset add). The numBins
+   down-sampling's global row_number goes through the same chooser;
 4. per-threshold confusion matrix columns: TP=cumPos, FP=cumNeg,
    FN=totPos-cumPos, TN=totNeg-cumNeg; totals joined in via a
    broadcast 1-row aggregate (no driver collect, stays lazy).
@@ -50,15 +57,46 @@ class BinaryModelMetrics:
     """
 
     def __init__(self, score_and_labels: DataFrame, num_bins: int = 0,
-                 score_col: str = "score", label_col: str = "label"):
+                 score_col: str = "score", label_col: str = "label",
+                 prefix_threshold: int | None = 1_000_000):
         if num_bins < 0:
             raise ValueError("numBins must be nonnegative")
         self.df = score_and_labels.select(
             F.col(score_col).cast("double").alias("score"),
             F.col(label_col).cast("double").alias("label"))
         self.num_bins = num_bins
+        # Above this many distinct scores, running sums use the
+        # distributed prefix-sum operator instead of one global window.
+        # None = always use the window (skips the sizing count() —
+        # only safe when scores are known-discrete).
+        self.prefix_threshold = prefix_threshold
+        self._n_cum: int | None = None
+        self._persisted: DataFrame | None = None
 
     # -- core cumulative table --------------------------------------------
+
+    def _with_running(self, df: DataFrame, values: dict) -> DataFrame:
+        """Append exact running sums over score-descending order,
+        choosing the scale-appropriate plan: global window when the
+        table is known-small, range-partitioned prefix sums
+        (operators/prefix.py — the reference's scanLeft-offsets
+        technique, BinaryModelMetrics.scala:198-216) when distinct
+        scores exceed ``prefix_threshold``. Both are exact (integer
+        counts sum associatively), so the choice never changes
+        results — asserted on 1e6 distinct scores in
+        tests/test_evaluation.py."""
+        if (self.prefix_threshold is not None and self._n_cum is not None
+                and self._n_cum > self.prefix_threshold):
+            from spark_ext_spark.operators.prefix import (
+                partitioned_cumulative_sums)
+            return partitioned_cumulative_sums(
+                df, [F.desc("score")], values)
+        w = (Window.orderBy(F.desc("score"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = df
+        for name, c in values.items():
+            out = out.withColumn(name, F.sum(c).over(w))
+        return out
 
     @cached_property
     def _counts(self) -> DataFrame:
@@ -66,31 +104,36 @@ class BinaryModelMetrics:
                   .groupBy("score")
                   .agg(F.sum("label").alias("pos"),
                        (F.count(F.lit(1)) - F.sum("label")).alias("neg")))
+        # numBins needs the distinct count for its chunk size; the
+        # cumsum strategy choice needs it too. Persist so the count job
+        # and every downstream consumer share one materialization.
+        if self.num_bins > 0 or self.prefix_threshold is not None:
+            counts = counts.persist()
+            self._persisted = counts
+            self._n_cum = counts.count()
         if self.num_bins > 0:
-            n = counts.count()
-            grouping = n // self.num_bins
+            grouping = self._n_cum // self.num_bins
             if grouping >= 2:
-                w = Window.orderBy(F.desc("score"))
-                counts = (counts
-                          .withColumn("__rn", F.row_number().over(w) - 1)
+                counts = (self._with_running(counts, {"__rn": F.lit(1)})
                           .withColumn("__grp",
-                                      F.floor(F.col("__rn") / grouping))
+                                      F.floor((F.col("__rn") - 1)
+                                              / grouping))
                           .groupBy("__grp")
                           .agg(F.max("score").alias("score"),
                                F.sum("pos").alias("pos"),
                                F.sum("neg").alias("neg"))
                           .drop("__grp"))
+                # after down-sampling the table is ≤ numBins+1 rows —
+                # the window path is the right cumsum plan from here on
+                self._n_cum = self._n_cum // grouping + 1
         return counts
 
     @cached_property
     def confusions(self) -> DataFrame:
         """One row per threshold: score, tp, fp, fn, tn, tot_pos, tot_neg."""
         counts = self._counts
-        w = (Window.orderBy(F.desc("score"))
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        cum = (counts
-               .withColumn("tp", F.sum("pos").over(w))
-               .withColumn("fp", F.sum("neg").over(w)))
+        cum = self._with_running(counts, {"tp": F.col("pos"),
+                                          "fp": F.col("neg")})
         from spark_ext_spark.functions import attach_scalar_agg
         # Cached like the reference persists cumulativeCounts
         # (BinaryModelMetrics.scala:216): every curve/AUC reuses it.
@@ -147,9 +190,13 @@ class BinaryModelMetrics:
 
     def unpersist(self) -> None:
         """Release the cached confusion table (reference
-        BinaryModelMetrics.scala:70)."""
+        BinaryModelMetrics.scala:70) and the persisted compacted
+        counts backing the sizing count()."""
         if "confusions" in self.__dict__:
             self.confusions.unpersist()
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
 
     def thresholds(self) -> DataFrame:
         # over the compacted counts table, NOT confusions: thresholds

@@ -37,6 +37,12 @@ def partitioned_cumulative_sums(df: DataFrame, order_cols: list,
     thresholds want. The ordering must be total (include a unique
     tiebreak column) or within-ties results are arbitrary.
 
+    Exactness: integer and integer-valued-double sums are bit-identical
+    to the global window (associative). Fractional double sums can
+    differ from the window's sequential fold in the last ULPs — the
+    per-partition totals aggregate in partition iteration order, not
+    sorted order (hypothesis-swept in tests/test_prefix.py).
+
     The range-partitioned intermediate is persisted so the offsets pass
     and the output pass see the same partition boundaries; the cache
     releases when the consumer's lineage is dropped or on memory
@@ -50,18 +56,30 @@ def partitioned_cumulative_sums(df: DataFrame, order_cols: list,
     ranged = (df.repartitionByRange(n, *order_cols)
               .withColumn("__pid", F.spark_partition_id())
               .persist())
-    totals = (ranged.groupBy("__pid")
-              .agg(*[F.sum(c).alias(name) for name, c in vals.items()])
-              .collect())
+    totals_frame = (ranged.groupBy("__pid")
+                    .agg(*[F.sum(c).alias(name)
+                           for name, c in vals.items()]))
+    totals = totals_frame.collect()
     by_pid = {r["__pid"]: r for r in totals}
-    offsets, acc = [], {name: 0 for name in vals}
+    # zero literal + offsets schema follow each aggregate's own type —
+    # mixing a Python int 0 into a double running sum would make
+    # createDataFrame's type merge fail (LongType vs DoubleType)
+    from pyspark.sql.types import DoubleType, FloatType, StructField, StructType
+    val_fields = totals_frame.schema.fields[1:]
+    fractional = {f.name: isinstance(f.dataType, (DoubleType, FloatType))
+                  for f in val_fields}
+    offsets = []
+    acc = {name: (0.0 if fractional[name] else 0) for name in vals}
     for p in range(n):
         offsets.append((p, *[acc[name] for name in vals]))
         if p in by_pid:
             for name in vals:
-                acc[name] += by_pid[p][name] or 0
-    off_df = spark.createDataFrame(
-        offsets, ["__pid"] + [f"__off_{name}" for name in vals])
+                t = by_pid[p][name]
+                acc[name] += (0.0 if fractional[name] else 0) \
+                    if t is None else t
+    off_df = spark.createDataFrame(offsets, StructType(
+        [StructField("__pid", totals_frame.schema.fields[0].dataType)]
+        + [StructField(f"__off_{f.name}", f.dataType) for f in val_fields]))
 
     end = 0 if inclusive else -1
     w = (Window.partitionBy("__pid").orderBy(*order_cols)

@@ -70,14 +70,15 @@ def test_semantic_clusters_exact_variant(spark, duck):
 
 def test_driver_window_composition():
     """The driver hash-checks only the FIRST 50 queries() entries.
-    Keep that window maximally oracle-covered: the only rows-only
-    entry allowed inside it is local_lr_model (converged optimizer).
+    Keep that window FULLY oracle-covered: the A12 LR slot is the
+    deterministic lr_newton_steps (verbatim-SQL IRLS, hash-exact);
+    the converged-optimizer local_lr_model sits past position 50.
     Reordering queries() or inserting an oracle-less query before
     position 50 fails here instead of silently costing a green row."""
     import __spark_entry__ as em
     first50 = list(em.queries())[:50]
     missing = [n for n in first50 if n not in em.oracle_sql()]
-    assert missing == ["local_lr_model"], missing
+    assert missing == [], missing
 
 
 def test_rows_only_set_is_pinned():
