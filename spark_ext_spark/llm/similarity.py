@@ -86,7 +86,8 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                      F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))))
          .withColumn("role", F.lit("q")))
     return _grouped_candidate_topk(q.unionByName(c), "shard", k,
-                                   round_to=round_to)
+                                   round_to=round_to,
+                                   shard_rows=shard_rows)
 
 
 def _sharded(df: DataFrame, id_col: str, vec_col: str,
@@ -176,7 +177,13 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
             out_s.extend(sims[i][mask].tolist())
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
-    return (q.unionByName(c).groupBy("shard")
+    # block the per-shard GEMM: the probe side replicates the WHOLE
+    # corpus into every shard group, so without sub-sharding each
+    # pandas group holds N + shard_rows rows. Every unordered pair
+    # still meets exactly once — in the single (shard, cs, qs) block
+    # where cs = hash(c) and qs = hash(q) — so no dedup pass is needed.
+    blocked = _block_grid(q.unionByName(c), "shard", shard_rows)
+    return (blocked.groupBy("shard", "__cs", "__qs")
             .applyInPandas(group_pairs,
                            schema="id_a long, id_b long, sim double"))
 
@@ -213,7 +220,8 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
 def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
              multiprobe: bool = True,
-             round_to: int | None = None) -> DataFrame:
+             round_to: int | None = None,
+             shard_rows: int = 16384) -> DataFrame:
     """Approximate top-k within LSH buckets; multiprobe also searches
     the n_planes 1-bit-adjacent buckets (recall boost without widening
     the join fan-out asymptotically).
@@ -237,17 +245,64 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     c = b.select("vec_id", "vec", "bucket", F.lit("c").alias("role"))
     both = q.unionByName(c)
 
-    return _grouped_candidate_topk(both, "bucket", k, round_to=round_to)
+    return _grouped_candidate_topk(both, "bucket", k, round_to=round_to,
+                                   shard_rows=shard_rows)
+
+
+def _block_grid(both: DataFrame, group_col: str,
+                shard_rows: int) -> DataFrame:
+    """Bound pandas-group sizes for the per-bucket GEMMs: within each
+    group, members ('c' rows) hash-split into ceil(nc/shard_rows)
+    sub-shards and queries ('q' rows) into ceil(nq/shard_rows); each
+    row replicates across the OTHER role's axis, so every (q, c)
+    combination meets in exactly one (group, __cs, __qs) block of
+    ≈ ≤ 2·shard_rows rows — the block decomposition of the bucket
+    GEMM. Without this, one hot LSH bucket / IVF cell (or the
+    all-probes query side of an exact shard) lands an unbounded row
+    count in a single pandas group → executor OOM at 100 TB. The
+    per-group sizing table is one row per bucket (broadcast join);
+    results are unchanged because the downstream per-query merge is
+    lossless over any partition of the candidate set."""
+    sizes = (both.groupBy(group_col).agg(
+        F.greatest(F.lit(1), F.ceil(
+            F.sum(F.when(F.col("role") == "c", 1).otherwise(0))
+            / F.lit(shard_rows))).cast("int").alias("__nc"),
+        F.greatest(F.lit(1), F.ceil(
+            F.sum(F.when(F.col("role") == "q", 1).otherwise(0))
+            / F.lit(shard_rows))).cast("int").alias("__nq")))
+    own_c = F.pmod(F.xxhash64(F.col("vec_id")), F.col("__nc")).cast("int")
+    own_q = F.pmod(F.xxhash64(F.col("vec_id")), F.col("__nq")).cast("int")
+    blocks = (F.when(F.col("role") == "c",
+                     F.transform(F.sequence(F.lit(0), F.col("__nq") - 1),
+                                 lambda q: F.struct(
+                                     own_c.alias("cs"),
+                                     q.cast("int").alias("qs"))))
+              .otherwise(
+                  F.transform(F.sequence(F.lit(0), F.col("__nc") - 1),
+                              lambda c: F.struct(
+                                  c.cast("int").alias("cs"),
+                                  own_q.alias("qs")))))
+    return (both.join(F.broadcast(sizes), group_col)
+            .withColumn("__blk", F.explode(blocks))
+            .select(group_col, "vec_id", "vec", "role",
+                    F.col("__blk.cs").alias("__cs"),
+                    F.col("__blk.qs").alias("__qs")))
 
 
 def _grouped_candidate_topk(both: DataFrame, group_col: str, k: int,
-                            round_to: int | None = None) -> DataFrame:
+                            round_to: int | None = None,
+                            shard_rows: int | None = 16384) -> DataFrame:
     """Shared IVF-style execution for bucketed ANN: per group, ONE
     numpy GEMM of probing queries ('q' rows) × group members ('c'
     rows) emits per-query group-local top-k; a global groupBy then
     merges multi-probe hits and re-ranks. Vectors materialize once per
     probe, never per pair. round_to pins similarity decimals BEFORE
-    ranking so tie-breaks are reproducible across engines."""
+    ranking so tie-breaks are reproducible across engines.
+
+    ``shard_rows`` caps pandas-group size via :func:`_block_grid`
+    sub-sharding (None disables). The per-block top-k → global merge
+    is lossless: a candidate dropped at block rank > k is beaten by k
+    block-mates that also beat it in the merged bucket."""
     import pandas as pd
 
     def group_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -275,7 +330,11 @@ def _grouped_candidate_topk(both: DataFrame, group_col: str, k: int,
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                              "sim": out_s})
 
-    local = both.groupBy(group_col).applyInPandas(
+    group_cols = [group_col]
+    if shard_rows is not None:
+        both = _block_grid(both, group_col, shard_rows)
+        group_cols = [group_col, "__cs", "__qs"]
+    local = both.groupBy(*group_cols).applyInPandas(
         group_topk, schema="query_id long, neighbor_id long, sim double")
     merged = (local.groupBy("query_id", "neighbor_id")
               .agg(F.max("sim").alias("sim")))  # dedup multiprobe hits
@@ -308,7 +367,8 @@ def fit_ivf_centroids(df: DataFrame, n_centroids: int = 16, seed: int = 42,
 def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
              n_probes: int = 3, seed: int = 42, max_iter: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             centroids: list[list[float]] | None = None,
+             shard_rows: int = 16384) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer (vs lsh_topk's
     data-oblivious hyperplanes): distributed k-means learns
     ``n_centroids`` cells, the corpus becomes inverted lists (one cell
@@ -347,7 +407,8 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
     q = assigned.select("vec_id", "vec", F.explode(probes).alias("cell"),
                         F.lit("q").alias("role"))
     c = assigned.select("vec_id", "vec", "cell", F.lit("c").alias("role"))
-    return _grouped_candidate_topk(q.unionByName(c), "cell", k)
+    return _grouped_candidate_topk(q.unionByName(c), "cell", k,
+                                   shard_rows=shard_rows)
 
 
 IVF_QUANT_SCALE = 1_000_000
@@ -430,8 +491,8 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            round_to: int = 4,
-                           centroids: list[list[int]] | None = None
-                           ) -> DataFrame:
+                           centroids: list[list[int]] | None = None,
+                           shard_rows: int = 16384) -> DataFrame:
     """IVF ANN over the quantized-Lloyd coarse quantizer — identical
     candidate generation to :func:`ivf_topk` (probe ``n_probes``
     nearest cells, exact GEMM re-rank inside), but every stage up to
@@ -458,7 +519,8 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
     c = emb.select("vec_id", "vec", own.alias("cell"),
                    F.lit("c").alias("role"))
     return _grouped_candidate_topk(q.unionByName(c), "cell", k,
-                                   round_to=round_to)
+                                   round_to=round_to,
+                                   shard_rows=shard_rows)
 
 
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",

@@ -132,3 +132,70 @@ def test_ivf_probe_count_trades_recall(vecs, vecs_np):
         return hits / total
 
     assert recall(4) >= recall(1)
+
+
+# --- hot-bucket sub-sharding (block-grid decomposition) --------------------
+
+def _topk_rows(df):
+    return sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                   round(r["sim"], 9)) for r in df.collect())
+
+
+def test_hot_bucket_lsh_blocking_preserves_results(spark):
+    """Engineered hot bucket: every vector on the same side of every
+    hyperplane (strictly positive coordinates) → ONE LSH bucket holds
+    the whole corpus. Tiny shard_rows must sub-shard it without
+    changing a single (query, rank, neighbor, sim) row."""
+    rng = np.random.default_rng(11)
+    v = np.abs(rng.standard_normal((40, DIM))) + 0.1
+    df = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    base = lsh_topk(df, k=4, round_to=6, shard_rows=10**9)
+    blocked = lsh_topk(df, k=4, round_to=6, shard_rows=8)
+    assert _topk_rows(blocked) == _topk_rows(base)
+
+
+def test_hot_cell_ivf_blocking_preserves_results(vecs):
+    from spark_ext_spark.llm.similarity import ivf_topk_deterministic
+    # n_centroids=2 over clustered data → big hot cells vs shard_rows=8
+    base = ivf_topk_deterministic(vecs, k=4, n_centroids=2, n_probes=2,
+                                  shard_rows=10**9)
+    blocked = ivf_topk_deterministic(vecs, k=4, n_centroids=2, n_probes=2,
+                                     shard_rows=8)
+    assert _topk_rows(blocked) == _topk_rows(base)
+
+
+def test_near_dups_exact_blocking_preserves_pairs(vecs):
+    def pairs(sr):
+        return sorted((r["id_a"], r["id_b"], round(r["sim"], 9))
+                      for r in embedding_near_dups(
+                          vecs, threshold=0.6, shard_rows=sr).collect())
+    assert pairs(8) == pairs(10**9)
+
+
+def test_block_grid_caps_group_sizes(spark):
+    """Direct check of the decomposition: one group with 60 members +
+    60 probes, cap 8 → no (group, cs, qs) block anywhere near the
+    unblocked 120 rows, and both roles present in blocks."""
+    from pyspark.sql import functions as F
+    from spark_ext_spark.llm.similarity import _block_grid
+    rows = [(i, [1.0, float(i)], "c", 0) for i in range(60)] + \
+           [(100 + i, [1.0, float(i)], "q", 0) for i in range(60)]
+    both = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>, role string, grp int")
+    blocked = _block_grid(both, "grp", 8)
+    sizes = (blocked.groupBy("grp", "__cs", "__qs")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum((F.col("role") == "c").cast("int")).alias("nc"))
+             .collect())
+    assert max(r["n"] for r in sizes) <= 4 * 8  # ~2·cap + hash slack
+    # every (q, c) combination met exactly once across blocks
+    met = (blocked.filter(F.col("role") == "q")
+           .select(F.col("vec_id").alias("q"), "__cs", "__qs")
+           .join(blocked.filter(F.col("role") == "c")
+                 .select(F.col("vec_id").alias("c"), "__cs", "__qs"),
+                 ["__cs", "__qs"])
+           .groupBy("q", "c").count().collect())
+    assert len(met) == 60 * 60
+    assert all(r["count"] == 1 for r in met)
