@@ -9,9 +9,11 @@ driver-side graph state. Each round does (a) a neighbor-min propagation
 table), which halves chain lengths so convergence is O(log diameter)
 rounds rather than O(diameter) — the Hash-to-Min idea (Rastogi et al.,
 "Finding Connected Components in Map-Reduce in Logarithmic Rounds").
-``localCheckpoint`` truncates lineage every round; on a real cluster
-prefer ``spark.sparkContext.setCheckpointDir`` + reliable checkpoints
-(survives executor loss; localCheckpoint does not).
+Lineage is truncated every round; ``checkpoint="local"`` (default)
+uses ``localCheckpoint`` (fast, dies with an executor) and
+``checkpoint="reliable"`` uses ``df.checkpoint()`` against the
+session's checkpoint directory — the mode a multi-hour 100 TB run
+wants, since it survives executor loss.
 
 100 TB notes: per-round cost is one shuffle of E (edges) + two of V
 (labels); V shrinks to #nodes-in-pairs which for dedup workloads is a
@@ -29,18 +31,46 @@ __all__ = ["connected_components", "duplicate_clusters"]
 
 
 def connected_components(edges: DataFrame, src: str, dst: str,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint: str = "local") -> DataFrame:
     """Label every node reachable through ``edges`` with the minimum
     node id of its component. Returns (node, comp); only nodes that
     appear in at least one edge are present (isolated nodes are their
     own singleton component — handle at the call site, as
     ``duplicate_clusters`` does).
 
+    ``checkpoint`` picks the lineage-truncation mode:
+
+    - ``"local"`` (default): ``localCheckpoint()`` — executor-local
+      blocks, no extra I/O; right for single-box and short jobs, but
+      data is LOST on executor failure and the job restarts from zero.
+    - ``"reliable"``: ``df.checkpoint()`` to the session's configured
+      checkpoint directory (``spark.sparkContext.setCheckpointDir`` —
+      HDFS/S3 on a real cluster). An hours-long 100 TB CC run should
+      use this: a lost executor recovers from the checkpoint instead
+      of rerunning every round. Raises if no directory is configured.
+
     Raises RuntimeError if not converged within ``max_iter`` rounds —
     with pointer jumping that means a component of diameter > 2^25,
     which in a dedup graph signals pathological input, not a tuning
     problem.
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', "
+                         f"got {checkpoint!r}")
+    if checkpoint == "reliable":
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' needs a checkpoint directory: "
+                "call spark.sparkContext.setCheckpointDir(<fault-"
+                "tolerant path>) first")
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
     # assumes pairs are unique (a < b), as every *_pairs producer in
     # llm/ guarantees — duplicated edges would only cost, not corrupt.
     # Materialize the DIRECTED edge table once, then symmetrize from
@@ -52,17 +82,15 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # one partition, so the per-round joins don't fan out into dozens
     # of near-empty tasks (measured 3.2 s → 1.8 s for 4 rounds), while
     # a billion-edge graph still gets full parallelism.
-    e1 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-          .repartition("u")
-          .localCheckpoint())
+    e1 = _ckpt(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+               .repartition("u"))
     sym = e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # init = the first neighbor-min round, fused into one aggregate:
     # label(u) = min(u, min(neighbors)) — saves a full round's three
     # joins compared to starting from label(u) = u
-    labels = (sym.groupBy("u").agg(F.min("v").alias("__mv"))
-              .select(F.col("u").alias("node"),
-                      F.least("u", "__mv").alias("comp"))
-              .localCheckpoint())
+    labels = _ckpt(sym.groupBy("u").agg(F.min("v").alias("__mv"))
+                   .select(F.col("u").alias("node"),
+                           F.least("u", "__mv").alias("comp")))
 
     cached = labels
     for _ in range(max_iter):
@@ -88,8 +116,9 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                        .alias("comp"))
                .join(old, "node")
                .select("node", "comp",
-                       (F.col("comp") != F.col("old_comp")).alias("changed"))
-               .localCheckpoint())
+                       (F.col("comp") != F.col("old_comp"))
+                       .alias("changed")))
+        nxt = _ckpt(nxt)
         changed = nxt.where("changed").count()
         cached.unpersist()
         cached = nxt
@@ -105,7 +134,8 @@ def connected_components(edges: DataFrame, src: str, dst: str,
 
 def duplicate_clusters(df: DataFrame, id_col: str,
                        pairs: DataFrame, pair_a: str = "doc_a",
-                       pair_b: str = "doc_b") -> DataFrame:
+                       pair_b: str = "doc_b",
+                       checkpoint: str = "local") -> DataFrame:
     """Assign every row of ``df`` to a duplicate cluster given
     near-dup ``pairs``: cluster id = min doc id of the connected
     component, singletons are their own cluster. Output columns:
@@ -117,7 +147,8 @@ def duplicate_clusters(df: DataFrame, id_col: str,
     dup cluster)."""
     from pyspark.sql.window import Window
 
-    cc = connected_components(pairs, pair_a, pair_b)
+    cc = connected_components(pairs, pair_a, pair_b,
+                              checkpoint=checkpoint)
     lab = (df.select(id_col)
            .join(cc.withColumnRenamed("node", id_col), id_col, "left")
            .select(id_col,

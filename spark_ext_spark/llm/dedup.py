@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "normalize_text", "exact_duplicates", "word_shingles",
-    "jaccard_similar_pairs", "containment_pairs",
+    "blocked_pair_counts", "jaccard_similar_pairs", "containment_pairs",
     "minhash_signatures", "minhash_lsh_pairs",
     "simhash", "simhash_near_pairs",
 ]
@@ -99,12 +99,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     return out if unique_ids else out.distinct()
 
 
-def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
-                          n: int = 3, threshold: float = 0.5,
-                          max_shingle_df: int | None = 1000,
-                          hash_shingles: bool = True,
-                          unique_ids: bool = True) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+def blocked_pair_counts(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3,
+                        max_shingle_df: int | None = 1000,
+                        hash_shingles: bool = True,
+                        unique_ids: bool = True) -> DataFrame:
+    """The shared candidate core of n-gram set-overlap dedup:
+    (doc_a, doc_b, shared, n_a, n_b) for every document pair sharing
+    ≥1 shingle — Jaccard, containment, overlap coefficient etc. are
+    one expression over these columns (both pair producers below
+    derive from it, and a caller wanting several measures gets them
+    from ONE pass).
 
     Blocking: docs pair only if they share a shingle (equi-join on the
     shingle), so cost is Σ_s df(s)² over shared shingles — bounded by
@@ -139,12 +144,26 @@ def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
             .join(sizes.withColumnRenamed("doc", "doc_a")
                        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
             .join(sizes.withColumnRenamed("doc", "doc_b")
-                       .withColumnRenamed("n_shingles", "n_b"), "doc_b")
-            .withColumn("jaccard",
-                        F.col("shared")
-                        / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+                       .withColumnRenamed("n_shingles", "n_b"), "doc_b"))
+
+
+def jaccard_similar_pairs(df: DataFrame, id_col: str, text_col: str,
+                          n: int = 3, threshold: float = 0.5,
+                          max_shingle_df: int | None = 1000,
+                          hash_shingles: bool = True,
+                          unique_ids: bool = True) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold, over
+    :func:`blocked_pair_counts`' capped shingle-equi-join candidates
+    (never all-pairs)."""
+    pc = blocked_pair_counts(df, id_col, text_col, n, max_shingle_df,
+                             hash_shingles, unique_ids)
+    return (pc.withColumn("jaccard",
+                          F.col("shared")
+                          / (F.col("n_a") + F.col("n_b")
+                             - F.col("shared")))
             .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
+            .select("doc_a", "doc_b",
+                    F.round("jaccard", 4).alias("jaccard")))
 
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -156,33 +175,12 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     CONTAINMENT ``shared / min(|A|, |B|)`` ≥ threshold. Catches the
     asymmetric near-dups Jaccard misses — a short document fully
     quoted inside a long one has tiny Jaccard (union is dominated by
-    the long doc) but containment ≈ 1.
-
-    Same blocked candidate generation as
-    :func:`jaccard_similar_pairs`: shingle equi-join with a
-    document-frequency cap, xxhash64 8-byte shuffle keys — never
-    all-pairs."""
-    sh = word_shingles(df, id_col, text_col, n, hashed=hash_shingles,
-                       unique_ids=unique_ids).cache()
-    if max_shingle_df is not None:
-        rare = (sh.groupBy("shingle").count()
-                .filter(F.col("count") <= max_shingle_df).drop("count"))
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    shared = (a.join(b, "shingle")
-              .filter(F.col("doc_a") < F.col("doc_b"))
-              .groupBy("doc_a", "doc_b")
-              .agg(F.count(F.lit(1)).alias("shared")))
-    return (shared
-            .join(sizes.withColumnRenamed("doc", "doc_a")
-                       .withColumnRenamed("n_shingles", "n_a"), "doc_a")
-            .join(sizes.withColumnRenamed("doc", "doc_b")
-                       .withColumnRenamed("n_shingles", "n_b"), "doc_b")
-            .withColumn("containment",
-                        F.col("shared") / F.least("n_a", "n_b"))
+    the long doc) but containment ≈ 1. Same blocked candidate core as
+    :func:`jaccard_similar_pairs` (:func:`blocked_pair_counts`)."""
+    pc = blocked_pair_counts(df, id_col, text_col, n, max_shingle_df,
+                             hash_shingles, unique_ids)
+    return (pc.withColumn("containment",
+                          F.col("shared") / F.least("n_a", "n_b"))
             .filter(F.col("containment") >= threshold)
             .select("doc_a", "doc_b",
                     F.round("containment", 4).alias("containment")))

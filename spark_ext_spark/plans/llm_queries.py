@@ -722,7 +722,11 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(docs, "doc_id", pairs)
 
 
-DUP_CLUSTERS_SQL = _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+# Shared CTE prefix (through the per-doc `lab` cluster labels) for
+# every oracle that consumes the dedup pipeline's cluster labeling —
+# a named constant, NOT string surgery on a finished query, so a
+# reformat of one consumer cannot silently corrupt another.
+_DUP_CLUSTERS_LAB_CTES = _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
 , pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a
@@ -746,6 +750,9 @@ lab AS (
   SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
 )
+"""
+
+DUP_CLUSTERS_SQL = _DUP_CLUSTERS_LAB_CTES + """
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        (doc_id = cluster_id) AS is_canonical
@@ -803,20 +810,17 @@ HAVING count(*) >= {min_shared}
 WINNOW_PAIRS_SQL = _winnow_oracle()
 
 
-def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline's OUTCOME table: per source, how many docs
-    survive keeping one canonical per duplicate cluster — n_docs,
-    n_kept, kept-char volume, reduction rate. This is the number a
-    100 TB curation run reports up; composition of dup_clusters +
-    a broadcast source join + one aggregation."""
-    from spark_ext_spark.llm.clusters import duplicate_clusters
-
-    docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_similar_pairs(docs, "doc_id", "text", n=3,
-                                        threshold=0.12, max_shingle_df=500)
-    lab = duplicate_clusters(docs, "doc_id", pairs)
+def dedup_reduction_from_labels(docs: DataFrame,
+                                labels: DataFrame) -> DataFrame:
+    """Per-source reduction report from PRECOMPUTED cluster labels
+    (``duplicate_clusters`` output, or any frame with doc_id +
+    is_canonical). In a pipeline that also materializes the cluster
+    table — the normal 100 TB curation run — persist the labels once
+    and feed them here instead of re-deriving pairs + connected
+    components a second time (the shingle join and the CC iteration
+    are the two most expensive stages of the whole pipeline)."""
     joined = (docs.select("doc_id", "source", "n_chars")
-              .join(lab.select("doc_id", "is_canonical"), "doc_id"))
+              .join(labels.select("doc_id", "is_canonical"), "doc_id"))
     kept_chars = F.when(F.col("is_canonical"), F.col("n_chars"))
     return (joined.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -829,8 +833,23 @@ def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 4).alias("reduction")))
 
 
-DEDUP_REDUCTION_REPORT_SQL = (
-    DUP_CLUSTERS_SQL.rsplit("SELECT doc_id, cluster_id,", 1)[0] + """,
+def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTCOME table: per source, how many docs
+    survive keeping one canonical per duplicate cluster — n_docs,
+    n_kept, kept-char volume, reduction rate. This is the number a
+    100 TB curation run reports up. Standalone shape: derives labels
+    itself; a pipeline that already has them calls
+    :func:`dedup_reduction_from_labels` to avoid the double run."""
+    from spark_ext_spark.llm.clusters import duplicate_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similar_pairs(docs, "doc_id", "text", n=3,
+                                        threshold=0.12, max_shingle_df=500)
+    lab = duplicate_clusters(docs, "doc_id", pairs)
+    return dedup_reduction_from_labels(docs, lab)
+
+
+DEDUP_REDUCTION_REPORT_SQL = _DUP_CLUSTERS_LAB_CTES + """,
 canon AS (
   SELECT doc_id, (doc_id = cluster_id) AS is_canonical FROM lab
 )
@@ -844,7 +863,7 @@ SELECT d.source,
                    / count(*), 4) AS reduction
 FROM documents d JOIN canon c USING (doc_id)
 GROUP BY d.source
-""")
+"""
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,3 +58,35 @@ def test_keep_canonical_drops_near_dups(spark):
     kept = (docs.join(lab.filter("is_canonical"), "doc_id")
             .select("doc_id").orderBy("doc_id"))
     assert [r["doc_id"] for r in kept.collect()] == [0, 1, 4]
+
+
+def test_reliable_checkpoint_requires_directory(spark):
+    # runs BEFORE the matches-local test: setCheckpointDir cannot be
+    # unset on a live context, so the no-dir error path must be
+    # exercised first in this module
+    edges = _edges(spark, [(0, 1)])
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("session already has a checkpoint dir")
+    with pytest.raises(ValueError, match="checkpoint directory"):
+        connected_components(edges, "a", "b", checkpoint="reliable")
+
+
+def test_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint='reliable' (df.checkpoint to a configured directory —
+    the executor-loss-safe mode a 100 TB run wants) must produce the
+    exact labels of the localCheckpoint default."""
+    edges = _edges(spark, [(0, 5), (5, 9), (2, 3), (7, 8), (8, 9)])
+    local = {(r["node"], r["comp"]) for r in
+             connected_components(edges, "a", "b").collect()}
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    rel = {(r["node"], r["comp"]) for r in
+           connected_components(edges, "a", "b",
+                                checkpoint="reliable").collect()}
+    assert rel == local
+
+
+def test_unknown_checkpoint_mode_raises(spark):
+    edges = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="local.*reliable"):
+        connected_components(edges, "a", "b", checkpoint="hdfs")
