@@ -3,12 +3,14 @@ with typed metadata structs, plus Arrow-batched decode / feature /
 frame-sample operators.
 
 The Spark-side plumbing (schemas, partition sizing, mapInPandas batch
-shapes, deterministic pseudo-features) is real and tested; the actual
-codec calls are STUBBED — this container has no image/audio libraries,
-so ``decode_media(..., real_decode=True)`` raises NotImplementedError
-at the exact seam where PIL/ffmpeg would plug in, and the default path
-produces deterministic fake metadata derived from the bytes (magic
-sniffing + size-based dimensions) so pipelines are end-to-end testable.
+shapes, deterministic pseudo-features) is real and tested; the codec
+bodies are pluggable — ``decode_media(..., real_decode=True)`` decodes
+with Pillow when it is importable and raises NotImplementedError
+naming the missing dependency otherwise (this container has no
+image/audio libraries), a ``decoder=`` callable swaps in any other
+codec, and the default path produces deterministic fake metadata
+derived from the bytes (magic sniffing + sha256-based dimensions) so
+pipelines are end-to-end testable everywhere.
 
 At 100 TB: binary payloads dominate row size — operators here always
 select only (id, media) before mapInPandas (column pruning survives),
@@ -77,15 +79,49 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
-    """Fill width/height/n_frames via mapInPandas over (media_id,
-    media, media_meta). ``real_decode=True`` is the seam for PIL /
-    soundfile / ffmpeg — unavailable in this container."""
-    if real_decode:
+def _pil_decoder():
+    """Build the payload → (width, height, n_frames) callable from
+    Pillow, verifying the import at DISPATCH time (on the driver) so a
+    missing codec library fails fast with the dependency named,
+    instead of surfacing as per-task executor errors."""
+    import importlib
+    try:
+        importlib.import_module("PIL.Image")
+    except ImportError as e:
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, not present in "
-            "this environment; the Arrow plumbing below is the "
-            "production path")
+            "real media decoding requires Pillow (PIL.Image) — install "
+            "'Pillow' or pass a custom decoder; the deterministic fake "
+            "decode (real_decode=False) remains the testable path"
+        ) from e
+
+    def decode_one(payload: bytes) -> tuple[int, int, int]:
+        # imported inside the closure: executors re-import on their
+        # own interpreters when the UDF deserializes
+        import io
+
+        from PIL import Image
+        with Image.open(io.BytesIO(payload)) as img:
+            return (int(img.width), int(img.height),
+                    int(getattr(img, "n_frames", 1)))
+
+    return decode_one
+
+
+def decode_media(df: DataFrame, real_decode: bool = False,
+                 decoder=None) -> DataFrame:
+    """Fill width/height/n_frames via mapInPandas over (media_id,
+    media, media_meta).
+
+    ``real_decode=True`` decodes with Pillow when importable (raises
+    NotImplementedError naming the missing dependency otherwise);
+    ``decoder`` overrides the per-payload callable
+    (bytes → (width, height, n_frames)) — the seam for soundfile /
+    ffmpeg / a test double. The default path produces deterministic
+    sha256-derived fake dimensions so pipelines stay end-to-end
+    testable without codec libraries."""
+    if real_decode and decoder is None:
+        decoder = _pil_decoder()
+    dims = decoder if decoder is not None else _fake_dims
 
     out_schema = ("media_id bigint, media binary, media_meta "
                   + MEDIA_META_SCHEMA)
@@ -95,7 +131,7 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
             metas = []
             for payload, meta in zip(pdf["media"], pdf["media_meta"]):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, nf = _fake_dims(payload)
+                w, h, nf = dims(payload)
                 metas.append({"format": meta["format"],
                               "byte_len": meta["byte_len"],
                               "width": w, "height": h, "n_frames": nf})

@@ -468,6 +468,13 @@ def fit_ivf_centroids_quantized(df: DataFrame, n_centroids: int = 16,
                    _ivf_quantize_expr(vec_col).alias("qv")).cache())
     init = q.orderBy("vec_id").limit(n_centroids).collect()
     cents = [[int(x) for x in r["qv"]] for r in init]
+    if len(cents) < n_centroids:
+        # fail loudly: silently clamping would desync the SQL oracle's
+        # unrolled n_centroids CTEs from the fitted quantizer
+        raise ValueError(
+            f"fit_ivf_centroids_quantized: corpus has only "
+            f"{len(cents)} row(s) but n_centroids={n_centroids}; "
+            f"lower n_centroids to at most the corpus size")
     for _ in range(n_iter):
         cell = _ivf_cells_by_dist(cents)[0]["cell"]
         stats = (q.withColumn("cell", cell)

@@ -29,14 +29,18 @@ def _report(one: DataFrame, rows: list) -> DataFrame:
 
 
 def profile_columns(df: DataFrame, cols: list[str],
-                    exact_distinct: bool = True) -> DataFrame:
+                    exact_distinct: bool = False) -> DataFrame:
     """Per-column profile: row count, null count/rate, distinct count,
     min/max (stringified so mixed types share one schema).
 
     One aggregate row carries every statistic (single scan, partial
-    aggregation). ``exact_distinct=False`` swaps count_distinct for
-    the HLL++ approx — at 100 TB exact distinct on a high-cardinality
-    column is its own expansion per column, the sketch is one pass."""
+    aggregation). Distinct counts default to the HLL++ sketch
+    (±5% rsd): exact multi-column count_distinct makes Catalyst
+    Expand the scan once per distinct column (a k-column profile reads
+    k+1× the rows) — the wrong default for a 100 TB acceptance gate.
+    Pass ``exact_distinct=True`` when the report feeds a reconciliation
+    that needs exact cardinalities and the table is small enough to
+    pay the expansion."""
     if not cols:
         raise ValueError("profile_columns: cols must be non-empty")
     aggs = [F.count(F.lit(1)).alias("__n")]

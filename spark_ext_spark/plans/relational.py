@@ -1328,7 +1328,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before promoting data."""
     from spark_ext_spark.operators.validation import profile_columns
     li = load(spark, sf_dir, "lineitem")
-    return profile_columns(li, ["l_suppkey", "l_returnflag", "l_quantity"])
+    # exact distinct: this query is hash-compared against DuckDB's
+    # count(DISTINCT ...); production profiles keep the approx default
+    return profile_columns(li, ["l_suppkey", "l_returnflag", "l_quantity"],
+                           exact_distinct=True)
 
 
 TABLE_PROFILE_SQL = """

@@ -162,13 +162,19 @@ def _plan_has_shuffle_node(jplan) -> bool:
     row-amplifying) operators. Class names, not the rendered plan
     string — a column named 'join_key' or a literal containing 'Sort'
     must not trip the detector (that would silently skip the
-    rebalance, a perf-only but real regression)."""
+    rebalance, a perf-only but real regression). Recurses into
+    subquery-expression plans too (scalar/EXISTS subqueries): a plan
+    whose only Join/Aggregate lives inside one still shuffles."""
     name = jplan.getClass().getSimpleName().rstrip("$")
     if name in _SHUFFLE_NODE_NAMES:
         return True
     it = jplan.children().iterator()
     while it.hasNext():
         if _plan_has_shuffle_node(it.next()):
+            return True
+    sub = jplan.subqueries().iterator()
+    while sub.hasNext():
+        if _plan_has_shuffle_node(sub.next()):
             return True
     return False
 

@@ -82,3 +82,36 @@ def test_default_params_and_validation(cities):
     bad = cities.withColumn("lat", cities.lat.cast("string"))
     with pytest.raises(TypeError):
         S2CellTransformer().transform(bad)
+
+
+def test_grid_points_clear_level4_boundaries():
+    """ADVICE r4: the s2_cells oracle's robustness argument says trig
+    ULP drift cannot flip a level-4 parent because no synthetic grid
+    point sits within ~2^-26 of a cell boundary. Make that claim
+    STRUCTURAL: compute the ST coordinates of every distinct
+    (lat, lon) the query generates (period lcm(160,360)=1440 in
+    c_custkey) and assert each is > 2^-26 away from every level-4
+    boundary (multiples of 2^-4 in ST) — so a numpy/DuckDB libm
+    upgrade can shift leaf bits but never the driver-checked token."""
+    import math
+
+    from spark_ext_spark.functions.s2 import _st_from_uv, _xyz_to_face_uv
+
+    margin = 2.0 ** -26
+    worst = 1.0
+    for k in range(1440):
+        lat = (k % 160) - 80 + 0.5
+        lon = ((k * 7) % 360) - 180 + 0.5
+        la, lo = math.radians(lat), math.radians(lon)
+        x = math.cos(la) * math.cos(lo)
+        y = math.cos(la) * math.sin(lo)
+        z = math.sin(la)
+        _, u, v = _xyz_to_face_uv(x, y, z)
+        for st in (_st_from_uv(u), _st_from_uv(v)):
+            # distance to the nearest multiple of 1/16 in [0, 1]
+            frac = st * 16.0
+            dist = abs(frac - round(frac)) / 16.0
+            worst = min(worst, dist)
+    assert worst > margin, (
+        f"grid point within {worst:.3e} of a level-4 boundary "
+        f"(margin {margin:.3e})")

@@ -13,7 +13,8 @@ def test_profile_columns(spark):
         [(1, "a", 1.5), (2, "b", None), (3, "a", 2.5), (4, None, 0.5)],
         "id long, k string, v double")
     prof = {r["column"]: r for r in
-            profile_columns(df, ["id", "k", "v"]).collect()}
+            profile_columns(df, ["id", "k", "v"],
+                            exact_distinct=True).collect()}
     assert prof["id"]["n_rows"] == 4 and prof["id"]["n_null"] == 0
     assert prof["id"]["n_distinct"] == 4
     assert prof["k"]["n_null"] == 1 and prof["k"]["n_distinct"] == 2
@@ -83,3 +84,17 @@ def test_validation_hostile_names_and_values(spark):
         check_expectations(df, {"the-value": {"nonnull": True}})
     with _pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_profile_default_avoids_expand(spark):
+    """The approx default must profile in ONE flat aggregate — no
+    Expand (exact multi-distinct re-reads the scan once per column);
+    opting into exact_distinct brings Expand back."""
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k", "id % 3 AS j")
+    approx_plan = profile_columns(df, ["id", "k", "j"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx_plan
+    exact_plan = profile_columns(df, ["id", "k", "j"],
+                                 exact_distinct=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
