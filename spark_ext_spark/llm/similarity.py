@@ -85,9 +85,12 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
          .withColumn("shard",
                      F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))))
          .withColumn("role", F.lit("q")))
+    # self-search over a ≤shard_rows corpus provably fits one GEMM
+    # group (q side = corpus) — skip the block grid's sizing pass
+    sub = None if (queries is corpus and n_shards == 1) else shard_rows
     return _grouped_candidate_topk(q.unionByName(c), "shard", k,
                                    round_to=round_to,
-                                   shard_rows=shard_rows)
+                                   shard_rows=sub)
 
 
 def _sharded(df: DataFrame, id_col: str, vec_col: str,
@@ -182,7 +185,13 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     # pandas group holds N + shard_rows rows. Every unordered pair
     # still meets exactly once — in the single (shard, cs, qs) block
     # where cs = hash(c) and qs = hash(q) — so no dedup pass is needed.
-    blocked = _block_grid(q.unionByName(c), "shard", shard_rows)
+    # A one-shard corpus (N ≤ shard_rows) provably fits one group:
+    # skip the grid's sizing pass.
+    both = q.unionByName(c)
+    if n_shards == 1:
+        return both.groupBy("shard").applyInPandas(
+            group_pairs, schema="id_a long, id_b long, sim double")
+    blocked = _block_grid(both, "shard", shard_rows)
     return (blocked.groupBy("shard", "__cs", "__qs")
             .applyInPandas(group_pairs,
                            schema="id_a long, id_b long, sim double"))

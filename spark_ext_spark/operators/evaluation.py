@@ -98,20 +98,26 @@ class BinaryModelMetrics:
             out = out.withColumn(name, F.sum(c).over(w))
         return out
 
+    def _sized(self, counts: DataFrame) -> DataFrame:
+        """Persist the compacted table and take its distinct-score
+        count — shared by the numBins chunk size and the cumsum
+        strategy choice. Runs at most once; thresholds() never calls
+        it (it needs no running sums, so it skips the count job)."""
+        if self._n_cum is None:
+            counts = counts.persist()
+            self._persisted = counts
+            self._n_cum = counts.count()
+            return counts
+        return self._persisted if self._persisted is not None else counts
+
     @cached_property
     def _counts(self) -> DataFrame:
         counts = (self.df
                   .groupBy("score")
                   .agg(F.sum("label").alias("pos"),
                        (F.count(F.lit(1)) - F.sum("label")).alias("neg")))
-        # numBins needs the distinct count for its chunk size; the
-        # cumsum strategy choice needs it too. Persist so the count job
-        # and every downstream consumer share one materialization.
-        if self.num_bins > 0 or self.prefix_threshold is not None:
-            counts = counts.persist()
-            self._persisted = counts
-            self._n_cum = counts.count()
         if self.num_bins > 0:
+            counts = self._sized(counts)
             grouping = self._n_cum // self.num_bins
             if grouping >= 2:
                 counts = (self._with_running(counts, {"__rn": F.lit(1)})
@@ -132,6 +138,8 @@ class BinaryModelMetrics:
     def confusions(self) -> DataFrame:
         """One row per threshold: score, tp, fp, fn, tn, tot_pos, tot_neg."""
         counts = self._counts
+        if self.prefix_threshold is not None and self._n_cum is None:
+            counts = self._sized(counts)
         cum = self._with_running(counts, {"tp": F.col("pos"),
                                           "fp": F.col("neg")})
         from spark_ext_spark.functions import attach_scalar_agg
