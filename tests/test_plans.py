@@ -211,3 +211,14 @@ def test_train_test_split_single_scan_no_join(spark, sf_small):
     assert p.count("Scan parquet") == 2
     read = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "text" not in read and "doc_id" in read
+
+
+def test_ann_block_grid_sizes_join_broadcasts(spark, sf_small):
+    """The block-grid sub-sharding joins a one-row-per-bucket sizing
+    table into every ANN plan — it must stay a broadcast join (a
+    sort-merge there would shuffle the full vector table to attach two
+    small ints)."""
+    from spark_ext_spark.plans import llm_queries as lq
+    p = plan_of(lq.ann_lsh_topk(spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
