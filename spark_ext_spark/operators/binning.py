@@ -8,13 +8,27 @@ scala/org/apache/spark/ml/feature/Binning.scala:18-140).
 OptimalBinning (fit): the reference draws a ≤10k driver-side sample and
 runs breeze LBFGS with an approximate gradient to minimize the MSE of
 per-bin counts vs the ideal n/bins, seeded from sample quantiles
-(Binning.scala:48-67, 145-251). Equal-frequency split points ARE the
-optimum of that objective, so the Spark-native equivalent is
-``df.approxQuantile`` — a distributed Greenwald-Khanna sketch that
-never collects the data, scales to 100 TB, and lands within the
-tolerance the reference's own tests assert (BinningSpec.scala:36-41:
-±0.5). ``relativeError`` plays the role of the reference's sampleSize
-cap (1/sampleSize ≈ the sampling noise it tolerated).
+(Binning.scala:48-67, 145-251). Two fit strategies:
+
+- ``method="quantile"`` (default): equal-frequency split points are
+  the unconstrained optimum of that objective, so the Spark-native
+  equivalent is ``df.approxQuantile`` — a distributed Greenwald-Khanna
+  sketch that never collects the data, scales to 100 TB, and lands
+  within the tolerance the reference's own tests assert
+  (BinningSpec.scala:36-41: ±0.5). ``relativeError`` plays the role of
+  the reference's sampleSize cap (1/sampleSize ≈ the sampling noise it
+  tolerated).
+- ``method="dp"``: the EXACT minimizer of the reference's objective
+  over achievable splits. On heavily-repeated values, splits can only
+  fall between distinct values, equal-frequency is not attainable, and
+  LBFGS-on-a-sample only approximates the constrained optimum; this
+  path compacts the column to a (value, count) histogram (one
+  distributed groupBy; ≤ ``maxDistinct`` rows collected) and solves
+  the segmentation by dynamic programming — provably minimal
+  Σ(count_b − n/k)². Falls back to the quantile sketch when distinct
+  values exceed ``maxDistinct`` (at that cardinality every value is
+  rare and equal-frequency IS the optimum to within one value's
+  count).
 
 Binning (transform): Bucketizer variant that outputs a one-hot vector
 (bin index → (idx, 1.0)), bins labeled "[lo, hi)" as BinaryAttributes
@@ -69,12 +83,23 @@ class OptimalBinning(Estimator, _BinningParams,
                        "accuracy knob kept for API parity: relativeError "
                        "of the distributed quantile sketch = 1/sampleSize",
                        typeConverter=TypeConverters.toInt)
+    method = Param(Params._dummy(), "method",
+                   "'quantile' (distributed sketch, 100 TB path) or "
+                   "'dp' (exact constrained optimum over the compacted "
+                   "value histogram; quantile fallback above maxDistinct)",
+                   typeConverter=TypeConverters.toString)
+    maxDistinct = Param(Params._dummy(), "maxDistinct",
+                        "method='dp' histogram cap: above this many "
+                        "distinct values the fit falls back to the "
+                        "quantile sketch",
+                        typeConverter=TypeConverters.toInt)
 
     @keyword_only
     def __init__(self, *, inputCol=None, outputCol=None, numBins=5,
-                 sampleSize=10000):
+                 sampleSize=10000, method="quantile", maxDistinct=4096):
         super().__init__()
-        self._setDefault(numBins=5, sampleSize=10000)
+        self._setDefault(numBins=5, sampleSize=10000, method="quantile",
+                         maxDistinct=4096)
         kwargs = self._input_kwargs
         self._set(**{k: v for k, v in kwargs.items() if v is not None})
 
@@ -87,26 +112,86 @@ class OptimalBinning(Estimator, _BinningParams,
         sample_size = self.getOrDefault(self.sampleSize)
         if sample_size <= 1000:
             raise ValueError("sampleSize must be > 1000")
+        method = self.getOrDefault(self.method)
+        if method not in ("quantile", "dp"):
+            raise ValueError(f"method must be 'quantile' or 'dp', "
+                             f"got {method!r}")
 
         not_nulls = dataset.filter(F.col(in_col).isNotNull())
         n = not_nulls.count()
         if n <= num_bins * 10:  # Binning.scala:58-59
             raise ValueError("Number of sample points for binning is too small")
 
-        probs = [i / num_bins for i in range(1, num_bins)]
-        rel_err = max(1.0 / sample_size, 1e-5)
-        quantiles = not_nulls.approxQuantile(in_col, probs, rel_err)
-        # Strictly-increasing requirement: drop duplicate quantiles
-        # (possible on heavily-repeated values).
-        inner: list[float] = []
-        for q in quantiles:
-            if not inner or q > inner[-1]:
-                inner.append(q)
+        inner = None
+        if method == "dp":
+            inner = self._dp_splits(not_nulls, in_col, num_bins, n)
+        if inner is None:
+            probs = [i / num_bins for i in range(1, num_bins)]
+            rel_err = max(1.0 / sample_size, 1e-5)
+            quantiles = not_nulls.approxQuantile(in_col, probs, rel_err)
+            # Strictly-increasing requirement: drop duplicate quantiles
+            # (possible on heavily-repeated values).
+            inner = []
+            for q in quantiles:
+                if not inner or q > inner[-1]:
+                    inner.append(q)
         splits = [float("-inf"), *inner, float("inf")]
         model = Binning(splits=splits)
         model._resetUid(self.uid)
         self._copyValues(model)
         return model
+
+    def _dp_splits(self, not_nulls: DataFrame, in_col: str,
+                   num_bins: int, n: int) -> list[float] | None:
+        """Exact minimizer of Σ(count_b − n/numBins)² over contiguous
+        segmentations of the compacted value histogram. Distributed
+        work is ONE groupBy(value).count(); the ordered histogram
+        (≤ maxDistinct+1 rows via TakeOrdered) is the only driver
+        collect. Returns the inner split values (each split = first
+        value of its segment, matching the [lo, hi) bin contract), or
+        None to fall back to the quantile sketch (too many distinct
+        values / fewer distinct values than bins)."""
+        import numpy as np
+
+        cap = self.getOrDefault(self.maxDistinct)
+        hist = (not_nulls.groupBy(F.col(in_col).cast("double")
+                                  .alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .orderBy("__v")
+                .limit(cap + 1)
+                .collect())
+        m = len(hist)
+        if m > cap or m < num_bins:
+            return None
+        values = [r["__v"] for r in hist]
+        counts = np.array([r["__c"] for r in hist], dtype=np.float64)
+        prefix = np.concatenate([[0.0], np.cumsum(counts)])  # len m+1
+        target = n / num_bins
+
+        unreachable = np.inf
+        # best[j] after b segments = minimal cost covering values[:j]
+        best = np.full(m + 1, unreachable)
+        best[0] = 0.0
+        starts = np.zeros((num_bins, m + 1), dtype=np.int64)
+        for b in range(num_bins):
+            nxt = np.full(m + 1, unreachable)
+            # segment b+1 spans prefix i..j (i ≥ b+? nonempty): cost
+            # (prefix[j]-prefix[i]-target)²; vectorized over i per j
+            lo_i, hi_j = b, m - (num_bins - b - 1)
+            for j in range(b + 1, hi_j + 1):
+                i_range = np.arange(lo_i, j)
+                tot = best[i_range] + (prefix[j] - prefix[i_range]
+                                       - target) ** 2
+                k = int(np.argmin(tot))
+                nxt[j] = tot[k]
+                starts[b, j] = i_range[k]
+            best = nxt
+        # backtrack segment boundaries
+        bounds = [m]
+        for b in range(num_bins - 1, -1, -1):
+            bounds.append(int(starts[b, bounds[-1]]))
+        bounds.reverse()  # [0, s1, ..., m]
+        return [float(values[i]) for i in bounds[1:-1]]
 
 
 class Binning(Model, _BinningParams,

@@ -118,3 +118,87 @@ def test_optimal_binning_too_few_points(spark):
     df = spark.createDataFrame([(float(i),) for i in range(20)], "x double")
     with pytest.raises(ValueError, match="too small"):
         OptimalBinning(inputCol="x", outputCol="b", numBins=5).fit(df)
+
+
+# --- method='dp': exact constrained optimum -------------------------------
+
+def _objective(spark_df, col, splits, num_bins):
+    """Σ(count_b − n/numBins)² of a fitted split set."""
+    from pyspark.sql import functions as F
+    n = spark_df.filter(F.col(col).isNotNull()).count()
+    target = n / num_bins
+    model = Binning(splits=splits)
+    model._set(inputCol=col, outputCol="__o")
+    counts = {r["__b"]: r["count"] for r in
+              spark_df.withColumn("__b", model.bin_index_col(col))
+              .filter(F.col("__b").isNotNull())
+              .groupBy("__b").count().collect()}
+    return sum((counts.get(b, 0) - target) ** 2 for b in range(num_bins))
+
+
+def test_dp_fit_beats_quantile_on_heavy_ties(spark):
+    """90% of mass on one value: equal-frequency splits are
+    unattainable, the DP fit must find the exact constrained optimum —
+    never worse than the sketch fit, and equal to the hand-computed
+    optimal objective."""
+    rows = [(0.0,)] * 90 + [(float(i),) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double")
+    dp = OptimalBinning(inputCol="x", outputCol="v", numBins=3,
+                        method="dp").fit(df)
+    q = OptimalBinning(inputCol="x", outputCol="v", numBins=3,
+                       method="quantile").fit(df)
+    obj_dp = _objective(df, "x", dp.splits, 3)
+    obj_q = _objective(df, "x", q.splits, 3)
+    assert obj_dp <= obj_q + 1e-9
+    # optimal by enumeration: {0}=90, then 10 tail values split 5/5
+    target = 100 / 3
+    best = (90 - target) ** 2 + 2 * (5 - target) ** 2
+    assert obj_dp == pytest.approx(best)
+    assert dp.splits[0] == float("-inf") and dp.splits[-1] == float("inf")
+    assert all(a < b for a, b in zip(dp.splits, dp.splits[1:]))
+
+
+def test_dp_fit_matches_equal_frequency_on_uniform(spark):
+    """On a uniform distinct-valued column the constrained optimum IS
+    equal frequency — DP and exact quantiles give zero objective."""
+    df = spark.createDataFrame([(float(i),) for i in range(120)],
+                               "x double")
+    dp = OptimalBinning(inputCol="x", outputCol="v", numBins=4,
+                        method="dp").fit(df)
+    assert _objective(df, "x", dp.splits, 4) == pytest.approx(0.0)
+
+
+def test_dp_falls_back_above_max_distinct(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(200)],
+                               "x double")
+    dp = OptimalBinning(inputCol="x", outputCol="v", numBins=4,
+                        method="dp", maxDistinct=50).fit(df)
+    q = OptimalBinning(inputCol="x", outputCol="v", numBins=4,
+                       method="quantile").fit(df)
+    assert dp.splits == q.splits  # sketch path taken
+
+
+def test_dp_exhaustive_small_histograms(spark):
+    """Brute-force cross-check: on random small histograms the DP
+    objective equals the best over ALL split enumerations."""
+    from itertools import combinations
+    rng = random.Random(3)
+    for _ in range(4):
+        m = rng.randint(4, 7)
+        counts = [rng.randint(1, 30) for _ in range(m)]
+        rows = [(float(v),) for v, c in enumerate(counts)
+                for _ in range(c)]
+        if len(rows) <= 30:  # n > numBins*10 contract
+            rows *= 2
+            counts = [c * 2 for c in counts]
+        df = spark.createDataFrame(rows, "x double")
+        k = 3
+        n = len(rows)
+        target = n / k
+        best = min(
+            sum((sum(counts[a:b]) - target) ** 2
+                for a, b in zip((0, *cut), (*cut, m)))
+            for cut in combinations(range(1, m), k - 1))
+        dp = OptimalBinning(inputCol="x", outputCol="v", numBins=k,
+                            method="dp").fit(df)
+        assert _objective(df, "x", dp.splits, k) == pytest.approx(best)
