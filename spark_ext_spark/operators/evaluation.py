@@ -152,6 +152,10 @@ class BinaryModelMetrics:
                 .select("score", "tp", "fp",
                         (F.col("tot_pos") - F.col("tp")).alias("fn"),
                         (F.col("tot_neg") - F.col("fp")).alias("tn"),
+                        # per-threshold increments ride along so the
+                        # AUC aggregates can reconstruct the previous
+                        # curve point without a lag window
+                        "pos", "neg",
                         "tot_pos", "tot_neg")
                 .cache())
 
@@ -251,26 +255,50 @@ class BinaryModelMetrics:
         return self._curve(F.col("score"), f, "threshold", "f_measure")
 
     # -- areas ----------------------------------------------------------------
+    #
+    # Trapezoid AUCs as plain AGGREGATES, no lag window: with
+    # cumulative curves, the previous point of threshold s is fully
+    # determined by that row's own columns (tp−pos, fp−neg), so each
+    # row contributes its trapezoid term independently and the sum is
+    # one partial-aggregated job over the cached confusion table —
+    # scale-independent, unlike a Window.orderBy(curve) which would
+    # funnel an unbinned continuous-score curve through one task.
+    # Values are identical to the point-ordered trapezoid (same terms,
+    # floating-point association noise only).
 
     @staticmethod
-    def _auc(curve: DataFrame, order: list, x_name: str, y_name: str) -> float:
-        """Trapezoid area with an explicit deterministic point order
-        (equals the reference's threshold-descending RDD order, but
-        robust to any physical partitioning)."""
-        w = Window.orderBy(*order)
-        area = (curve
-                .select(((F.col(x_name) - F.lag(x_name).over(w))
-                         * (F.col(y_name) + F.lag(y_name).over(w)) / 2.0
-                         ).alias("trap"))
-                .agg(F.sum("trap")).first()[0])
-        return float(area or 0.0)
+    def _div0(num, den):
+        """num/den with the curve convention x/0 = 0 (matches _recall/
+        _fpr's zero-total contract)."""
+        return F.coalesce(F.try_divide(num, den), F.lit(0.0))
 
     def area_under_roc(self) -> float:
-        # threshold desc ≡ (fpr asc, tpr asc) for cumulative curves
-        return self._auc(self.roc(), [F.asc("fpr"), F.asc("tpr")],
-                         "fpr", "tpr")
+        c = self.confusions
+        d = self._div0
+        tpr_prev = d(F.col("tp") - F.col("pos"), F.col("tot_pos"))
+        tpr_cur = d(F.col("tp"), F.col("tot_pos"))
+        term = (d(F.col("neg"), F.col("tot_neg"))
+                * (tpr_prev + tpr_cur) / 2.0)
+        # closing segment to the appended (1, 1) endpoint: zero-width
+        # when tot_neg > 0 (the min threshold already sits at fpr=1),
+        # the degenerate all-positive curve's full strip otherwise
+        x_last = d(F.col("tot_neg"), F.col("tot_neg"))
+        y_last = d(F.col("tot_pos"), F.col("tot_pos"))
+        end = F.max((1.0 - x_last) * (1.0 + y_last) / 2.0)
+        row = c.agg((F.coalesce(F.sum(term), F.lit(0.0))
+                     + F.coalesce(end, F.lit(0.0))).alias("a")).first()
+        return float(row["a"])
 
     def area_under_pr(self) -> float:
-        # threshold desc ≡ (recall asc, precision desc)
-        return self._auc(self.pr(), [F.asc("recall"), F.desc("precision")],
-                         "recall", "precision")
+        c = self.confusions
+        d = self._div0
+        prev_den = (F.col("tp") - F.col("pos")) + (F.col("fp") - F.col("neg"))
+        prec_prev = F.when(prev_den == 0, 1.0).otherwise(
+            (F.col("tp") - F.col("pos")) / prev_den)
+        cur_den = F.col("tp") + F.col("fp")
+        prec_cur = F.when(cur_den == 0, 1.0).otherwise(
+            F.col("tp") / cur_den)
+        term = (d(F.col("pos"), F.col("tot_pos"))
+                * (prec_prev + prec_cur) / 2.0)
+        row = c.agg(F.coalesce(F.sum(term), F.lit(0.0)).alias("a")).first()
+        return float(row["a"])
