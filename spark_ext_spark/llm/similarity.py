@@ -269,9 +269,12 @@ def _block_grid(both: DataFrame, group_col: str,
     GEMM. Without this, one hot LSH bucket / IVF cell (or the
     all-probes query side of an exact shard) lands an unbounded row
     count in a single pandas group → executor OOM at 100 TB. The
-    per-group sizing table is one row per bucket (broadcast join);
-    results are unchanged because the downstream per-query merge is
-    lossless over any partition of the candidate set."""
+    per-group sizing table is one row per bucket (broadcast join), and
+    its aggregation reads only (group, role) — Catalyst prunes the
+    vector column out of the sizing pass, so the extra pass carries
+    narrow rows, not embeddings. Results are unchanged because the
+    downstream per-query merge is lossless over any partition of the
+    candidate set."""
     sizes = (both.groupBy(group_col).agg(
         F.greatest(F.lit(1), F.ceil(
             F.sum(F.when(F.col("role") == "c", 1).otherwise(0))
