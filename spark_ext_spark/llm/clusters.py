@@ -30,6 +30,34 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "duplicate_clusters"]
 
 
+def _ckpt_file(df: DataFrame) -> str | None:
+    """Checkpoint location of a reliably-checkpointed DataFrame (the
+    LogicalRDD's underlying RDD), or None if unavailable."""
+    try:
+        opt = df._jdf.logicalPlan().rdd().getCheckpointFile()
+        return opt.get() if opt.isDefined() else None
+    except Exception:  # noqa: BLE001 — introspection is best-effort
+        return None
+
+
+def _delete_ckpt_file(df: DataFrame, file: str | None) -> None:
+    """Best-effort delete of a no-longer-referenced checkpoint
+    directory via the Hadoop FS API (works for HDFS/S3/local alike).
+    Spark only auto-cleans reliable checkpoints under the non-default
+    ``spark.cleaner.referenceTracking.cleanCheckpoints``, and then only
+    on driver GC — without eager cleanup an hours-long iterative job
+    accumulates one full label-table copy per round."""
+    if not file:
+        return
+    try:
+        sc = df.sparkSession.sparkContext
+        path = sc._jvm.org.apache.hadoop.fs.Path(file)
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    except Exception:  # noqa: BLE001 — leaking a checkpoint beats failing
+        pass
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iter: int = 25,
                          checkpoint: str = "local") -> DataFrame:
@@ -82,8 +110,10 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # one partition, so the per-round joins don't fan out into dozens
     # of near-empty tasks (measured 3.2 s → 1.8 s for 4 rounds), while
     # a billion-edge graph still gets full parallelism.
+    reliable = checkpoint == "reliable"
     e1 = _ckpt(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
                .repartition("u"))
+    e1_file = _ckpt_file(e1) if reliable else None
     sym = e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # init = the first neighbor-min round, fused into one aggregate:
     # label(u) = min(u, min(neighbors)) — saves a full round's three
@@ -91,6 +121,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     labels = _ckpt(sym.groupBy("u").agg(F.min("v").alias("__mv"))
                    .select(F.col("u").alias("node"),
                            F.least("u", "__mv").alias("comp")))
+    label_file = _ckpt_file(labels) if reliable else None
 
     cached = labels
     for _ in range(max_iter):
@@ -121,13 +152,26 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         nxt = _ckpt(nxt)
         changed = nxt.where("changed").count()
         cached.unpersist()
+        if reliable:
+            # nxt is eagerly materialized, so the previous round's
+            # checkpoint is no longer referenced by anything — delete
+            # it now or the checkpoint volume grows by one label-table
+            # copy per round for the whole run
+            _delete_ckpt_file(nxt, label_file)
+            label_file = _ckpt_file(nxt)
         cached = nxt
         labels = nxt.select("node", "comp")
         if changed == 0:
             e1.unpersist()
+            # the final label checkpoint stays — the returned (lazy)
+            # DataFrame reads from it — but the edge table is only an
+            # input to the (now materialized) labels
+            _delete_ckpt_file(e1, e1_file)
             return labels
     e1.unpersist()
     cached.unpersist()
+    _delete_ckpt_file(e1, e1_file)
+    _delete_ckpt_file(cached, label_file)
     raise RuntimeError(f"connected_components: no convergence in "
                        f"{max_iter} rounds")
 

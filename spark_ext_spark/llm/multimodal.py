@@ -121,7 +121,20 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     testable without codec libraries."""
     if real_decode and decoder is None:
         decoder = _pil_decoder()
-    dims = decoder if decoder is not None else _fake_dims
+    if decoder is not None:
+        inner = decoder
+
+        def dims(payload):
+            # Null/empty payloads are undecodable — emit null dims
+            # instead of letting one bad cell (PIL.UnidentifiedImageError
+            # on b"") fail the task and, after retries, a 100 TB job.
+            # The fake path below keeps hashing b"" so oracle-replayed
+            # fixtures are unaffected.
+            if not payload:
+                return (None, None, None)
+            return inner(payload)
+    else:
+        dims = _fake_dims
 
     out_schema = ("media_id bigint, media binary, media_meta "
                   + MEDIA_META_SCHEMA)

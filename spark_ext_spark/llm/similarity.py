@@ -282,8 +282,19 @@ def _block_grid(both: DataFrame, group_col: str,
         F.greatest(F.lit(1), F.ceil(
             F.sum(F.when(F.col("role") == "q", 1).otherwise(0))
             / F.lit(shard_rows))).cast("int").alias("__nq")))
-    own_c = F.pmod(F.xxhash64(F.col("vec_id")), F.col("__nc")).cast("int")
-    own_q = F.pmod(F.xxhash64(F.col("vec_id")), F.col("__nq")).cast("int")
+    # Salted with a second hash input: the exact path's groups are
+    # themselves pmod(xxhash64(vec_id), n_shards), so an UNsalted
+    # sub-shard hash is fully correlated with the group whenever __nc
+    # divides n_shards (every member of shard s has hash ≡ s, making
+    # hash mod __nc a constant — one block takes the whole shard and
+    # the size cap silently stops capping). Any distinct second column
+    # decorrelates; results are unchanged (the merge is lossless over
+    # any partition of the candidates).
+    salt = F.lit(1)
+    own_c = F.pmod(F.xxhash64(F.col("vec_id"), salt),
+                   F.col("__nc")).cast("int")
+    own_q = F.pmod(F.xxhash64(F.col("vec_id"), salt),
+                   F.col("__nq")).cast("int")
     blocks = (F.when(F.col("role") == "c",
                      F.transform(F.sequence(F.lit(0), F.col("__nq") - 1),
                                  lambda q: F.struct(

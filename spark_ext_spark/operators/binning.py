@@ -118,6 +118,13 @@ class OptimalBinning(Estimator, _BinningParams,
                              f"got {method!r}")
 
         not_nulls = dataset.filter(F.col(in_col).isNotNull())
+        # NaN is unbinnable (the transform maps it to the all-zero
+        # vector, like null) — drop it from the fit too, or the DP
+        # histogram gains a NaN row that can become a NaN split and
+        # fail Binning's strictly-increasing check. approxQuantile
+        # already ignores NaN, so this also stops NaN rows inflating n.
+        if dataset.schema[in_col].dataType.typeName() in ("float", "double"):
+            not_nulls = not_nulls.filter(~F.isnan(F.col(in_col)))
         n = not_nulls.count()
         if n <= num_bins * 10:  # Binning.scala:58-59
             raise ValueError("Number of sample points for binning is too small")

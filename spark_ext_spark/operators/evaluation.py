@@ -136,7 +136,10 @@ class BinaryModelMetrics:
 
     @cached_property
     def confusions(self) -> DataFrame:
-        """One row per threshold: score, tp, fp, fn, tn, tot_pos, tot_neg."""
+        """One row per threshold: score, tp, fp, fn, tn, plus the
+        per-threshold increments pos/neg and totals tot_pos/tot_neg
+        (the AUC aggregates reconstruct the previous curve point from
+        the increments, so they ride along)."""
         counts = self._counts
         if self.prefix_threshold is not None and self._n_cum is None:
             counts = self._sized(counts)
@@ -285,8 +288,11 @@ class BinaryModelMetrics:
         x_last = d(F.col("tot_neg"), F.col("tot_neg"))
         y_last = d(F.col("tot_pos"), F.col("tot_pos"))
         end = F.max((1.0 - x_last) * (1.0 + y_last) / 2.0)
+        # empty input: the curve is just the synthetic (0,0)-(1,1)
+        # endpoints, whose trapezoid is 0.5 (the lag-window
+        # implementation's value — F.max over zero rows is null)
         row = c.agg((F.coalesce(F.sum(term), F.lit(0.0))
-                     + F.coalesce(end, F.lit(0.0))).alias("a")).first()
+                     + F.coalesce(end, F.lit(0.5))).alias("a")).first()
         return float(row["a"])
 
     def area_under_pr(self) -> float:

@@ -202,3 +202,22 @@ def test_dp_exhaustive_small_histograms(spark):
         dp = OptimalBinning(inputCol="x", outputCol="v", numBins=k,
                             method="dp").fit(df)
         assert _objective(df, "x", dp.splits, k) == pytest.approx(best)
+
+
+def test_nan_values_ignored_by_both_fit_methods(spark):
+    """NaN is not null, but it is unbinnable (the transform maps it to
+    the all-zero vector, like null) — both fit methods must drop it,
+    or the DP histogram can emit a NaN split and fail the
+    strictly-increasing check."""
+    clean = [(float(i % 10),) for i in range(100)]
+    df_clean = spark.createDataFrame(clean, "x double")
+    df_nan = spark.createDataFrame(
+        clean + [(float("nan"),)] * 50, "x double")
+    for method in ("dp", "quantile"):
+        m_clean = OptimalBinning(inputCol="x", outputCol="v", numBins=3,
+                                 method=method).fit(df_clean)
+        m_nan = OptimalBinning(inputCol="x", outputCol="v", numBins=3,
+                               method=method).fit(df_nan)
+        assert m_nan.splits == m_clean.splits, method
+        assert all(a < b for a, b in
+                   zip(m_nan.splits, m_nan.splits[1:]))

@@ -90,3 +90,26 @@ def test_unknown_checkpoint_mode_raises(spark):
     edges = _edges(spark, [(0, 1)])
     with pytest.raises(ValueError, match="local.*reliable"):
         connected_components(edges, "a", "b", checkpoint="hdfs")
+
+
+def test_reliable_checkpoints_cleaned_per_round(spark, tmp_path):
+    """Each round's reliable checkpoint is deleted once the next one
+    materializes — an hours-long run must not grow the checkpoint
+    volume by one label-table copy per round. Only the FINAL label
+    checkpoint may remain (the returned lazy DataFrame reads it)."""
+    import os
+
+    sc = spark.sparkContext
+    ckpt_dir = str(tmp_path / "ckpt_clean")
+    sc.setCheckpointDir(ckpt_dir)
+    # 16-node chain: several pointer-jumping rounds → several
+    # checkpoints written and superseded
+    edges = _edges(spark, [(i, i + 1) for i in range(16)])
+    labels = connected_components(edges, "a", "b", checkpoint="reliable")
+    remaining = []
+    for root, dirs, _files in os.walk(ckpt_dir):
+        remaining.extend(d for d in dirs if d.startswith("rdd-"))
+    assert len(remaining) == 1, remaining
+    # and the survivor is exactly what the result reads from
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(17)}

@@ -152,3 +152,14 @@ def test_default_threshold_keeps_window_path(sl):
     plan = m.confusions._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
     m.unpersist()
+
+
+def test_empty_input_auc_is_half(spark):
+    """With no scored rows the ROC curve is just its synthetic
+    (0,0)-(1,1) endpoints — AUC 0.5 (the no-signal diagonal), matching
+    the lag-window implementation this aggregate replaced. PR over the
+    lone prepended (0,1) point has zero area."""
+    empty = spark.createDataFrame([], "score double, label double")
+    m = BinaryModelMetrics(empty)
+    assert m.area_under_roc() == pytest.approx(0.5)
+    assert m.area_under_pr() == pytest.approx(0.0)

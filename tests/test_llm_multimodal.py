@@ -45,7 +45,14 @@ def test_decode_media_stub_is_deterministic(media):
 
 def test_real_decode_requires_pillow(media):
     """Without Pillow installed, real_decode must fail fast at
-    dispatch time, naming the missing dependency."""
+    dispatch time, naming the missing dependency. (Skipped where
+    Pillow IS importable — there the dispatch legitimately succeeds,
+    covered by the fake-PIL test below.)"""
+    try:
+        import PIL.Image  # noqa: F401
+        pytest.skip("Pillow installed — dispatch succeeds by design")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_media(media, real_decode=True)
 
@@ -140,3 +147,27 @@ def test_resize_media_stub(spark):
     dec = {r["media_id"]: r["media_meta"]["n_frames"] for r in
            decode_media(attach_media(df, "doc_id", "payload")).collect()}
     assert rows[1]["media_meta"]["n_frames"] == dec[1]
+
+
+def test_injected_decoder_skips_null_and_empty_payloads(spark):
+    """A null/empty media cell must not reach a real decoder (Pillow
+    raises UnidentifiedImageError on b'' and would fail the task, and
+    after retries a 100 TB job) — it decodes to null dimensions
+    instead. Non-empty rows still decode."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nreal-bytes")),
+         (2, None), (3, bytearray(b""))],
+        "doc_id long, payload binary")
+
+    def decoder(payload):
+        assert payload, "decoder must never see a null/empty payload"
+        return (len(payload), 7, 2)
+
+    out = decode_media(attach_media(df, "doc_id", "payload"),
+                       decoder=decoder)
+    metas = {r["media_id"]: r["media_meta"].asDict() for r in out.collect()}
+    assert metas[1]["width"] == len(b"\x89PNG\r\n\x1a\nreal-bytes")
+    for mid in (2, 3):
+        assert metas[mid]["width"] is None
+        assert metas[mid]["height"] is None
+        assert metas[mid]["n_frames"] is None

@@ -199,3 +199,30 @@ def test_block_grid_caps_group_sizes(spark):
            .groupBy("q", "c").count().collect())
     assert len(met) == 60 * 60
     assert all(r["count"] == 1 for r in met)
+
+
+def test_block_grid_subshards_decorrelated_from_shard_hash(spark):
+    """The exact path's groups are pmod(xxhash64(id), n_shards); the
+    sub-shard hash must be salted, or whenever __nc divides n_shards
+    every member of a shard lands in ONE sub-shard (hash ≡ s mod
+    n_shards ⇒ hash mod __nc constant) and the size cap stops
+    capping. Engineered: 60 members whose xxhash64 is even, cap 30 →
+    __nc = 2; unsalted, all 60 would take block __cs=0."""
+    from pyspark.sql import functions as F
+    from spark_ext_spark.llm.similarity import _block_grid
+    ids = [r["id"] for r in
+           spark.range(2000)
+           .filter(F.pmod(F.xxhash64("id"), F.lit(2)) == 0)
+           .limit(60).collect()]
+    assert len(ids) == 60
+    rows = [(i, [1.0, 0.0], "c", 0) for i in ids] + \
+           [(10**9, [1.0, 0.0], "q", 0)]
+    both = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>, role string, grp int")
+    blocked = _block_grid(both, "grp", 30)
+    by_cs = {r["__cs"]: r["n"] for r in
+             (blocked.filter(F.col("role") == "c")
+              .groupBy("__cs").agg(F.count(F.lit(1)).alias("n"))
+              .collect())}
+    assert len(by_cs) == 2, by_cs          # both sub-shards used
+    assert max(by_cs.values()) < 60        # no sub-shard took the lot
