@@ -4,13 +4,24 @@ Spark lacks as a built-in).
 
 Spark-first implementation (no per-row subqueries, no range
 cross-join): union the two sides tagged by origin, sort within each
-key by (ts, right-before-left on ties), and carry the right side's
-values forward with ``last(..., ignorenulls=True)`` over an
-unbounded-preceding window. One shuffle on the key — the same cost as
-a plain equi-join — and skew behaves like any keyed window.
+key by (ts, right-before-left on ties), and carry the latest right
+ROW forward as a single struct with ``last(..., ignorenulls=True)``
+over an unbounded-preceding window. One shuffle on the key — the same
+cost as a plain equi-join — and skew behaves like any keyed window.
+
+Carrying one struct (not one window per value column) is load-bearing
+for semantics, not just cost: all values come from the SAME right row,
+and a genuinely NULL value in the latest right row stays NULL —
+per-column ``last(ignorenulls)`` would skip it and resurrect a stale
+older value (and could mix columns from different right rows). The
+struct is non-null for every right row even when all its fields are
+null, so ``ignorenulls`` only skips the left-row placeholders.
 
 Matches DuckDB/kdb ASOF JOIN semantics (inclusive: a right row at
-exactly left_ts matches).
+exactly left_ts matches). Right rows tied on (key, ts) are broken
+deterministically by the value struct's field order (greatest wins),
+so task retries and re-runs reproduce the same output — DuckDB itself
+leaves this case undefined.
 """
 
 from __future__ import annotations
@@ -33,30 +44,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         value_cols = [c for c in right.columns
                       if c not in (right_key, right_ts)]
 
+    r_struct_t = right.select(
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r")
+    ).schema["__r"].dataType
     l_tagged = left.select(
         F.col(on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),                      # left sorts AFTER
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols])
+        F.lit(None).cast(r_struct_t).alias("__r"))
     r_tagged = right.select(
         F.col(right_key).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),                      # right sorts FIRST
         F.lit(None).cast(
             l_tagged.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"))
 
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows at the same ts sort before left rows → inclusive match
-    w = (Window.partitionBy("__key").orderBy("__ts", "__side")
+    # right rows at the same ts sort before left rows → inclusive
+    # match; the trailing __r orders right rows tied on (key, ts)
+    # deterministically (left rows all have null __r — ties among them
+    # are harmless, they don't read each other)
+    w = (Window.partitionBy("__key").orderBy("__ts", "__side", "__r")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.select(
         "__side", "__l",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w)
-          .alias(f"__c_{c}") for c in value_cols])
+        F.last("__r", ignorenulls=True).over(w).alias("__c"))
     out = carried.filter(F.col("__side") == 1)
     return out.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols])
+        *[F.col(f"__c.{c}").alias(f"{c}{suffix}") for c in value_cols])

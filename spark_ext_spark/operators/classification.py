@@ -50,7 +50,13 @@ def _solve_logistic_elastic_net(X: np.ndarray, y: np.ndarray,
     """FISTA elastic-net binary logistic solver. Returns
     (coefficients on the original feature scale, intercept)."""
     n, d = X.shape
-    mean = X.mean(axis=0)
+    # Center only when an intercept absorbs the shift at the end
+    # (coef·mean folds into it). Without an intercept there is nothing
+    # to fold the centering offset into — the returned model would be
+    # shifted by Σ coef_j·mean_j relative to the problem solved — so
+    # scale-only, exactly like Spark's own LogisticRegression with
+    # fitIntercept=False.
+    mean = X.mean(axis=0) if fit_intercept else np.zeros(d)
     std = X.std(axis=0)
     std_safe = np.where(std > 0, std, 1.0)
     Xs = (X - mean) / std_safe

@@ -12,6 +12,12 @@ sampling/Downsampling.scala:44-141). Contract:
 - transform: no-op model appends weight 1.0; sampling model keeps all
   primary rows (weight 1.0) and samples secondary rows with weight
   1/fraction, unioned (duplicates kept — Downsampling.scala:115-131).
+  Labels must be 0.0/1.0 and non-null: a NULL label compares NULL to
+  primaryClass, so the sampling branches drop such rows while the
+  no-op branch keeps them — reference parity (its === / =!= filters
+  behave identically, Downsampling.scala:115-131); validate labels
+  upstream (check_expectations not_null) rather than relying on
+  either branch's treatment of them.
 
 Spark-first: the two count jobs collapse into ONE groupBy(label).count
 (map-side combined). Sampling modes:
@@ -153,9 +159,22 @@ class DownsamplingModel(Model, _DownsamplingParams,
         if mode == "hash":
             key = self.getOrDefault(self.hashKeyCol)
             threshold = int(fraction * _MOD)
-            secondary = secondary.filter(
-                F.pmod(F.col(key).cast("long") * F.lit(_KNUTH),
-                       F.lit(_MOD)) < F.lit(threshold))
+            # (key·K) mod 2^32 computed without ever exceeding ~2^48:
+            # a naive key*K long-multiply raises ARITHMETIC_OVERFLOW
+            # under Spark 4's default ANSI mode once |key| > ~3.4e9
+            # (snowflake ids, epoch millis). Reduce mod 2^32 first,
+            # split into 16-bit halves, and use
+            # (K·(hi·2^16+lo)) mod 2^32 = ((K·hi mod 2^16)·2^16
+            # + K·lo) mod 2^32 — congruent to the naive product for
+            # every key, so sampled sets (and the SQL oracle, which
+            # multiplies small test ids directly) are unchanged.
+            k32 = F.pmod(F.col(key).cast("long"), F.lit(_MOD))
+            hi, lo = F.shiftright(k32, 16), k32.bitwiseAND(F.lit(0xFFFF))
+            h = F.pmod(
+                F.shiftleft(F.pmod(hi * F.lit(_KNUTH), F.lit(1 << 16)), 16)
+                + lo * F.lit(_KNUTH),
+                F.lit(_MOD))
+            secondary = secondary.filter(h < F.lit(threshold))
         elif mode == "random":
             secondary = secondary.sample(
                 withReplacement=self.getOrDefault(self.sampleWithReplacement),

@@ -146,7 +146,12 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
         self._set(**{k: v for k, v in kwargs.items() if v is not None})
 
     def key_counts(self, dataset: DataFrame) -> DataFrame:
-        """Distributed per-key distinct-row counts of the gathered column."""
+        """Distributed per-key OCCURRENCE counts of the gathered column
+        — a key repeated within one row's array counts each time,
+        matching the reference's implementation exactly (explode →
+        groupBy → count, GatherEncoder.scala:169,200; its Scaladoc says
+        'distinct users' but the code it ships counts occurrences, and
+        the SQL oracles replay the shipped behavior)."""
         in_col = self.getOrDefault(self.inputCol)
         key = self.getOrDefault(self.keyCol)
         return (dataset
@@ -322,11 +327,21 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
                     arr = np.zeros(feature_size)
                     if ks is not None and vs is not None:
                         for k, v in zip(ks, vs):
+                            # null elements arrive from Arrow as NaN (or
+                            # None under object dtype); the reference
+                            # unboxes null to 0.0 (GatherEncoder.scala:
+                            # 345-355, null.asInstanceOf[Double]) — NaN
+                            # must not be written into the slot or
+                            # summed into all-other (NaN-poisoning).
+                            # Caveat: Arrow can't distinguish a genuine
+                            # NaN value from null, so both map to 0.0
+                            # here; the udf path keeps NaN as NaN.
+                            v = 0.0 if pd.isna(v) else float(v)
                             idx = key_index.get(k)
                             if idx is not None:
                                 arr[idx] = v     # last value wins
                             elif all_other:
-                                arr[n_keys] += v if v is not None else 0.0
+                                arr[n_keys] += v
                     out_arrs.append(arr)
                 return pd.Series(out_arrs)
 
@@ -343,11 +358,15 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
                 key_index = key_index_bc.value
                 elements: dict[int, float] = {}
                 for k, v in zip(keys, values):
+                    # reference parity: a null value unboxes to 0.0
+                    # (GatherEncoder.scala:345-355); genuine NaN stays
+                    # NaN (only this row-path can tell them apart)
+                    v = 0.0 if v is None else v
                     idx = key_index.get(k)
                     if idx is not None:
                         elements[idx] = v            # last value wins
                     elif all_other:
-                        elements[n_keys] = elements.get(n_keys, 0.0) + (v or 0.0)
+                        elements[n_keys] = elements.get(n_keys, 0.0) + v
                 return SparseVector(feature_size, elements)
 
             raw = encode(

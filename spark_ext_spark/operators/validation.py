@@ -79,14 +79,22 @@ def check_expectations(df: DataFrame, rules: dict[str, dict]) -> DataFrame:
     Unknown rule keys raise (a typo must fail loudly, not produce a
     silently-empty report). Callers gate the batch on
     ``report.filter(~col("ok")).count() == 0`` — one job over the
-    one-row aggregate."""
+    one-row aggregate.
+
+    ``ok`` is never NULL — SQL tri-state would slip through the gate
+    (``~NULL`` filters out). Violation-count rules treat an empty
+    table as 0 violations (vacuous pass); ``min``/``max`` on a column
+    with NO observed values FAIL CLOSED (observed shows NULL): a bound
+    you wrote about values that never arrived is a data problem the
+    gate must surface, not silently wave past."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     rows = []
 
     def add(col_name: str, rule: str, ok, observed) -> None:
         rows.append(F.struct(
             F.lit(col_name).alias("column"), F.lit(rule).alias("rule"),
-            ok.alias("ok"), observed.cast("string").alias("observed")))
+            F.coalesce(ok, F.lit(False)).alias("ok"),
+            observed.cast("string").alias("observed")))
 
     for i, (c, spec) in enumerate(rules.items()):
         unknown = set(spec) - _RULE_KEYS
@@ -96,7 +104,8 @@ def check_expectations(df: DataFrame, rules: dict[str, dict]) -> DataFrame:
                 f"for column {c!r}; supported: {sorted(_RULE_KEYS)}")
         col = F.col(c)
         if spec.get("not_null"):
-            aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nn_{i}"))
+            aggs.append(F.coalesce(F.sum(col.isNull().cast("long")),
+                                   F.lit(0)).alias(f"__nn_{i}"))
             add(c, "not_null", F.col(f"__nn_{i}") == 0, F.col(f"__nn_{i}"))
         if spec.get("unique"):
             aggs.append(F.count_distinct(col).alias(f"__ud_{i}"))
@@ -113,8 +122,9 @@ def check_expectations(df: DataFrame, rules: dict[str, dict]) -> DataFrame:
                 F.col(f"__mx_{i}"))
         if "in_set" in spec:
             allowed = list(spec["in_set"])
-            aggs.append(F.sum((~col.isin(allowed) & col.isNotNull())
-                              .cast("long")).alias(f"__os_{i}"))
+            aggs.append(F.coalesce(
+                F.sum((~col.isin(allowed) & col.isNotNull())
+                      .cast("long")), F.lit(0)).alias(f"__os_{i}"))
             label = "in_set[" + "|".join(str(v) for v in allowed) + "]"
             add(c, label, F.col(f"__os_{i}") == 0, F.col(f"__os_{i}"))
     if not rows:

@@ -117,10 +117,18 @@ def foreach_batch_upsert(key_cols: list[str], order_col: str, path: str):
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         new = batch.withColumn("__src", F.lit(1))
-        try:
+        # Only a genuinely ABSENT store may fall back to batch-only —
+        # checked explicitly, not with a bare except around the read: a
+        # transient read failure or a schema mismatch in the union must
+        # fail the batch (the stream retries it) rather than silently
+        # overwriting the whole store with this one micro-batch.
+        sc = spark.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             cur = spark.read.parquet(path).withColumn("__src", F.lit(0))
             merged = cur.unionByName(new)
-        except Exception:
+        else:
             merged = new
         w = Window.partitionBy(*key_cols).orderBy(
             F.desc(order_col), F.desc("__src"))

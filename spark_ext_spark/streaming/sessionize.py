@@ -58,13 +58,17 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
         closed = []
         for t, v in zip(ts_ms, values):
             t = int(t)
+            # null values arrive from Arrow as NaN, which is truthy —
+            # `v or 0.0` would NaN-poison the running total, so test
+            # with isna (covers None and NaN both)
+            v = 0.0 if pd.isna(v) else float(v)
             if start is None:
-                start, last, n, total = t, t, 1, float(v or 0.0)
+                start, last, n, total = t, t, 1, v
             elif t - last <= gap_ms:
-                last, n, total = max(last, t), n + 1, total + float(v or 0.0)
+                last, n, total = max(last, t), n + 1, total + v
             else:
                 closed.append((start, last, n, total))
-                start, last, n, total = t, t, 1, float(v or 0.0)
+                start, last, n, total = t, t, 1, v
 
         state.update((start, last, n, total))
         state.setTimeoutTimestamp(last + gap_ms)

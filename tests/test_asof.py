@@ -46,3 +46,33 @@ def test_asof_join_keeps_all_left_columns(spark):
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
     assert set(out.columns) == {"k", "ts", "extra", "v_asof"}
     assert out.first()["v_asof"] == 1.5
+
+
+def test_asof_null_value_in_latest_row_stays_null(spark):
+    """DuckDB/kdb ASOF semantics: the join picks a ROW, so a genuinely
+    NULL value in the latest right row must come through as NULL — a
+    per-column last(ignorenulls) would resurrect the stale prior value
+    and could mix columns from different right rows."""
+    left = spark.createDataFrame([("k", 3, "probe")],
+                                 "k string, ts long, name string")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, 100.0), ("k", 2, None, 200.0)],
+        "k string, rts long, price double, qty double")
+    row = asof_join(left, right, on="k", left_ts="ts",
+                    right_ts="rts").collect()[0]
+    assert row["price_asof"] is None      # from the t=2 row, not t=1
+    assert row["qty_asof"] == 200.0       # same row's other column
+
+
+def test_asof_right_ties_are_deterministic(spark):
+    """Right rows tied on (key, ts): greatest value-struct wins, every
+    run — re-executions and task retries must reproduce the output."""
+    left = spark.createDataFrame([("k", 10, "probe")],
+                                 "k string, ts long, name string")
+    right = spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 10, 2.0), ("k", 10, 3.0)],
+        "k string, rts long, price double")
+    for _ in range(3):
+        row = asof_join(left, right, on="k", left_ts="ts",
+                        right_ts="rts").collect()[0]
+        assert row["price_asof"] == 3.0

@@ -185,3 +185,25 @@ def test_lr_newton_steps_matches_numpy_and_descends(spark):
                              + np.maximum(z, 0) - y * z))
 
     assert loss(beta_sql) < loss(np.zeros(4))
+
+
+def test_no_intercept_local_matches_distributed(spark):
+    """fitIntercept=False: the local solver must not center features
+    (there is no intercept to fold the offset into) — its margins must
+    match Spark's own LR on the same data, which scales but never
+    centers in this mode."""
+    import numpy as np
+    from pyspark.ml.linalg import Vectors
+    rng = np.random.default_rng(7)
+    X = rng.normal(loc=3.0, scale=1.5, size=(500, 2))  # nonzero means
+    w_true = np.array([1.2, -0.8])
+    y = (X @ w_true + rng.logistic(size=500) > 0).astype(float)
+    rows = [(float(lbl), Vectors.dense(x)) for lbl, x in zip(y, X)]
+    df = spark.createDataFrame(rows, ["label", "features"])
+    local = LocalLogisticRegression(fitIntercept=False, regParam=0.01) \
+        .fit(df.coalesce(1))
+    dist = LocalLogisticRegression(fitIntercept=False, regParam=0.01) \
+        .fit(df.repartition(4))
+    assert local.intercept == 0.0 and dist.intercept == 0.0
+    np.testing.assert_allclose(local.coefficients, dist.coefficients,
+                               rtol=0.05)

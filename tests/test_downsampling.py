@@ -66,3 +66,29 @@ def test_wrong_label_type_raises(spark):
     df = spark.createDataFrame([("a", 1)], "cookie string, label int")
     with pytest.raises(TypeError):
         Downsampling(labelCol="label").fit(df)
+
+
+def test_hash_mode_survives_huge_keys_under_ansi(spark):
+    """Snowflake-style ids overflow a naive key*2654435761 long
+    multiply under Spark 4's default ANSI mode — the split-modular
+    form must sample without error AND agree with naive math where it
+    is computable (small keys)."""
+    big = spark.createDataFrame(
+        [(2**62 + i, 1.0 if i < 3 else 0.0) for i in range(100)],
+        "k long, label double")
+    model = Downsampling(labelCol="label", maxClassRatio=2.0,
+                         samplingMode="hash", hashKeyCol="k").fit(big)
+    out = model.transform(big)
+    assert out.count() > 0                      # no ARITHMETIC_OVERFLOW
+    # small keys: congruent to the naive (key*K) % 2^32 threshold test
+    K, MOD = 2654435761, 1 << 32
+    small = spark.createDataFrame(
+        [(i, 1.0 if i < 5 else 0.0) for i in range(2000)],
+        "k long, label double")
+    m2 = Downsampling(labelCol="label", maxClassRatio=2.0,
+                      samplingMode="hash", hashKeyCol="k").fit(small)
+    frac = m2.sampleFraction
+    got = {r["k"] for r in m2.transform(small).collect()}
+    expect = {i for i in range(5)} | {
+        i for i in range(5, 2000) if (i * K) % MOD < int(frac * MOD)}
+    assert got == expect

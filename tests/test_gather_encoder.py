@@ -269,3 +269,24 @@ def test_duplicate_keys_last_wins_both_paths(spark):
     flat = model.transform_exploded(df, ["cookie_id"]).collect()
     got = {r["slot"]: r["value"] for r in flat}
     assert got == {0: 9.0, 3: 5.0}
+
+
+def test_null_values_unbox_to_zero_both_encode_paths(spark):
+    """Reference parity (GatherEncoder.scala:345-355): a null VALUE in
+    the gathered array unboxes to 0.0 — in the fitted slot and in the
+    all-other sum alike. Previously the udf path wrote NaN into the
+    slot and the arrow path crashed outright on a null element."""
+    df = spark.createDataFrame(
+        [(1, [("a", 1.0), ("zz", None), ("a", None)]),
+         (2, [("a", 3.0), ("zz", 2.0)])],
+        "pk long, g array<struct<key string, value double>>")
+    m = GatherEncoderModel(keys=["a"])
+    m._set(inputCol="g", outputCol="f", keyCol="key", valueCol="value",
+           allOther=True)
+    expected = {1: [0.0, 0.0],   # last 'a' is null → 0.0; all-other null → 0.0
+                2: [3.0, 2.0]}
+    for method in ("udf", "arrow"):
+        m._set(encodeMethod=method)
+        got = {r["pk"]: list(r["f"].toArray())
+               for r in m.transform(df).collect()}
+        assert got == expected, method

@@ -15,8 +15,11 @@ ROWS = [
     ("2024-01-01 00:10:00", 1, 2.0),
     ("2024-01-01 00:20:00", 1, 3.0),
     ("2024-01-01 02:30:00", 1, 4.0),
-    # user 2: single session
+    # user 2: single session, with one NULL value — counts as an
+    # event but contributes 0.0 (NULL arrives in pandas as NaN; an
+    # unguarded `v or 0.0` would NaN-poison the whole session total)
     ("2024-01-01 00:05:00", 2, 10.0),
+    ("2024-01-01 00:12:00", 2, None),
     ("2024-01-01 00:15:00", 2, 20.0),
     # flush row far in the future so the watermark closes everything
     ("2024-01-01 09:00:00", 99, 0.0),
@@ -49,4 +52,4 @@ def test_sessionize_gap_splitting(spark, tmp_path):
     assert b["n_events"] == 1 and b["total_value"] == 4.0
 
     (u2,) = by_user[2]
-    assert u2["n_events"] == 2 and u2["total_value"] == 30.0
+    assert u2["n_events"] == 3 and u2["total_value"] == 30.0  # not NaN

@@ -176,3 +176,21 @@ def test_streaming_interval_join(spark, tmp_path):
     got = sorted((r["user_id"], r["tag"], r["amount"])
                  for r in spark.sql("SELECT * FROM iv_join").collect())
     assert got == [(1, "a", 10.0), (1, "b", 20.0)]
+
+
+def test_foreach_batch_upsert_never_wipes_store_on_bad_batch(spark, tmp_path):
+    """A batch whose union with the existing store fails (schema
+    drift here; a transient read error behaves the same) must raise —
+    NOT silently overwrite the whole store with that one batch."""
+    import pytest
+    from spark_ext_spark.streaming import foreach_batch_upsert
+    store = str(tmp_path / "store")
+    good = spark.createDataFrame([(1, 10, 100.0)],
+                                 "k long, v long, ord double")
+    sink = foreach_batch_upsert(["k"], "ord", store)
+    sink(good, 0)                                  # seeds the store
+    bad = spark.createDataFrame([(2, 5.0)], "k long, ord double")
+    with pytest.raises(Exception):
+        sink(bad, 1)                               # missing column v
+    got = {r["k"] for r in spark.read.parquet(store).collect()}
+    assert got == {1}                              # store intact

@@ -98,3 +98,27 @@ def test_profile_default_avoids_expand(spark):
                                  exact_distinct=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in exact_plan
+
+
+def test_expectation_ok_is_never_null(spark):
+    """SQL tri-state must not leak into the gate: `~NULL` filters out,
+    so an ok=NULL row would silently PASS `filter(~col('ok'))`. Bounds
+    on a column with no observed values fail closed; count-based rules
+    on an empty table pass vacuously (0 violations) — and in every
+    case ok is a real boolean."""
+    all_null = spark.createDataFrame([(None,), (None,)], "price double")
+    rep = {r["rule"]: r for r in check_expectations(
+        all_null, {"price": {"min": 0, "not_null": True}}).collect()}
+    assert rep["min"]["ok"] is False          # fail closed, not NULL
+    assert rep["min"]["observed"] is None
+    assert rep["not_null"]["ok"] is False     # 2 genuine nulls
+    empty = spark.createDataFrame([], "price double")
+    rep = {r["rule"]: r for r in check_expectations(
+        empty, {"price": {"min": 0, "not_null": True, "unique": True,
+                          "in_set": [1.0]}}).collect()}
+    for rule, row in rep.items():
+        assert row["ok"] is not None, rule
+    assert rep["min"]["ok"] is False          # no values → unverifiable
+    assert rep["not_null"]["ok"] is True      # 0 violations
+    assert rep["unique"]["ok"] is True
+    assert rep[[k for k in rep if k.startswith("in_set")][0]]["ok"] is True
