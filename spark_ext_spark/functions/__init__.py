@@ -48,8 +48,17 @@ def register_sql_functions(spark) -> None:
     # import) are unresolvable by pyspark's hint inspection
     @F.pandas_udf("string")
     def s2_token(lat, lon, level):
-        lvl = int(level.iloc[0]) if len(level) else 10
-        return pd.Series(cell_tokens(lat.to_numpy(), lon.to_numpy(), lvl))
+        # level may be a per-row COLUMN, not just a literal: compute
+        # each distinct level over its own row subset (one vectorized
+        # pass per distinct level; a literal is one pass as before)
+        import numpy as np
+        out = pd.Series([None] * len(lat), dtype=object)
+        la = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        lo = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        for lvl in pd.unique(level.dropna()):
+            m = (level == lvl).to_numpy()
+            out[m] = cell_tokens(la[m], lo[m], int(lvl))
+        return out
 
     spark.udf.register("s2_token", s2_token)
 

@@ -136,20 +136,34 @@ def cell_token(lat_deg: float, lon_deg: float, level: int) -> str:
 
 # --- vectorized path -------------------------------------------------------
 
-def cell_tokens(lat: np.ndarray, lon: np.ndarray, level: int) -> list[str]:
-    """Vectorized cell tokens for degree arrays (the pandas_udf body)."""
+def cell_tokens(lat: np.ndarray, lon: np.ndarray,
+                level: int) -> list[str | None]:
+    """Vectorized cell tokens for degree arrays (the pandas_udf body).
+
+    NaN coordinates (null lat/lon upstream) yield ``None`` — they must
+    not be laundered into a legitimate-looking face-0 token.
+    """
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError("level must be in [0, 30]")
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     theta = np.radians(np.asarray(lon, dtype=np.float64))
+    bad = np.isnan(phi) | np.isnan(theta)
+    if bad.any():
+        # compute on a safe placeholder, null the outputs afterwards
+        phi = np.where(bad, 0.0, phi)
+        theta = np.where(bad, 0.0, theta)
     cosphi = np.cos(phi)
     x = cosphi * np.cos(theta)
     y = cosphi * np.sin(theta)
     z = np.sin(phi)
 
     xyz = np.stack([x, y, z])           # (3, n)
-    axyz = np.abs(xyz)
-    face = np.argmax(axyz, axis=0)      # 0|1|2
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    # Same tie-break as the scalar _xyz_to_face_uv (and canonical S2
+    # largestAbsComponent): ties prefer the LATER axis — np.argmax
+    # would pick the first and diverge on exact cube-corner ties.
+    face = np.where(ax > ay, np.where(ax > az, 0, 2),
+                    np.where(ay > az, 1, 2))
     comp = np.take_along_axis(xyz, face[None, :], axis=0)[0]
     face = np.where(comp < 0, face + 3, face)
 
@@ -187,4 +201,4 @@ def cell_tokens(lat: np.ndarray, lon: np.ndarray, level: int) -> list[str]:
     new_lsb = np.uint64(1 << (2 * (MAX_LEVEL - level)))
     mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
     parents = (ids & ((~(new_lsb - np.uint64(1))) & mask64)) | new_lsb
-    return [token(int(p)) for p in parents]
+    return [None if b else token(int(p)) for p, b in zip(parents, bad)]

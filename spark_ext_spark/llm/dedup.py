@@ -204,7 +204,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """(id, signature array<long>) — k-permutation MinHash over n-word
     shingles. One Arrow batch per partition chunk; the k affine
     permutations (a·h + b mod 2^61-1) run as a vectorized numpy outer
-    product per document."""
+    product per document.
+
+    Documents with fewer than ``n`` words have an EMPTY shingle set and
+    get a NULL signature — a shared sentinel (e.g. all-zeros) would make
+    every short document a perfect LSH match of every other one."""
     a_params, b_params = _minhash_params(num_hashes, seed)
 
     @F.pandas_udf("array<long>")
@@ -217,7 +221,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             shingles = {" ".join(words[i:i + n])
                         for i in range(max(0, len(words) - n + 1))}
             if not shingles:
-                out.append([0] * num_hashes)
+                out.append(None)
                 continue
             hs = np.array([_hash64(s) for s in shingles], dtype=object)
             mins = np.min((hs[:, None] * a + b) % _MERSENNE61, axis=0)
@@ -242,7 +246,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).cache()
+    # NULL signatures (docs shorter than n words — no shingles) carry
+    # no similarity evidence; drop them so they can never pair
+    sigs = (minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+            .filter(F.col("signature").isNotNull()).cache())
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = (sigs.select("doc", "signature", band_idx)
@@ -290,7 +297,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for t in texts:
             words = " ".join((t or "").lower().split()).split(" ")
             if not words or words == [""]:
-                out.append(0)
+                # empty docs carry no evidence: NULL, not a shared 0
+                # sentinel that would pair every empty doc at hamming 0
+                out.append(None)
                 continue
             cnt = Counter(words)
             hvals = []
@@ -318,21 +327,49 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc"), sh(F.col(text_col)).alias("simhash"))
 
 
+def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) for max_hamming+1 contiguous bit bands covering
+    64 bits as evenly as possible. Pigeonhole: ≤ max_hamming differing
+    bits over max_hamming+1 bands ⇒ at least one band is bit-identical,
+    so the band equi-join has FULL recall at the requested radius (the
+    old fixed 4×16 banding silently lost pairs past hamming 3).
+
+    Shared with the DuckDB oracle generator so both engines block on
+    byte-identical band boundaries."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    nb = max_hamming + 1
+    base, rem = divmod(64, nb)
+    out, shift = [], 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming, blocked on 16-bit
-    bands (pigeonhole: ≤3 differing bits over 4 bands ⇒ ≥1 equal band),
-    so candidates come from an equi-join, not a cross join."""
-    hashes = simhash(df, id_col, text_col).cache()
-    bands = [(F.shiftrightunsigned("simhash", 16 * i)
-              .bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}")
-             for i in range(4)]
-    banded = hashes.select("doc", "simhash", *bands)
-    banded = banded.select(
+    """Pairs with Hamming(simhash) ≤ max_hamming, blocked on
+    max_hamming+1 bit bands (see :func:`simhash_bands`), so candidates
+    come from an equi-join, not a cross join. NULL simhashes (empty
+    docs) never pair."""
+    spec = simhash_bands(max_hamming)
+    hashes = (simhash(df, id_col, text_col)
+              .filter(F.col("simhash").isNotNull()).cache())
+
+    def band_key(shift: int, width: int):
+        col = F.shiftrightunsigned("simhash", shift)
+        if width < 64:
+            col = col.bitwiseAND(F.lit((1 << width) - 1))
+        return col
+
+    banded = hashes.select(
         "doc", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"), F.col(f"b{i}").alias("key"))
-            for i in range(4)])).alias("bk")
+            F.struct(F.lit(i).alias("band"),
+                     band_key(sh_, w).alias("key"))
+            for i, (sh_, w) in enumerate(spec)])).alias("bk")
     ).select("doc", "simhash", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
 

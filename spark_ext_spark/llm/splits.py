@@ -44,19 +44,22 @@ def hash_split(df: DataFrame, key_col: str,
                salt: str = "", split_col: str = "split") -> DataFrame:
     """Append a split label ('train'/'val'/'test' by default) chosen by
     the key's hash position against cumulative weight boundaries.
-    Weights are normalized; iteration order defines the boundaries."""
+    Weights are normalized; iteration order defines the boundaries.
+
+    A NULL key has no hash position, so its label is NULL — the
+    when-chain would otherwise fall through and silently dump every
+    null-key row into the LAST split (the eval bucket, with default
+    weights)."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     total = sum(weights.values())
     u = hash_unit_interval(key_col, salt)
-    expr = None
+    expr = F.when(F.col(key_col).isNull(), F.lit(None).cast("string"))
     cum = 0.0
     items = list(weights.items())
     for name, w in items[:-1]:
         cum += w / total
-        cond = u < cum
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(last)
+        expr = expr.when(u < cum, name)
+    expr = expr.otherwise(items[-1][0])
     return df.withColumn(split_col, expr)
 
 
@@ -156,9 +159,14 @@ def temperature_mix_sample(df: DataFrame, group_col: str, id_col: str,
                          F.lit(float(budget)) * F.pow("__n", F.lit(alpha))
                          / F.col("__z") / F.col("__n")).alias("__rate")))
     u = hash_unit_interval(id_col, salt)
-    return (df.join(F.broadcast(rates), group_col)
+    # null-safe join: a NULL group is a group like any other (the
+    # counts agg already treats it as one); a bare equi-join would
+    # silently drop every null-group row from the mix
+    rates = rates.withColumnRenamed(group_col, "__g")
+    return (df.join(F.broadcast(rates),
+                    F.col(group_col).eqNullSafe(F.col("__g")))
             .filter(u < F.col("__rate"))
-            .drop("__rate"))
+            .drop("__g", "__rate"))
 
 
 def length_bucketed_batches(df: DataFrame, id_col: str, text_col: str,

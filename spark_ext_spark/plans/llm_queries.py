@@ -123,7 +123,6 @@ def _minhash_lsh_oracle() -> str:
     params = ",\n    ".join(
         f"({i}, {int(a_p[i])}::HUGEINT, {int(b_p[i])}::HUGEINT)"
         for i in range(64))
-    zeros = "[" + ", ".join(["0"] * 64) + "]::HUGEINT[]"
     return f"""
 WITH params(hi, a, b) AS (VALUES
     {params}),
@@ -144,12 +143,9 @@ mins AS (
   SELECT doc_id, hi, min((h * a + b) % 2305843009213693951::HUGEINT) AS mh
   FROM hashes CROSS JOIN params GROUP BY doc_id, hi
 ),
-sigs0 AS (SELECT doc_id, list(mh ORDER BY hi) AS sig FROM mins GROUP BY doc_id),
-sigs AS (
-  SELECT d.doc_id, coalesce(s.sig, {zeros}) AS sig
-  FROM (SELECT DISTINCT doc_id FROM documents) d
-  LEFT JOIN sigs0 s USING (doc_id)
-),
+-- docs with < n words have no shingles → no signature → never pair
+-- (matches minhash_signatures' NULL-signature contract)
+sigs AS (SELECT doc_id, list(mh ORDER BY hi) AS sig FROM mins GROUP BY doc_id),
 banded AS (
   SELECT doc_id, i AS band,
          sig[2*i+1]::VARCHAR || ':' || sig[2*i+2]::VARCHAR AS bh
@@ -184,8 +180,19 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
-SIMHASH_PAIRS_SQL = """
-WITH norm AS (
+def _simhash_pairs_oracle(max_hamming: int = 8) -> str:
+    """DuckDB replica of simhash_near_pairs(max_hamming). The band
+    boundaries come from the SAME simhash_bands() the Spark operator
+    uses, so blocking is byte-identical; empty docs (no words) never
+    reach sh0 and so never pair — matching the NULL-simhash contract."""
+    from spark_ext_spark.llm.dedup import simhash_bands
+    bands = ",\n    ".join(
+        f"({i}, {sh}, {(1 << w) - 1}::HUGEINT)"
+        for i, (sh, w) in enumerate(simhash_bands(max_hamming)))
+    return f"""
+WITH bands(band, sh, mask) AS (VALUES
+    {bands}),
+norm AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
   FROM documents
 ),
@@ -208,17 +215,15 @@ sh0 AS (
   FROM acc GROUP BY doc_id
 ),
 sim AS (
-  SELECT d.doc_id, coalesce(s.v, 0::HUGEINT) AS v,
-         CASE WHEN coalesce(s.v, 0::HUGEINT) >= 9223372036854775808::HUGEINT
-              THEN (coalesce(s.v, 0::HUGEINT)
-                    - 18446744073709551616::HUGEINT)::BIGINT
-              ELSE coalesce(s.v, 0::HUGEINT)::BIGINT END AS s
-  FROM (SELECT DISTINCT doc_id FROM documents) d
-  LEFT JOIN sh0 s USING (doc_id)
+  SELECT doc_id, v,
+         CASE WHEN v >= 9223372036854775808::HUGEINT
+              THEN (v - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE v::BIGINT END AS s
+  FROM sh0
 ),
 banded AS (
-  SELECT doc_id, s, i AS band, (v >> (16 * i)) & 65535 AS key
-  FROM sim, unnest(range(0, 4)) AS u(i)
+  SELECT doc_id, s, band, (v >> sh) & mask AS key
+  FROM sim CROSS JOIN bands
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -227,8 +232,11 @@ cand AS (
   JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(h_a, h_b)) AS hamming
-FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
 """
+
+
+SIMHASH_PAIRS_SQL = _simhash_pairs_oracle(8)
 
 
 # --- text analysis -----------------------------------------------------------

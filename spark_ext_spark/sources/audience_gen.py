@@ -109,7 +109,14 @@ class AudienceDataSource(DataSource):
         return "audience_gen"
 
     def schema(self) -> str:
-        return _SCHEMAS[self.options.get("table", "sites")]
+        # schema() runs before reader(): validate here too, or an
+        # unknown table dies as a bare KeyError before the reader's
+        # curated message is ever reached
+        table = self.options.get("table", "sites")
+        if table not in _SCHEMAS:
+            raise ValueError(f"unknown table {table!r}; "
+                             f"expected one of {sorted(_SCHEMAS)}")
+        return _SCHEMAS[table]
 
     def reader(self, schema) -> DataSourceReader:
         return _AudienceReader(dict(self.options))

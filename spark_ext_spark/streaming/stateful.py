@@ -44,8 +44,11 @@ def streaming_running_totals(events: DataFrame, key_col: str = "user_id",
     from pyspark.sql.streaming import (StatefulProcessor,
                                        StatefulProcessorHandle)
 
+    # key column keeps ITS OWN type — hardcoding LongType would make
+    # every non-bigint key (string user ids) fail Arrow serialization
+    # on the first emitted batch
     out_schema = StructType([
-        StructField(key_col, LongType()),
+        StructField(key_col, events.schema[key_col].dataType),
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
     ])
@@ -70,8 +73,12 @@ def streaming_running_totals(events: DataFrame, key_col: str = "user_id",
         def close(self) -> None:
             pass
 
+    # Spark rejects state TTL under timeMode="None"
+    # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL): TTL is
+    # measured in processing time, so requesting it switches the mode.
+    time_mode = "ProcessingTime" if ttl_ms is not None else "None"
     return (events.groupBy(key_col)
             .transformWithStateInPandas(statefulProcessor=RunningTotals(),
                                         outputStructType=out_schema,
                                         outputMode="Update",
-                                        timeMode="None"))
+                                        timeMode=time_mode))

@@ -57,3 +57,10 @@ def test_cohorts_separate(spark):
     # positive cohort concentrates on pos sites and vice versa
     assert stats[(True, 1.0)] > 2 * stats[(False, 1.0)]
     assert stats[(False, 0.0)] > 2 * stats[(True, 0.0)]
+
+
+def test_unknown_table_raises_curated_error(spark):
+    """schema() is called before reader(): an unknown table must hit
+    the curated ValueError, not a bare KeyError from the schema dict."""
+    with pytest.raises(Exception, match="unknown table.*expected one of"):
+        _read(spark, "geoX").collect()

@@ -93,6 +93,81 @@ def test_simhash_near_pairs(docs):
     assert all(4 not in p for p in pairs)
 
 
+def test_short_and_empty_docs_never_pair(spark):
+    """Docs below the shingle size (or empty) share no text evidence:
+    the old all-zero MinHash sentinel made every short doc a 'perfect'
+    LSH match of every other, and the 0 SimHash sentinel paired every
+    empty doc at hamming 0."""
+    rows = [(1, "red cat"), (2, "blue dog"), (3, ""), (4, None),
+            (5, BASE), (6, BASE)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc"]: r["signature"] for r in
+            minhash_signatures(df, "doc_id", "text", n=3).collect()}
+    assert sigs[1] is None and sigs[3] is None and sigs[4] is None
+    assert sigs[5] == sigs[6] and sigs[5] is not None
+
+    mh = {(r["doc_a"], r["doc_b"]) for r in
+          minhash_lsh_pairs(df, "doc_id", "text", n=3,
+                            threshold=0.5).collect()}
+    assert mh == {(5, 6)}
+
+    sh = {r["doc"]: r["simhash"] for r in
+          simhash(df, "doc_id", "text").collect()}
+    assert sh[3] is None and sh[4] is None and sh[1] is not None
+
+    sp = {(r["doc_a"], r["doc_b"]) for r in
+          simhash_near_pairs(df, "doc_id", "text",
+                             max_hamming=3).collect()}
+    assert (3, 4) not in sp and (5, 6) in sp
+
+
+def test_simhash_bands_full_recall_past_hamming_3(spark):
+    """Engineered pair differing by 4 bits, one per 16-bit quarter:
+    the fixed 4×16 banding shared NO band and silently dropped it;
+    max_hamming+1 banding must recover it. Also pin the band spec
+    invariants and the parameter validation."""
+    from spark_ext_spark.llm.dedup import simhash_bands
+
+    for mh in (0, 3, 8, 63):
+        spec = simhash_bands(mh)
+        assert len(spec) == mh + 1
+        assert sum(w for _, w in spec) == 64
+        offs = [s for s, _ in spec]
+        assert offs == sorted(offs) and offs[0] == 0
+    with pytest.raises(ValueError):
+        simhash_bands(64)
+    with pytest.raises(ValueError):
+        simhash_bands(-1)
+
+    # recall must equal brute force: near-dup variants of one base doc
+    # produce pairs across the whole 0..~16 hamming range, so any band
+    # spec that loses radius coverage shows up as a missing pair
+    import itertools
+    rng_words = BASE.split()
+    rows = [(100 + i,
+             " ".join(w if (j % 7) != (i % 7) or j // 7 != i // 3
+                      else f"sub{i}_{j}" for j, w in enumerate(rng_words)))
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = {r["doc"]: r["simhash"] for r in
+              simhash(df, "doc_id", "text").collect()}
+    for mh in (5, 8):
+        want = {}
+        for a, b in itertools.combinations(sorted(hashes), 2):
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= mh:
+                want[(a, b)] = d
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+               simhash_near_pairs(df, "doc_id", "text",
+                                  max_hamming=mh).collect()}
+        assert got == want
+        # the corpus must actually exercise radii past the old 4×16
+        # guarantee for the mh=8 case to prove anything
+        if mh == 8:
+            assert any(d > 3 for d in want.values())
+
+
 def test_containment_catches_subset_docs_jaccard_misses(spark):
     """A short doc fully quoted inside a much longer one: containment
     ~1.0, Jaccard tiny — the asymmetric case the op exists for."""

@@ -4,6 +4,8 @@ scalar/vectorized equivalence, known geography prefixes)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 
@@ -69,6 +71,30 @@ def test_vectorized_matches_scalar():
         vec = cell_tokens(lats, lons, level)
         for la, lo, tok in zip(lats, lons, vec):
             assert tok == cell_token(float(la), float(lo), level)
+
+
+def test_vectorized_tie_break_matches_scalar_on_cube_corners():
+    """Exact |x|==|y|==|z| ties (cube corners) and axis ties must pick
+    the same face as the scalar path — np.argmax's first-wins rule
+    diverged here (face 0 vs the canonical later-axis preference)."""
+    corner = math.degrees(math.atan(1 / math.sqrt(2)))  # 35.2643896...
+    pts = [(corner, 45.0), (-corner, -135.0), (corner, 135.0),
+           (45.0, 90.0), (0.0, 45.0), (90.0, 0.0), (-90.0, 0.0),
+           (0.0, 0.0), (0.0, 180.0), (0.0, -90.0)]
+    for level in (4, 10, 30):
+        got = cell_tokens(np.array([p[0] for p in pts]),
+                          np.array([p[1] for p in pts]), level)
+        want = [cell_token(la, lo, level) for la, lo in pts]
+        assert got == want
+
+
+def test_vectorized_nan_coordinates_yield_none():
+    """NaN (null upstream) lat/lon must produce None, not a plausible
+    face-0 token that silently pollutes downstream cell aggregates."""
+    toks = cell_tokens(np.array([float("nan"), 10.0, 20.0]),
+                       np.array([0.0, float("nan"), 30.0]), 10)
+    assert toks[0] is None and toks[1] is None
+    assert toks[2] == cell_token(20.0, 30.0, 10)
 
 
 def test_default_params_and_validation(cities):

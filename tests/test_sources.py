@@ -48,6 +48,25 @@ def test_register_sql_functions(spark):
     assert row["tok"] == cell_token(40.71427, -74.00597, 12)
 
 
+def test_s2_token_per_row_level_and_nulls(spark):
+    """level is a per-row COLUMN here: each row must be computed at
+    ITS level (the old UDF froze the whole Arrow batch to the first
+    row's level). Null coordinates null out instead of tokenizing."""
+    register_sql_functions(spark)
+    rows = spark.sql(
+        "SELECT s2_token(lat, lon, lvl) AS tok FROM VALUES "
+        "(40.7142700D, -74.0059700D, 6), "
+        "(40.7142700D, -74.0059700D, 12), "
+        "(51.50722D, -0.12750D, 8), "
+        "(CAST(NULL AS DOUBLE), 10.0D, 10) AS t(lat, lon, lvl) "
+        "ORDER BY lvl").collect()
+    assert [r["tok"] for r in rows] == [
+        cell_token(40.71427, -74.00597, 6),
+        cell_token(51.50722, -0.12750, 8),
+        None,
+        cell_token(40.71427, -74.00597, 12)]
+
+
 def test_write_csv_json_roundtrip(spark, tmp_path):
     from spark_ext_spark.sources import write_csv, write_json, read_json
     df = spark.createDataFrame([("a", 1.5), ("b", 2.0)], "k string, v double")

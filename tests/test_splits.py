@@ -123,3 +123,31 @@ def test_score_top_fraction_budget_and_determinism(spark):
     # every non-empty group keeps at least one row even at tiny fraction
     tiny = score_top_fraction(df, "src", "id", "score", 0.001)
     assert tiny.groupBy("src").count().count() == 3
+
+
+def test_hash_split_null_keys_get_null_label(spark):
+    """NULL keys have no hash position: they must get a NULL split,
+    not silently land in the last (eval) bucket."""
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), (None,)], "k string")
+    got = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    assert got[None] is None
+    assert got["a"] in ("train", "val", "test")
+    assert got["b"] in ("train", "val", "test")
+
+
+def test_temperature_mix_keeps_null_group(spark):
+    """A NULL source is a group like any other: the counts agg sees it,
+    so the rates join must be null-safe — the old equi-join silently
+    dropped every null-group row regardless of budget."""
+    from spark_ext_spark.llm.splits import temperature_mix_sample
+    rows = [(i, None if i % 3 == 0 else f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = temperature_mix_sample(df, "src", "id", alpha=0.7, budget=300)
+    # budget >= corpus: every row survives, including the null group
+    assert out.count() == 300
+    assert out.filter(F.col("src").isNull()).count() == 100
+    # smaller budget: the null group is sampled, not zeroed
+    some = temperature_mix_sample(df, "src", "id", alpha=0.7, budget=150)
+    n_null = some.filter(F.col("src").isNull()).count()
+    assert 0 < n_null < 100

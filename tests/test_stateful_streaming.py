@@ -71,6 +71,23 @@ def test_running_totals_plan_builds(spark):
         ["user_id", "n_events", "total_value"]
 
 
+def test_running_totals_key_type_and_ttl_plan(spark):
+    """The output schema carries the key column's OWN type (string ids
+    must not be coerced to bigint), and the TTL variant builds — TTL
+    forces ProcessingTime time mode, which Spark validates at plan
+    construction."""
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+              .load()
+              .select(F.col("value").cast("string").alias("user_id"),
+                      F.col("value").cast("double").alias("value")))
+    out = streaming_running_totals(stream, "user_id", "value")
+    assert out.schema["user_id"].dataType.simpleString() == "string"
+
+    with_ttl = streaming_running_totals(stream, "user_id", "value",
+                                        ttl_ms=3_600_000)
+    assert with_ttl.isStreaming
+
+
 @pytest.mark.skipif(not HAS_PROTOBUF,
                     reason="transformWithState driver worker requires "
                            "google.protobuf (absent in this container)")
