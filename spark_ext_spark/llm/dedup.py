@@ -12,7 +12,8 @@ All four return DataFrames and keep every step distributed:
   LSH buckets; candidate pairs come from a bucket equi-join and are
   optionally verified with exact Jaccard on the signatures.
 - SimHash: 64-bit weighted-token fingerprint; near pairs blocked on
-  16-bit bands (Hamming ≤ 3 ⇒ at least one of 4 bands equal).
+  max_hamming+1 bit bands (pigeonhole: ≤ max_hamming differing bits ⇒
+  at least one band equal), so recall is exact at any radius.
 """
 
 from __future__ import annotations

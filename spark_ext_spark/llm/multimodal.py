@@ -136,8 +136,11 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     else:
         dims = _fake_dims
 
-    out_schema = ("media_id bigint, media binary, media_meta "
-                  + MEDIA_META_SCHEMA)
+    # media_id keeps its own type: attach_media accepts any id column
+    # (string/UUID ids included), so a hardcoded bigint here would die
+    # at Arrow conversion on the executors
+    out_schema = (f"media_id {df.schema['media_id'].dataType.simpleString()}"
+                  ", media binary, media_meta " + MEDIA_META_SCHEMA)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,11 +183,16 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame index
     (media_id, frame_idx, frame binary-stub). Real frame extraction
     plugs into the same explode shape."""
-    decoded = df if "media_meta" not in df.columns else df
+    # a raw (media_id, media) frame has no metadata yet — run the
+    # attach→decode steps so n_frames exists (the old conditional
+    # assigned df on both branches and then failed resolving
+    # media_meta.n_frames)
+    if "media_meta" not in df.columns:
+        df = decode_media(attach_media(df, "media_id", "media"))
     n_frames = F.col("media_meta.n_frames")
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)),
                      F.lit(every_n))
-    return (decoded
+    return (df
             .select("media_id", F.explode(idx).alias("frame_idx"),
                     F.sha2(F.concat(F.col("media"),
                                     F.lit(":"),
@@ -203,8 +211,8 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     content-addressed binary. Swap the digest for PIL's
     ``Image.resize`` bytes in production; schema, batch shape and
     column pruning are identical."""
-    out_schema = ("media_id bigint, media binary, media_meta "
-                  + MEDIA_META_SCHEMA)
+    out_schema = (f"media_id {df.schema['media_id'].dataType.simpleString()}"
+                  ", media binary, media_meta " + MEDIA_META_SCHEMA)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

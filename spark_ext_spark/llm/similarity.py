@@ -93,6 +93,36 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                                    shard_rows=sub)
 
 
+def _id_type(df: DataFrame, col: str) -> str:
+    """DDL type of an id column, for applyInPandas output schemas —
+    hardcoding ``long`` would crash the GEMM paths at Arrow
+    serialization for string/UUID ids (which the expr/lsh variants
+    accept fine)."""
+    return df.schema[col].dataType.simpleString()
+
+
+def _role_split_gemm(pdf: pd.DataFrame, round_to: int | None):
+    """Shared per-group GEMM preamble for the bucketed/sharded paths:
+    split rows by role, L2-normalize, one queries × members matmul.
+    Returns (qs, cs, sims) or None when either side is empty.
+    Zero-norm vectors are guarded (norm 1 ⇒ sim 0 everywhere) instead
+    of poisoning their row/column with NaN."""
+    qs = pdf[pdf["role"] == "q"]
+    cs = pdf[pdf["role"] == "c"]
+    if qs.empty or cs.empty:
+        return None
+    qm = np.array(qs["vec"].tolist(), dtype=np.float64)
+    cm = np.array(cs["vec"].tolist(), dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    cn = np.linalg.norm(cm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    cn[cn == 0] = 1.0
+    sims = (qm / qn) @ (cm / cn).T
+    if round_to is not None:
+        sims = np.round(sims, round_to)
+    return qs, cs, sims
+
+
 def _sharded(df: DataFrame, id_col: str, vec_col: str,
              shard_rows: int) -> tuple[DataFrame, int]:
     """((vec_id, vec, shard), S) with shard = pmod(xxhash64(id), S)
@@ -157,19 +187,10 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
          .withColumn("role", F.lit("q")))
 
     def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        qs = pdf[pdf["role"] == "q"]
-        cs = pdf[pdf["role"] == "c"]
-        if qs.empty or cs.empty:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        qm = np.array(qs["vec"].tolist(), dtype=np.float64)
-        cm = np.array(cs["vec"].tolist(), dtype=np.float64)
-        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = qm @ cm.T
-        if round_to is not None:
-            sims = np.round(sims, round_to)
+        split = _role_split_gemm(pdf, round_to)
+        if split is None:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        qs, cs, sims = split
         c_ids = cs["vec_id"].to_numpy()
         q_ids = qs["vec_id"].to_numpy()
         out_a, out_b, out_s = [], [], []
@@ -188,13 +209,26 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     # A one-shard corpus (N ≤ shard_rows) provably fits one group:
     # skip the grid's sizing pass.
     both = q.unionByName(c)
+    idt = _id_type(df, id_col)
+    out_schema = f"id_a {idt}, id_b {idt}, sim double"
     if n_shards == 1:
-        return both.groupBy("shard").applyInPandas(
-            group_pairs, schema="id_a long, id_b long, sim double")
+        return both.groupBy("shard").applyInPandas(group_pairs,
+                                                   schema=out_schema)
     blocked = _block_grid(both, "shard", shard_rows)
     return (blocked.groupBy("shard", "__cs", "__qs")
-            .applyInPandas(group_pairs,
-                           schema="id_a long, id_b long, sim double"))
+            .applyInPandas(group_pairs, schema=out_schema))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first NON-NULL vector — the
+    bare ``first()`` probe returned a NULL size when the first row's
+    embedding happened to be null, which then crashed far away inside
+    numpy with an opaque TypeError."""
+    first = (df.filter(F.col(vec_col).isNotNull())
+             .select(F.size(vec_col)).first())
+    if first is None or first[0] is None:
+        raise ValueError("no non-null embeddings and no dim given")
+    return int(first[0])
 
 
 def _projections(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -210,10 +244,7 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
     ships as literal arrays inside the plan (no closure/broadcast
     state), so Catalyst sees one deterministic expression."""
     if dim is None:
-        first = df.select(F.size(vec_col)).first()
-        if first is None:
-            raise ValueError("empty DataFrame and no dim given")
-        dim = first[0]
+        dim = _infer_dim(df, vec_col)
     planes = _projections(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0)
@@ -329,17 +360,10 @@ def _grouped_candidate_topk(both: DataFrame, group_col: str, k: int,
     import pandas as pd
 
     def group_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        qs = pdf[pdf["role"] == "q"]
-        cs = pdf[pdf["role"] == "c"]
-        if qs.empty or cs.empty:
+        split = _role_split_gemm(pdf, round_to)
+        if split is None:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "sim"])
-        qm = np.array(qs["vec"].tolist(), dtype=np.float64)
-        cm = np.array(cs["vec"].tolist(), dtype=np.float64)
-        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = qm @ cm.T
-        if round_to is not None:
-            sims = np.round(sims, round_to)
+        qs, cs, sims = split
         c_ids = cs["vec_id"].to_numpy()
         q_ids = qs["vec_id"].to_numpy()
         out_q, out_n, out_s = [], [], []
@@ -353,12 +377,13 @@ def _grouped_candidate_topk(both: DataFrame, group_col: str, k: int,
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                              "sim": out_s})
 
+    idt = _id_type(both, "vec_id")
     group_cols = [group_col]
     if shard_rows is not None:
         both = _block_grid(both, group_col, shard_rows)
         group_cols = [group_col, "__cs", "__qs"]
     local = both.groupBy(*group_cols).applyInPandas(
-        group_topk, schema="query_id long, neighbor_id long, sim double")
+        group_topk, schema=f"query_id {idt}, neighbor_id {idt}, sim double")
     merged = (local.groupBy("query_id", "neighbor_id")
               .agg(F.max("sim").alias("sim")))  # dedup multiprobe hits
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
@@ -422,14 +447,18 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
                          F.lit(0.0), lambda acc, z: acc + z)
         dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
     cells_by_dist = F.array_sort(F.array(*dist_structs))
-    probes = F.transform(F.slice(cells_by_dist, 1, n_probes),
+    # cache: the n_centroids × dim distance fold runs interpreted, and
+    # BOTH union branches (probes + members) read it — uncached it
+    # evaluates twice per action (same discipline as
+    # ivf_topk_deterministic's __cbd cache below)
+    assigned = emb.withColumn("__cbd", cells_by_dist).cache()
+    probes = F.transform(F.slice("__cbd", 1, n_probes),
                          lambda s: s["cell"])
-    own_cell = cells_by_dist[0]["cell"]
-
-    assigned = emb.withColumn("cell", own_cell)
+    own_cell = F.col("__cbd")[0]["cell"]
     q = assigned.select("vec_id", "vec", F.explode(probes).alias("cell"),
                         F.lit("q").alias("role"))
-    c = assigned.select("vec_id", "vec", "cell", F.lit("c").alias("role"))
+    c = assigned.select("vec_id", "vec", own_cell.alias("cell"),
+                        F.lit("c").alias("role"))
     return _grouped_candidate_topk(q.unionByName(c), "cell", k,
                                    shard_rows=shard_rows)
 
@@ -483,10 +512,7 @@ def fit_ivf_centroids_quantized(df: DataFrame, n_centroids: int = 16,
     artifact is the n_centroids × dim centroid matrix.
     """
     if dim is None:
-        first = df.select(F.size(vec_col)).first()
-        if first is None:
-            raise ValueError("empty DataFrame and no dim given")
-        dim = first[0]
+        dim = _infer_dim(df, vec_col)
     q = (df.select(F.col(id_col).alias("vec_id"),
                    _ivf_quantize_expr(vec_col).alias("qv")).cache())
     init = q.orderBy("vec_id").limit(n_centroids).collect()

@@ -101,8 +101,11 @@ class BinaryModelMetrics:
     def _sized(self, counts: DataFrame) -> DataFrame:
         """Persist the compacted table and take its distinct-score
         count — shared by the numBins chunk size and the cumsum
-        strategy choice. Runs at most once; thresholds() never calls
-        it (it needs no running sums, so it skips the count job)."""
+        strategy choice. Runs at most once. With num_bins == 0 (the
+        default) thresholds() needs no running sums and therefore
+        skips the count job entirely; with num_bins > 0 the binned
+        re-group needs the count, so thresholds() does trigger it
+        via _counts."""
         if self._n_cum is None:
             counts = counts.persist()
             self._persisted = counts

@@ -35,8 +35,10 @@ def _s2_cells_oracle(level: int = 4) -> str:
     pinning, the oracle computes tokens from scratch:
 
     lat/lon → XYZ (cos/sin; glibc libm on both engines, verified
-    bit-identical) → argmax face (+3 when the dominant component is
-    negative; ties break to the lower axis exactly like np.argmax) →
+    bit-identical) → largest-|component| face (+3 when the dominant
+    component is negative; exact-tie inputs break to the LATER axis,
+    matching _xyz_to_face_uv and canonical S2 — the synthetic grid
+    never ties, but the rule is pinned the same on both engines) →
     per-face (u,v) → quadratic ST (same operand order as
     functions/s2.py, so sqrt rounding matches IEEE-exactly) → 30-bit
     (i,j) → 8 unrolled Hilbert lookup rounds against the canonical
@@ -86,8 +88,9 @@ xyz AS (
 ),
 fa AS (
   SELECT c_custkey, x, y, z,
-         CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
-              WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END AS axis
+         CASE WHEN abs(x) > abs(y) AND abs(x) > abs(z) THEN 0
+              WHEN abs(x) <= abs(y) AND abs(y) > abs(z) THEN 1
+              ELSE 2 END AS axis
   FROM xyz
 ),
 fb AS (

@@ -171,3 +171,41 @@ def test_injected_decoder_skips_null_and_empty_payloads(spark):
         assert metas[mid]["width"] is None
         assert metas[mid]["height"] is None
         assert metas[mid]["n_frames"] is None
+
+
+def test_string_media_ids_flow_through_decode_and_resize(spark):
+    """decode_media/resize_media must carry the id column's own type —
+    the mapInPandas schemas used to hardcode bigint and fail Arrow
+    conversion for string ids."""
+    from spark_ext_spark.llm.multimodal import resize_media
+    df = spark.createDataFrame(
+        [("img-a", PNG), ("img-b", JPEG)], "item_id string, payload binary")
+    decoded = decode_media(attach_media(df, "item_id", "payload"))
+    rows = {r["media_id"]: r["media_meta"] for r in decoded.collect()}
+    assert set(rows) == {"img-a", "img-b"}
+    assert all(m["width"] is not None for m in rows.values())
+    resized = resize_media(decoded, width=32, height=32)
+    rrows = {r["media_id"]: r["media_meta"] for r in resized.collect()}
+    assert set(rrows) == {"img-a", "img-b"}
+    assert all(m["width"] == 32 for m in rrows.values())
+
+
+def test_sample_frames_decodes_raw_frames(spark):
+    """A raw (media_id, media) frame without media_meta must be
+    attached+decoded on the fly — the old conditional assigned df on
+    both branches and then failed to resolve media_meta.n_frames."""
+    from spark_ext_spark.llm.multimodal import sample_frames
+    raw = spark.createDataFrame([(1, PNG), (2, JPEG)],
+                                "media_id long, media binary")
+    frames = sample_frames(raw, every_n=5)
+    got = {r["media_id"] for r in frames.collect()}
+    assert got == {1, 2}
+    # frame counts match the decoded metadata
+    decoded = decode_media(attach_media(raw, "media_id", "media"))
+    nf = {r["media_id"]: r["media_meta"]["n_frames"]
+          for r in decoded.collect()}
+    counts = {r["media_id"]: 0 for r in frames.collect()}
+    for r in frames.collect():
+        counts[r["media_id"]] += 1
+    for mid, n in nf.items():
+        assert counts[mid] == len(range(0, max(n - 1, 0) + 1, 5))

@@ -226,3 +226,69 @@ def test_block_grid_subshards_decorrelated_from_shard_hash(spark):
               .collect())}
     assert len(by_cs) == 2, by_cs          # both sub-shards used
     assert max(by_cs.values()) < 60        # no sub-shard took the lot
+
+
+def test_string_ids_supported_on_gemm_paths(spark, vecs_np):
+    """The default gemm/exact paths must accept non-long id columns —
+    their applyInPandas schemas used to hardcode bigint and die at
+    Arrow serialization while the expr/lsh variants worked."""
+    rows = [(f"doc{i:03d}", vecs_np[i].tolist()) for i in range(N)]
+    sdf = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>").cache()
+
+    got = {}
+    for r in cosine_topk(sdf, sdf, k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"]))
+    expected = _numpy_topk(vecs_np, 3)
+    assert len(got) == N
+    for q in range(N):
+        mine = [nid for _, nid in sorted(got[f"doc{q:03d}"])]
+        assert mine == [f"doc{j:03d}" for j, _ in expected[q]]
+
+    # exact near-dups: same pair set as the long-id frame
+    long_df = spark.createDataFrame(
+        [(i, vecs_np[i].tolist()) for i in range(N)],
+        "vec_id long, embedding array<double>")
+    want = {(r["id_a"], r["id_b"]) for r in
+            embedding_near_dups(long_df, threshold=0.9).collect()}
+    got_pairs = {(r["id_a"], r["id_b"]) for r in
+                 embedding_near_dups(sdf, threshold=0.9).collect()}
+    assert got_pairs == {(f"doc{a:03d}", f"doc{b:03d}") for a, b in want}
+    sdf.unpersist()
+
+
+def test_lsh_buckets_null_first_embedding_infers_dim(spark, vecs_np):
+    """dim inference must skip null embeddings — reading F.size of a
+    null first row produced dim=None and a TypeError deep in numpy."""
+    rows = [(999, None)] + [(i, vecs_np[i].tolist()) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    buckets = lsh_buckets(df.orderBy("vec_id"), n_planes=4)
+    # 999 sorts last so the null row is NOT first here; force it first:
+    first_null = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").coalesce(1)
+    got = lsh_buckets(first_null, n_planes=4)
+    assert got.filter("vec_id = 0").count() == 1
+    assert buckets.filter("vec_id = 0").count() == 1
+
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null embeddings"):
+        lsh_buckets(all_null)
+
+
+def test_zero_norm_vectors_do_not_poison_gemm(spark):
+    """A zero embedding has undefined cosine; it must yield sim 0 in
+    the GEMM paths, not NaN rows that corrupt every pair in its
+    block."""
+    rng = np.random.default_rng(3)
+    rows = [(0, [0.0] * DIM)] + \
+        [(i, rng.standard_normal(DIM).tolist()) for i in range(1, 12)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df, k=3).collect()
+    assert all(not np.isnan(r["sim"]) for r in out)
+    # the zero vector still gets ranked neighbors (sim 0 everywhere)
+    zq = [r for r in out if r["query_id"] == 0]
+    assert len(zq) == 3 and all(r["sim"] == 0.0 for r in zq)
