@@ -102,9 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": rel.event_sessions,
         "zorder_events": rel.zorder_event_keys,
         "moving_avg_7d": rel.moving_avg_7d,
-        "pricing_summary": rel.pricing_summary,
         # --- 51+: §2B dataflow surface (bench coverage; all green via
-        # tests/test_oracle_parity.py at sf0.001) ------------------------
+        # tests/test_oracle_parity.py at sf0.001). moving_avg_7d above
+        # is entry #50, the last driver-hash-checked position — count
+        # before moving this boundary. ----------------------------------
+        "pricing_summary": rel.pricing_summary,
         "source_temperature_mix": lq.source_temperature_mix,
         "gather_flat": gq.gather_user_events_flat,
         "gather_count": gq.gather_user_event_counts,

@@ -4,6 +4,10 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with a noop-format write (full
 execution, no driver collect cost), timed over 3 runs, median taken.
+Caches are cleared BETWEEN queries, not between runs, so the median is
+a warm-cache number (run 1 pays any fit/cache cost, runs 2-3 reuse
+it). That is deliberate and has been the methodology since round 1 —
+keep it, or every round-over-round comparison breaks.
 
 Fault tolerance: a query that raises is recorded as an "errors" entry
 and skipped from the headline sum — one bad query must never zero the
@@ -15,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -35,7 +40,13 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # tolerate any directory name: 'sf' not followed by a number (e.g.
+    # /data/transfer) must not crash the bench at startup
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    try:
+        sf = float(m.group(1)) if m else -1.0
+    except ValueError:
+        sf = -1.0
     spark = get_spark("spark_ext_spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -332,6 +332,38 @@ GROUP BY 1, 2
 """
 
 
+def _hourly_grid(ev: DataFrame) -> DataFrame:
+    """Dense (hour × event_type) grid spanning the observed min/max
+    hour — shared by hourly_gapfill and hourly_interpolate so a grid
+    fix can never drift between them. Built from a broadcast
+    single-row min/max aggregate exploded through sequence() and
+    cross-joined with the distinct type table; cardinality is
+    hours × types, independent of the fact-table size."""
+    bounds = ev.agg(F.min(F.date_trunc("hour", "ts")).alias("lo"),
+                    F.max(F.date_trunc("hour", "ts")).alias("hi"))
+    return (bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+        .crossJoin(ev.select("event_type").distinct()))
+
+
+# the matching oracle CTE prefix (expects an `hourly` CTE defined
+# upstream by the caller; emits the dense grid as `g`)
+_HOURLY_GRID_CTES = """
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo,
+         max(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+g AS (
+  SELECT hour, event_type
+  FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)"""
+
+
 def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly series with LOCF (timescale
     `time_bucket_gapfill` + `locf` shape): a dense (hour × event_type)
@@ -351,11 +383,7 @@ def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "event_type")
               .agg(F.count(F.lit(1)).alias("n"),
                    F.round(F.avg("value"), 4).alias("avg_v")))
-    bounds = ev.agg(F.min(F.date_trunc("hour", "ts")).alias("lo"),
-                    F.max(F.date_trunc("hour", "ts")).alias("hi"))
-    grid = (bounds.select(F.explode(F.sequence(
-        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
-        .crossJoin(ev.select("event_type").distinct()))
+    grid = _hourly_grid(ev)
     w = (Window.partitionBy("event_type").orderBy("hour")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (grid.join(hourly, ["hour", "event_type"], "left")
@@ -365,25 +393,12 @@ def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("locf_avg_value")))
 
 
-HOURLY_GAPFILL_SQL = """
+HOURLY_GAPFILL_SQL = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n, round(avg(value), 4) AS avg_v
   FROM events GROUP BY 1, 2
-),
-bounds AS (
-  SELECT min(date_trunc('hour', ts)) AS lo,
-         max(date_trunc('hour', ts)) AS hi
-  FROM events
-),
-grid AS (
-  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
-  FROM bounds
-),
-g AS (
-  SELECT hour, event_type
-  FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM events) t
-)
+),{_HOURLY_GRID_CTES}
 SELECT g.hour, g.event_type,
        coalesce(h.n, 0) AS n_events,
        last_value(h.avg_v IGNORE NULLS) OVER (
@@ -407,12 +422,7 @@ def hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
                          "event_type")
               .agg(F.round(F.avg("value"), 4).alias("v")))
-    bounds = ev.agg(F.min(F.date_trunc("hour", "ts")).alias("lo"),
-                    F.max(F.date_trunc("hour", "ts")).alias("hi"))
-    grid = (bounds.select(F.explode(F.sequence(
-        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
-        .crossJoin(ev.select("event_type").distinct()))
-    g = grid.join(hourly, ["hour", "event_type"], "left")
+    g = _hourly_grid(ev).join(hourly, ["hour", "event_type"], "left")
     back = (Window.partitionBy("event_type").orderBy("hour")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     fwd = (Window.partitionBy("event_type").orderBy("hour")
@@ -445,25 +455,12 @@ def hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("interp_value")))
 
 
-HOURLY_INTERPOLATE_SQL = """
+HOURLY_INTERPOLATE_SQL = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
          round(avg(value), 4) AS v
   FROM events GROUP BY 1, 2
-),
-bounds AS (
-  SELECT min(date_trunc('hour', ts)) AS lo,
-         max(date_trunc('hour', ts)) AS hi
-  FROM events
-),
-grid AS (
-  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
-  FROM bounds
-),
-g AS (
-  SELECT hour, event_type
-  FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM events) t
-),
+),{_HOURLY_GRID_CTES},
 j AS (
   SELECT g.hour, g.event_type, h.v
   FROM g LEFT JOIN hourly h
@@ -767,7 +764,11 @@ def above_class_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the class key instead of a per-row subquery."""
     orders = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority")
-    class_avg = F.avg("o_totalprice").over(w)
+    # the class mean is an order-dependent double accumulation —
+    # membership of the strict > must compare against a ROUNDED
+    # threshold or a price within 1 ULP of its class mean flips on one
+    # engine only (same discipline as tpch important_parts)
+    class_avg = F.round(F.avg("o_totalprice").over(w), 4)
     return (orders
             .select("o_orderpriority", "o_totalprice",
                     class_avg.alias("class_avg"))
@@ -782,7 +783,8 @@ ABOVE_CLASS_AVERAGE_ORDERS_SQL = """
 SELECT o_orderpriority, count(*) AS n_above,
        round(avg(o_totalprice - class_avg), 4) AS avg_margin
 FROM (SELECT o_orderpriority, o_totalprice,
-             avg(o_totalprice) OVER (PARTITION BY o_orderpriority) AS class_avg
+             round(avg(o_totalprice)
+                   OVER (PARTITION BY o_orderpriority), 4) AS class_avg
       FROM orders) t
 WHERE o_totalprice > class_avg
 GROUP BY o_orderpriority
@@ -923,11 +925,16 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("k").isNotNull() & (F.col("k") >= 50)))
 
 
+# json_valid guard: Spark's from_json maps malformed JSON to NULL;
+# DuckDB's json_extract THROWS on it — one bad row must null out, not
+# error the whole oracle query
 PROPS_JSON_EXTRACT_SQL = """
 SELECT event_id, event_type,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+       CAST(json_extract(CASE WHEN json_valid(props) THEN props END,
+                         '$.k') AS BIGINT) AS k
 FROM events
-WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+WHERE CAST(json_extract(CASE WHEN json_valid(props) THEN props END,
+                        '$.k') AS BIGINT) >= 50
 """
 
 
@@ -1001,16 +1008,18 @@ WHERE length(trim(parts[i])) > 0
 
 def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum sampling at different rates (the sampleBy shape)
-    made deterministic: the Knuth multiplicative hash on event_id
-    replaces Bernoulli draws, so task retries at 100 TB can't change
-    the sample (and the oracle can replay it exactly). Pure filter —
-    no shuffle until the summary agg."""
+    made deterministic: the md5 position of event_id (splits.py
+    hash_unit_interval — 60-bit, overflow-free for ANY id, unlike a
+    Knuth multiply which blows int64 past event_id ≈ 3.5e9) replaces
+    Bernoulli draws, so task retries at 100 TB can't change the sample
+    (and the oracle replays it exactly). Pure filter — no shuffle
+    until the summary agg."""
+    from spark_ext_spark.llm.splits import hash_unit_interval
     ev = load(spark, sf_dir, "events")
     frac = (F.when(F.col("event_type") == "purchase", F.lit(1.0))
             .when(F.col("event_type") == "click", F.lit(0.5))
             .otherwise(F.lit(0.1)))
-    keep = ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
-            < frac * F.lit(4294967296))
+    keep = hash_unit_interval("event_id", "strat") < frac
     return (ev.filter(keep)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_sampled"),
@@ -1021,10 +1030,11 @@ STRATIFIED_SAMPLE_EVENTS_SQL = """
 SELECT event_type, count(*) AS n_sampled,
        round(sum(value), 4) AS sampled_value
 FROM events
-WHERE (event_id * 2654435761) % 4294967296
+WHERE ('0x' || substring(md5(event_id::VARCHAR || 'strat'), 1, 15))::BIGINT
+      / 1152921504606846976.0
       < (CASE event_type WHEN 'purchase' THEN 1.0
                          WHEN 'click' THEN 0.5
-                         ELSE 0.1 END) * 4294967296
+                         ELSE 0.1 END)
 GROUP BY event_type
 """
 
@@ -1067,9 +1077,11 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (try_variant_get). Versus from_json, VARIANT needs no up-front
     schema and re-extraction of other paths later costs no re-parse —
     the open-schema answer for 100 TB of heterogeneous props. Output
-    stays plain BIGINT so the oracle can check it."""
+    stays plain BIGINT so the oracle can check it. try_parse_json (not
+    parse_json, which FAILFASTs): one malformed props row must null
+    out, not kill a 100 TB scan."""
     ev = load(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
@@ -1079,13 +1091,16 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("k").alias("max_k")))
 
 
+# json_valid guard mirrors try_variant_get's null-on-malformed contract
 PROPS_VARIANT_EXTRACT_SQL = """
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-           AS sum_k,
-       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-FROM events
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract(CASE WHEN json_valid(props) THEN props END,
+                               '$.k') AS BIGINT) AS k
+      FROM events)
 GROUP BY event_type
 """
 
@@ -1151,7 +1166,9 @@ SELECT event_type,
        round(corr(value, k), 4) AS corr_vk,
        round(covar_samp(value, k), 4) AS covar_vk
 FROM (SELECT event_type, value,
-             CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DOUBLE) AS k
+             CAST(CAST(json_extract(
+                 CASE WHEN json_valid(props) THEN props END,
+                 '$.k') AS BIGINT) AS DOUBLE) AS k
       FROM events)
 GROUP BY event_type
 """
@@ -1223,9 +1240,11 @@ def zorder_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ZORDER_EVENT_KEYS_SQL = """
+-- ((x % m) + m) % m == Spark pmod: DuckDB's bare % is sign-preserving
+-- and would diverge on negative user ids
 SELECT event_id,
        list_sum(list_transform(range(0, 16), i ->
-         (((user_id % 65536 >> i) & 1) << (2*i))
+         (((((user_id % 65536) + 65536) % 65536 >> i) & 1) << (2*i))
          + ((((extract(hour FROM ts) * 60 + extract(minute FROM ts))
               >> i) & 1) << (2*i + 1))))::BIGINT AS zkey
 FROM events
@@ -1271,8 +1290,9 @@ def _hilbert_oracle(bits: int = 16) -> str:
         prev = cur
     return f"""
 WITH h_init AS (
+  -- ((x % m) + m) % m == Spark pmod (bare % is sign-preserving)
   SELECT event_id,
-         CAST(user_id % 65536 AS BIGINT) AS x,
+         CAST(((user_id % 65536) + 65536) % 65536 AS BIGINT) AS x,
          CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts)
               AS BIGINT) AS y,
          CAST(0 AS BIGINT) AS d

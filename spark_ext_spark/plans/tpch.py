@@ -529,8 +529,13 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice")
     brand_lines = lineitem.join(F.broadcast(part),
                                 F.col("l_partkey") == F.col("p_partkey"))
+    # the cutoff is an order-dependent double accumulation: compare
+    # against a ROUNDED threshold so a quantity within 1 ULP of
+    # 0.2·avg can't flip membership on one engine only (same
+    # discipline as important_parts)
     part_avg = (brand_lines.groupBy("p_partkey")
-                .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")))
+                .agg(F.round(F.lit(0.2) * F.avg("l_quantity"), 4)
+                     .alias("qty_cut")))
     return (brand_lines
             .join(F.broadcast(part_avg.withColumnRenamed("p_partkey", "ap")),
                   F.col("l_partkey") == F.col("ap"))
@@ -546,7 +551,7 @@ SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#4'
-  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+  AND l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 4)
                     FROM lineitem l2
                     WHERE l2.l_partkey = p_partkey)
 """

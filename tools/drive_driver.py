@@ -50,10 +50,18 @@ def main():
     queries = em.queries()
     oracles = em.oracle_sql()
     only = sys.argv[1:]
+    unknown = [n for n in only if n not in queries]
+    if unknown:
+        # a typo'd name must not silently produce a green empty run
+        print(f"RESULT unknown query names: {unknown}")
+        sys.exit(2)
     fails, errs = [], []
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # caches accumulate across the sweep otherwise (shingle tables,
+        # ANN assignment caches, ...) — clear like bench.py does
+        spark.catalog.clearCache()
         if name not in oracles:
             try:
                 cnt = fn(spark, SF01).count()
