@@ -54,9 +54,15 @@ def gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("recall", 6).alias("recall"))
 
 
+# zero-denominator CASEs mirror the operator's curve conventions
+# (evaluation.py _recall/_fpr/_reach/_precision): on a single-class or
+# empty refresh DuckDB's x/0 → inf/NULL would diverge from Spark's
+# pinned 0.0/1.0 values
 GAINS_CURVE_SQL = _SL_CTE + """
-SELECT round((tp + fp) / (tot_pos + tot_neg), 6) AS reach,
-       round(tp / tot_pos, 6) AS recall
+SELECT round(CASE WHEN tot_pos + tot_neg = 0 THEN 1.0
+                  ELSE (tp + fp) / (tot_pos + tot_neg) END, 6) AS reach,
+       round(CASE WHEN tot_pos = 0 THEN 0.0
+                  ELSE tp / tot_pos END, 6) AS recall
 FROM cum, tot
 UNION ALL SELECT 0.0, 0.0
 UNION ALL SELECT 1.0, 1.0
@@ -70,8 +76,10 @@ def roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROC_CURVE_SQL = _SL_CTE + """
-SELECT round(fp / tot_neg, 6) AS fpr,
-       round(tp / tot_pos, 6) AS tpr
+SELECT round(CASE WHEN tot_neg = 0 THEN 0.0 ELSE fp / tot_neg END, 6)
+         AS fpr,
+       round(CASE WHEN tot_pos = 0 THEN 0.0 ELSE tp / tot_pos END, 6)
+         AS tpr
 FROM cum, tot
 UNION ALL SELECT 0.0, 0.0
 UNION ALL SELECT 1.0, 1.0
@@ -85,8 +93,11 @@ def lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LIFT_CURVE_SQL = _SL_CTE + """
-SELECT round((tp + fp) / (tot_pos + tot_neg), 6) AS reach,
-       round((tp / tot_pos) / ((tp + fp) / (tot_pos + tot_neg)), 6) AS lift
+SELECT round(CASE WHEN tot_pos + tot_neg = 0 THEN 1.0
+                  ELSE (tp + fp) / (tot_pos + tot_neg) END, 6) AS reach,
+       round((CASE WHEN tot_pos = 0 THEN 0.0 ELSE tp / tot_pos END)
+             / (CASE WHEN tot_pos + tot_neg = 0 THEN 1.0
+                     ELSE (tp + fp) / (tot_pos + tot_neg) END), 6) AS lift
 FROM cum, tot
 """
 
@@ -95,20 +106,31 @@ def auc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _metrics(spark, sf_dir)
     roc_auc = m.area_under_roc()
     pr_auc = m.area_under_pr()
+
+    # floor(x·10⁴ + 0.5)/10⁴ on BOTH engines, not round(): Python's
+    # round is banker's half-even on the binary value while DuckDB's
+    # is half-away — an AUC landing on a .00005 boundary would split
+    # them. The floor chain is the same double ops in the same order.
+    def q4(x: float) -> float:
+        import math
+        return math.floor(x * 10000 + 0.5) / 10000
+
     return spark.createDataFrame(
-        [(round(roc_auc, 4), round(pr_auc, 4))],
+        [(q4(roc_auc), q4(pr_auc))],
         "auc_roc double, auc_pr double")
 
 
 AUC_METRICS_SQL = _SL_CTE + """
 , roc AS (
-  SELECT fp / tot_neg AS fpr, tp / tot_pos AS tpr, 1 AS ord, score
+  SELECT CASE WHEN tot_neg = 0 THEN 0.0 ELSE fp / tot_neg END AS fpr,
+         CASE WHEN tot_pos = 0 THEN 0.0 ELSE tp / tot_pos END AS tpr,
+         1 AS ord, score
   FROM cum, tot
   UNION ALL SELECT 0.0, 0.0, 0, 1e308
   UNION ALL SELECT 1.0, 1.0, 2, -1e308
 ),
 pr AS (
-  SELECT tp / tot_pos AS recall,
+  SELECT CASE WHEN tot_pos = 0 THEN 0.0 ELSE tp / tot_pos END AS recall,
          CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp) END AS precision,
          1 AS ord, score
   FROM cum, tot
@@ -122,8 +144,12 @@ pr_tr AS (
   SELECT (recall - lag(recall) OVER w) * (precision + lag(precision) OVER w) / 2.0 AS trap
   FROM pr WINDOW w AS (ORDER BY ord, score DESC)
 )
-SELECT round((SELECT sum(trap) FROM roc_tr), 4) AS auc_roc,
-       round((SELECT sum(trap) FROM pr_tr), 4) AS auc_pr
+-- floor-quantize (matches the Spark side's q4); empty-input pr sums
+-- to NULL -> the operator's pinned 0.0
+SELECT floor((SELECT sum(trap) FROM roc_tr) * 10000 + 0.5) / 10000
+         AS auc_roc,
+       floor(coalesce((SELECT sum(trap) FROM pr_tr), 0.0) * 10000 + 0.5)
+         / 10000 AS auc_pr
 """
 
 
@@ -203,8 +229,12 @@ counts AS (
   SELECT max(score) AS score, sum(pos) AS pos, sum(neg) AS neg
   FROM (
     SELECT score, pos, neg,
+           -- greatest(..., 1): with < 20 distinct scores the operator
+           -- SKIPS binning (grouping < 2); divisor 1 reproduces that
+           -- (identity bins), where the bare count//10 would be 0 and
+           -- DuckDB's x // 0 = NULL collapses everything into one bin
            (row_number() OVER (ORDER BY score DESC) - 1)
-             // (SELECT count(*) // 10 FROM counts0) AS grp
+             // greatest((SELECT count(*) // 10 FROM counts0), 1) AS grp
     FROM counts0
   )
   GROUP BY grp
@@ -218,8 +248,10 @@ cum AS (
 tot AS (
   SELECT sum(pos) AS tot_pos, sum(neg) AS tot_neg FROM counts
 )
-SELECT round(fp / tot_neg, 6) AS fpr,
-       round(tp / tot_pos, 6) AS tpr
+SELECT round(CASE WHEN tot_neg = 0 THEN 0.0 ELSE fp / tot_neg END, 6)
+         AS fpr,
+       round(CASE WHEN tot_pos = 0 THEN 0.0 ELSE tp / tot_pos END, 6)
+         AS tpr
 FROM cum, tot
 UNION ALL SELECT 0.0, 0.0
 UNION ALL SELECT 1.0, 1.0

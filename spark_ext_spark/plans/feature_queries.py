@@ -118,10 +118,15 @@ FROM gathered g JOIN selected s ON g.event_type = s.key
 
 def string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StringToShortIndexer fit + transform over events.event_type
-    (A9): every event row tagged with its frequency-ordered index."""
+    (A9): every event row tagged with its frequency-ordered index.
+    handleInvalid='skip' (drop null/unseen rows) — the oracle's inner
+    join drops them too; the default 'error' would crash the Spark
+    side on a refresh with one NULL event_type while DuckDB silently
+    dropped it."""
     ev = load(spark, sf_dir, "events")
     model = StringToShortIndexer(inputCol="event_type",
-                                 outputCol="label_idx").fit(ev)
+                                 outputCol="label_idx",
+                                 handleInvalid="skip").fit(ev)
     return (model.transform(ev)
             .select("event_id", "event_type",
                     F.col("label_idx").cast("int").alias("label_idx")))
@@ -154,12 +159,27 @@ def downsampling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "label", F.round("w", 4).alias("w")))
 
 
+# Mirrors the operator exactly (downsampling.py):
+# - fraction is NULL (no-op model, everything w=1.0) when the class
+#   ratio is already within maxClassRatio — the fit only samples when
+#   secondary/primary > 2.0;
+# - the Knuth hash uses the operator's overflow-free split-multiply
+#   ((K·hi mod 2^16)·2^16 + K·lo) mod 2^32 over pmod(key, 2^32), which
+#   is congruent to the naive product but neither overflows BIGINT for
+#   snowflake-scale ids nor goes negative for negative ids.
 DOWNSAMPLING_HASH_SQL = """
 WITH labeled AS (
   SELECT event_id,
          CAST(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
-              AS DOUBLE) AS label
+              AS DOUBLE) AS label,
+         ((event_id % 4294967296) + 4294967296) % 4294967296 AS k32
   FROM events
+),
+hashed AS (
+  SELECT event_id, label,
+         ((((k32 // 65536) * 2654435761) % 65536) * 65536
+          + (k32 % 65536) * 2654435761) % 4294967296 AS h
+  FROM labeled
 ),
 stats AS (
   SELECT sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS p,
@@ -167,16 +187,19 @@ stats AS (
   FROM labeled
 ),
 frac AS (
-  SELECT (p * 2.0) / s AS fraction FROM stats
+  SELECT CASE WHEN s > 2.0 * p THEN (p * 2.0) / s END AS fraction
+  FROM stats
 )
-SELECT event_id, label, CAST(1.0 AS DOUBLE) AS w FROM labeled WHERE label = 1.0
+SELECT event_id, label, CAST(1.0 AS DOUBLE) AS w
+FROM hashed
+WHERE label = 1.0 OR (SELECT fraction FROM frac) IS NULL
 UNION ALL
 SELECT event_id, label,
        round(1.0 / (SELECT fraction FROM frac), 4) AS w
-FROM labeled
-WHERE label = 0.0
-  AND (event_id * 2654435761) % 4294967296
-      < floor((SELECT fraction FROM frac) * 4294967296)
+FROM hashed
+WHERE (SELECT fraction FROM frac) IS NOT NULL
+  AND label = 0.0
+  AND h < floor((SELECT fraction FROM frac) * 4294967296)
 """
 
 

@@ -16,6 +16,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from spark_ext_spark.plans import evaluation_queries as eq  # noqa: E402
+from spark_ext_spark.plans import feature_queries as fq  # noqa: E402
 from spark_ext_spark.plans import relational as rel  # noqa: E402
 from tests.oracle_utils import compare_to_oracle  # noqa: E402
 
@@ -70,6 +72,97 @@ def hostile_duck(hostile_sf):
 def test_hostile_inputs_stay_cross_engine_green(spark, hostile_sf,
                                                 hostile_duck, query, sql):
     compare_to_oracle(query(spark, hostile_sf), hostile_duck, sql)
+
+
+def _events_fixture(spark, tmp_path_factory, name: str, rows):
+    d = str(tmp_path_factory.mktemp(name))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{d}/events.parquet/*.parquet'")
+    return d, con
+
+
+_T = datetime.datetime(2024, 1, 1, 12, 0)
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf(spark, tmp_path_factory):
+    """Single-class events (zero purchases → tot_pos = 0 in every
+    curve), one NULL event_type, and only 4 distinct scores (< 2·10,
+    so numBins=10 binning must be skipped, not divided by zero)."""
+    return _events_fixture(spark, tmp_path_factory, "degenerate", [
+        (1, _T, 1, "click", 1.0, None),
+        (2, _T, 2, "view", 2.0, None),
+        (3, _T, 3, None, 3.0, None),
+        (4, _T, 4, "click", 2.0, None),
+        (5, _T, 5, "view", 4.0, None),
+    ])
+
+
+@pytest.fixture(scope="module")
+def balanced_sf(spark, tmp_path_factory):
+    """secondary:primary = 3:2 ≤ maxClassRatio 2.0 → the Downsampling
+    fit returns a NO-OP model (fraction unset, every weight 1.0); the
+    oracle must take the same branch, not reweight with (2p)/s."""
+    return _events_fixture(spark, tmp_path_factory, "balanced", [
+        (1, _T, 1, "purchase", 1.0, None),
+        (2, _T, 2, "purchase", 2.0, None),
+        (3, _T, 3, "view", 3.0, None),
+        (4, _T, 4, "view", 4.0, None),
+        (5, _T, 5, "click", 5.0, None),
+    ])
+
+
+@pytest.fixture(scope="module")
+def signed_sf(spark, tmp_path_factory):
+    """Sampling branch (4 secondaries : 1 primary > 2.0) with negative
+    and past-overflow event_ids on the Knuth hash key: a naive
+    (id·K) % 2^32 overflows DuckDB's BIGINT at id ≈ 3.47e9 and stays
+    negative for negative ids — both engines must use the pmod
+    split-multiply."""
+    return _events_fixture(spark, tmp_path_factory, "signed", [
+        (-7, _T, 1, "click", 1.0, None),
+        (-4_294_967_299, _T, 2, "view", 2.0, None),
+        (3_474_514_434, _T, 3, "view", 3.0, None),
+        (9_223_372_036_854, _T, 4, "click", 4.0, None),
+        (42, _T, 5, "purchase", 5.0, None),
+    ])
+
+
+@pytest.mark.parametrize("query,sql", [
+    (eq.gains_curve, eq.GAINS_CURVE_SQL),
+    (eq.roc_curve, eq.ROC_CURVE_SQL),
+    (eq.lift_curve, eq.LIFT_CURVE_SQL),
+    (eq.auc_metrics, eq.AUC_METRICS_SQL),
+    (eq.roc_curve_binned, eq.ROC_CURVE_BINNED_SQL),
+    (eq.precision_by_threshold, eq.PRECISION_BY_THRESHOLD_SQL),
+    (eq.recall_by_threshold, eq.RECALL_BY_THRESHOLD_SQL),
+    (eq.f_measure_by_threshold, eq.F_MEASURE_BY_THRESHOLD_SQL),
+    (fq.string_indexer, fq.STRING_INDEXER_SQL),
+], ids=["gains_single_class", "roc_single_class", "lift_single_class",
+        "auc_single_class", "roc_binned_low_cardinality",
+        "precision_single_class", "recall_single_class",
+        "f_measure_single_class", "indexer_null_label"])
+def test_degenerate_events_stay_cross_engine_green(spark, degenerate_sf,
+                                                   query, sql):
+    """Zero-denominator curve conventions (recall/fpr = 0.0 when a
+    class is absent), skip-binning below 2·numBins distinct scores,
+    and handleInvalid='skip' on a NULL label — each would split the
+    engines on a refresh even though the sf0.01 sweep is green."""
+    d, con = degenerate_sf
+    compare_to_oracle(query(spark, d), con, sql)
+
+
+@pytest.mark.parametrize("fixture", ["balanced_sf", "signed_sf"],
+                         ids=["noop_branch", "hostile_hash_keys"])
+def test_downsampling_hash_branches_cross_engine(spark, fixture, request):
+    d, con = request.getfixturevalue(fixture)
+    compare_to_oracle(fq.downsampling_hash(spark, d), con,
+                      fq.DOWNSAMPLING_HASH_SQL)
 
 
 def test_zorder_keys_nonnegative_for_negative_ids(spark, hostile_sf):
