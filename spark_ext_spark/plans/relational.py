@@ -26,6 +26,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _lattice_avg_4dp(col: str, alias: str = "avg_v"):
+    """4-decimal group average that is bit-identical across engines AND
+    across partitionings: a bare ``round(avg(x), 4)`` is
+    order-dependent double summation, and with mostly-2-decimal inputs
+    (l_discount, o_totalprice, c_acctbal, events.value — ~90% on the
+    cent lattice) the true average lands EXACTLY on .00005 half-grid
+    points, so reorder ULP noise flips the rounding (3 of 3600 hourly
+    buckets at sf0.1 — invisible at sf0.01's group sizes). Instead sum
+    exact integers on a 1e-6 lattice (associative →
+    order-independent), then quantize with the same-ordered double ops
+    both engines run: floor((S/n)/1e2 + 0.5)/1e4. The 1e-6 input
+    quantization perturbs the mean by <5e-7 — invisible at 4 decimals
+    except exactly on the boundaries it exists to pin down. Integer-
+    valued inputs (l_quantity, counts) don't need this: their double
+    sums are exact and associative at any order. Oracle twin:
+    _lattice_avg_4dp_sql."""
+    lat = F.floor(F.col(col) * F.lit(1e6) + F.lit(5e-1))
+    s, n = F.sum(lat), F.count(col)
+    return (F.when(n == 0, F.lit(None).cast("double"))
+            .otherwise(F.floor((s / n) / F.lit(1e2) + F.lit(5e-1))
+                       / F.lit(1e4))
+            .alias(alias))
+
+
+# the matching oracle aggregate — CAST to BIGINT so DuckDB's HUGEINT
+# sum never reaches the driver's canonicalizer
+def _lattice_avg_4dp_sql(expr: str) -> str:
+    return (f"CASE WHEN count({expr}) = 0 THEN NULL ELSE "
+            f"floor((CAST(sum(CAST(floor(({expr}) * 1e6 + 5e-1) AS BIGINT)) "
+            f"AS BIGINT) / count({expr})) / 1e2 + 5e-1) / 1e4 END")
+
+
 # --- aggregation ----------------------------------------------------------
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,17 +72,22 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                   .alias("sum_disc_price"),
                  F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 # lattice, not round(avg(..)): l_discount is mostly
+                 # 2-decimal, so its true mean lands on .00005 halves
+                 # where summation-order ULP noise flips round() —
+                 # see _lattice_avg_4dp. avg_qty is integer-valued →
+                 # exact associative sum → plain avg is deterministic.
+                 _lattice_avg_4dp("l_discount", alias="avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
-PRICING_SUMMARY_SQL = """
+PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4)                            AS sum_qty,
        round(sum(l_extendedprice), 4)                       AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4)    AS sum_disc_price,
        round(avg(l_quantity), 4)                            AS avg_qty,
-       round(avg(l_discount), 4)                            AS avg_disc,
+       {_lattice_avg_4dp_sql('l_discount')}                 AS avg_disc,
        count(*)                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -382,7 +419,7 @@ def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
                          "event_type")
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.avg("value"), 4).alias("avg_v")))
+                   _lattice_avg_4dp("value")))
     grid = _hourly_grid(ev)
     w = (Window.partitionBy("event_type").orderBy("hour")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -396,7 +433,7 @@ def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOURLY_GAPFILL_SQL = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
-         count(*) AS n, round(avg(value), 4) AS avg_v
+         count(*) AS n, {_lattice_avg_4dp_sql('value')} AS avg_v
   FROM events GROUP BY 1, 2
 ),{_HOURLY_GRID_CTES}
 SELECT g.hour, g.event_type,
@@ -421,7 +458,7 @@ def hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
                          "event_type")
-              .agg(F.round(F.avg("value"), 4).alias("v")))
+              .agg(_lattice_avg_4dp("value", alias="v")))
     g = _hourly_grid(ev).join(hourly, ["hour", "event_type"], "left")
     back = (Window.partitionBy("event_type").orderBy("hour")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -458,7 +495,7 @@ def hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOURLY_INTERPOLATE_SQL = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
-         round(avg(value), 4) AS v
+         {_lattice_avg_4dp_sql('value')} AS v
   FROM events GROUP BY 1, 2
 ),{_HOURLY_GRID_CTES},
 j AS (
@@ -572,13 +609,13 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (orders
             .cube("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+                 _lattice_avg_4dp("o_totalprice", alias="avg_price")))
 
 
-CUBE_ORDER_STATS_SQL = """
+CUBE_ORDER_STATS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       round(avg(o_totalprice), 4) AS avg_price
+       {_lattice_avg_4dp_sql('o_totalprice')} AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -743,14 +780,14 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("c_acctbal"), 4).alias("lo"),
                  F.round(F.max("c_acctbal"), 4).alias("hi"),
-                 F.round(F.avg("c_acctbal"), 4).alias("mean")))
+                 _lattice_avg_4dp("c_acctbal", alias="mean")))
 
 
-ACCTBAL_DECILES_SQL = """
+ACCTBAL_DECILES_SQL = f"""
 SELECT decile, count(*) AS n,
        round(min(c_acctbal), 4) AS lo,
        round(max(c_acctbal), 4) AS hi,
-       round(avg(c_acctbal), 4) AS mean
+       {_lattice_avg_4dp_sql('c_acctbal')} AS mean
 FROM (SELECT c_acctbal,
              ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
       FROM customer) t
@@ -764,27 +801,41 @@ def above_class_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the class key instead of a per-row subquery."""
     orders = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority")
-    # the class mean is an order-dependent double accumulation —
-    # membership of the strict > must compare against a ROUNDED
-    # threshold or a price within 1 ULP of its class mean flips on one
-    # engine only (same discipline as tpch important_parts)
-    class_avg = F.round(F.avg("o_totalprice").over(w), 4)
+    # lattice class mean (see _lattice_avg_4dp): the window avg is
+    # doubly hazardous — order-dependent accumulation (DuckDB's
+    # segment tree vs Spark's running sum) AND a mostly-2-decimal
+    # input whose true mean sits on round()'s half-grid. Exact BIGINT
+    # window sums make the threshold identical on both engines, so the
+    # strict > membership can't flip. The margin re-average gets the
+    # same treatment (margins are mostly on a 1e-4 lattice after the
+    # 4dp class_avg subtraction).
+    lat = F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(5e-1))
+    class_avg = (F.floor((F.sum(lat).over(w) / F.count(F.lit(1)).over(w))
+                         / F.lit(1e2) + F.lit(5e-1)) / F.lit(1e4))
+    margin = F.col("o_totalprice") - F.col("class_avg")
+    mlat = F.floor(margin * F.lit(1e6) + F.lit(5e-1))
     return (orders
             .select("o_orderpriority", "o_totalprice",
                     class_avg.alias("class_avg"))
             .filter(F.col("o_totalprice") > F.col("class_avg"))
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_above"),
-                 F.round(F.avg(F.col("o_totalprice") - F.col("class_avg")), 4)
+                 (F.floor((F.sum(mlat) / F.count(F.lit(1)))
+                          / F.lit(1e2) + F.lit(5e-1)) / F.lit(1e4))
                  .alias("avg_margin")))
 
 
 ABOVE_CLASS_AVERAGE_ORDERS_SQL = """
 SELECT o_orderpriority, count(*) AS n_above,
-       round(avg(o_totalprice - class_avg), 4) AS avg_margin
+       floor((CAST(sum(CAST(floor((o_totalprice - class_avg) * 1e6 + 5e-1)
+                           AS BIGINT)) AS BIGINT)
+              / count(*)) / 1e2 + 5e-1) / 1e4 AS avg_margin
 FROM (SELECT o_orderpriority, o_totalprice,
-             round(avg(o_totalprice)
-                   OVER (PARTITION BY o_orderpriority), 4) AS class_avg
+             floor((CAST(sum(CAST(floor(o_totalprice * 1e6 + 5e-1)
+                                 AS BIGINT))
+                           OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                    / count(*) OVER (PARTITION BY o_orderpriority))
+                   / 1e2 + 5e-1) / 1e4 AS class_avg
       FROM orders) t
 WHERE o_totalprice > class_avg
 GROUP BY o_orderpriority

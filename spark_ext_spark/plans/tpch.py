@@ -192,7 +192,14 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (load(spark, sf_dir, "orders")
               .filter(F.col("o_orderpriority") == "1-URGENT"))
     from spark_ext_spark.functions import attach_scalar_agg
-    rich = (attach_scalar_agg(customer, {"avg_bal": F.avg("c_acctbal")},
+    # deterministic threshold: a bare avg() is an order-dependent
+    # double sum, so a balance within 1 ULP of the mean could pass the
+    # strict > on one engine/partitioning only. Exact 1e-6-lattice
+    # BIGINT sum, then the same division chain on both engines
+    # (relational._lattice_avg_4dp rationale, unquantized output).
+    lat = F.floor(F.col("c_acctbal") * F.lit(1e6) + F.lit(5e-1))
+    avg_bal = (F.sum(lat) / F.count("c_acctbal")) / F.lit(1e6)
+    rich = (attach_scalar_agg(customer, {"avg_bal": avg_bal},
                               source=customer.filter(F.col("c_acctbal") > 0))
             .filter(F.col("c_acctbal") > F.col("avg_bal")))
     idle = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"),
@@ -206,7 +213,10 @@ IDLE_RICH_CUSTOMERS_SQL = """
 SELECT c_nationkey, count(*) AS n_customers,
        round(sum(c_acctbal), 4) AS total_acctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT (CAST(sum(CAST(floor(c_acctbal * 1e6 + 5e-1)
+                                        AS BIGINT)) AS BIGINT)
+                           / count(c_acctbal)) / 1e6
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
@@ -758,9 +768,18 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_regionkey") == F.col("r_regionkey"))
                  .filter(F.col("r_name") == "EUROPE")
                  .select("s_suppkey", "s_name"))
+    # 1e-6-lattice average (relational._lattice_avg_4dp rationale): a
+    # bare round(avg(ratio), 4) is order-dependent double summation
+    # and flips on .00005 half-grid averages at sf0.1 group sizes —
+    # worse here than a value drift, since the min-cost equality join
+    # then includes/excludes whole suppliers nondeterministically.
+    ratio = F.col("l_extendedprice") / F.col("l_quantity")
+    lat = F.floor(ratio * F.lit(1e6) + F.lit(5e-1))
     ps = (lineitem.groupBy("l_partkey", "l_suppkey")
-          .agg(F.round(F.avg(F.col("l_extendedprice")
-                             / F.col("l_quantity")), 4).alias("unit_cost")))
+          .agg(F.sum(lat).alias("__s"), F.count(ratio).alias("__n"))
+          .select("l_partkey", "l_suppkey",
+                  (F.floor((F.col("__s") / F.col("__n")) / F.lit(1e2)
+                           + F.lit(5e-1)) / F.lit(1e4)).alias("unit_cost")))
     cand = (ps
             .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
             .join(F.broadcast(euro_supp),
@@ -777,8 +796,14 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIN_COST_SUPPLIER_SQL = """
 WITH ps AS (
+  -- 1e-6-lattice average, mirroring the Spark side op-for-op (see
+  -- relational._lattice_avg_4dp): exact BIGINT sum, then the same
+  -- floor-quantize double chain
   SELECT l_partkey, l_suppkey,
-         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+         floor((CAST(sum(CAST(floor((l_extendedprice / l_quantity) * 1e6
+                                    + 5e-1) AS BIGINT)) AS BIGINT)
+                / count(l_extendedprice / l_quantity)) / 1e2 + 5e-1)
+           / 1e4 AS unit_cost
   FROM lineitem GROUP BY 1, 2
 ),
 euro AS (

@@ -1,6 +1,13 @@
-"""Driver simulation: entry() smoke at sf0.001 + oracle hash-compare at sf0.01."""
+"""Driver simulation: entry() smoke at sf0.001 + oracle hash-compare at sf0.01.
+
+Set SPARK_GRAFT_ORACLE_SF_DIR to sweep the oracle compare at another
+scale factor (e.g. /root/testdata/sf0.1) — queries green at sf0.01
+but hash-failing at sf0.1 would reveal scale-dependent determinism
+(sampling, quantiles, iteration counts) before a testdata refresh does.
+"""
 import hashlib
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -10,7 +17,7 @@ import __spark_entry__ as em
 from spark_ext_spark.session import get_spark
 
 SF001 = "/root/testdata/sf0.001"
-SF01 = "/root/testdata/sf0.01"
+SF01 = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
