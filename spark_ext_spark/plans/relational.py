@@ -41,7 +41,13 @@ def _lattice_avg_4dp(col: str, alias: str = "avg_v"):
     except exactly on the boundaries it exists to pin down. Integer-
     valued inputs (l_quantity, counts) don't need this: their double
     sums are exact and associative at any order. Oracle twin:
-    _lattice_avg_4dp_sql."""
+    _lattice_avg_4dp_sql.
+
+    Scale headroom: the BIGINT lattice sum holds |x|·1e6·n_group up
+    to 9.2e18 — e.g. ~1.8e7 rows/group at |x|≈5e5. Past that, ANSI
+    mode fails loudly (no silent wrap); for 100 TB group sizes cast
+    the lattice to decimal(38,0) before summing (exact to 1e38,
+    still associative) and mirror the cast in the oracle."""
     lat = F.floor(F.col(col) * F.lit(1e6) + F.lit(5e-1))
     s, n = F.sum(lat), F.count(col)
     return (F.when(n == 0, F.lit(None).cast("double"))

@@ -34,6 +34,26 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def resolve_conf(extra_conf: dict[str, str] | None = None) -> dict[str, str]:
+    """Merge DEFAULT_CONF ← SPARK_GRAFT_EXTRA_CONF (JSON env) ← extra_conf.
+
+    The env override, e.g. ``'{"spark.sql.shuffle.partitions": "5"}'``,
+    lets the verify tooling replay the whole suite under adversarial
+    configs (odd parallelism, AQE off) to prove results are
+    partitioning-invariant — the axis that actually changes between
+    local[32] and a 1000-executor cluster. Caller-supplied
+    ``extra_conf`` stays strongest so operator tests keep their pins.
+    """
+    conf = dict(DEFAULT_CONF)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+        conf.update(json.loads(env_conf))
+    if extra_conf:
+        conf.update(extra_conf)
+    return conf
+
+
 def get_spark(
     app_name: str = "spark_ext_spark",
     master: str | None = None,
@@ -44,9 +64,6 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    conf = dict(DEFAULT_CONF)
-    if extra_conf:
-        conf.update(extra_conf)
-    for k, v in conf.items():
+    for k, v in resolve_conf(extra_conf).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -42,7 +42,9 @@ def canon(rows, cols):
 
 
 def main():
-    spark = get_spark("verify-driver", master="local[8]")
+    spark = get_spark("verify-driver",
+                      master=os.environ.get("SPARK_GRAFT_MASTER",
+                                            "local[8]"))
     spark.sparkContext.setLogLevel("ERROR")
     res = em.entry(spark)
     n = len(res.collect())
