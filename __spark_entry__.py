@@ -188,6 +188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_reduction_report": lq.dedup_reduction_report,
         "winnow_pairs": lq.winnow_pairs,
         "language_mix_report": lq.language_mix_report,
+        # deterministic-sketch companions to the two rows-only HLL
+        # queries above — same estimates' math, md5 hash space, so the
+        # sketch VALUES (not just row counts) are oracle-checked
+        "kmv_user_stats": rel.kmv_user_stats,
+        "theta_user_rollup": rel.theta_user_rollup,
     }
 
 
@@ -306,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_reduction_report": lq.DEDUP_REDUCTION_REPORT_SQL,
         "winnow_pairs": lq.WINNOW_PAIRS_SQL,
         "language_mix_report": lq.LANGUAGE_MIX_REPORT_SQL,
+        "kmv_user_stats": rel.KMV_USER_STATS_SQL,
+        "theta_user_rollup": rel.THETA_USER_ROLLUP_SQL,
         "doc_chunks": lq.DOC_CHUNKS_SQL,
         "pii_redaction": lq.PII_REDACTION_SQL,
         "doc_repetition": lq.DOC_REPETITION_SQL,

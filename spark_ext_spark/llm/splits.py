@@ -22,21 +22,28 @@ from pyspark.sql import functions as F
 from spark_ext_spark.llm.text import tokens
 from spark_ext_spark.operators.prefix import partitioned_cumulative_sums
 
-__all__ = ["hash_unit_interval", "hash_split", "pack_sequences",
+__all__ = ["hash60", "hash_unit_interval", "hash_split", "pack_sequences",
            "score_top_fraction",
            "temperature_mix_sample", "length_bucketed_batches",
            "source_cap_sample", "hash_sample_k"]
 
 
-def hash_unit_interval(key: Column | str, salt: str = "") -> Column:
-    """Deterministic uniform [0,1) from a key: low 60 bits (15 hex
-    chars) of md5(key||salt) / 2^60. md5 (not xxhash64) so external
-    systems — DuckDB, Python, SQL engines — reproduce the assignment
-    bit-for-bit."""
+def hash60(key: Column | str, salt: str = "") -> Column:
+    """Deterministic 60-bit integer hash of a key: the first 15 hex
+    chars of md5(key||salt) as a BIGINT. md5 (not xxhash64) so external
+    systems — DuckDB, Python, SQL engines — reproduce the value
+    bit-for-bit; 60 bits so it is exactly representable in both int64
+    and float64. The shared primitive behind hash_unit_interval and
+    the KMV/theta distinct sketches (operators/sketches.py)."""
     c = F.col(key) if isinstance(key, str) else key
-    h = F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))),
-                           1, 15), 16, 10).cast("long")
-    return h / F.lit(float(1 << 60))
+    return F.conv(F.substring(F.md5(F.concat(c.cast("string"),
+                                             F.lit(salt))),
+                              1, 15), 16, 10).cast("long")
+
+
+def hash_unit_interval(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) from a key: hash60(key||salt) / 2^60."""
+    return hash60(key, salt) / F.lit(float(1 << 60))
 
 
 def hash_split(df: DataFrame, key_col: str,

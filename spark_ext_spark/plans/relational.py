@@ -1250,6 +1250,92 @@ def sketch_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("distinct_users_est")))
 
 
+def kmv_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable companion to approx_user_stats: per-event-
+    type distinct-user estimates via the deterministic KMV sketch
+    (operators/sketches.kmv_distinct, md5-60-bit hash space) instead
+    of engine-internal HLL registers. k=64 so the sf0.01 driver run
+    (150 distinct users/type) exercises the (k-1)/U(k) estimator, not
+    just the exact-below-k branch. The estimate itself — not merely
+    the row count — hash-matches DuckDB replaying the identical
+    sketch math."""
+    from spark_ext_spark.operators.sketches import kmv_distinct
+    ev = load(spark, sf_dir, "events")
+    return (kmv_distinct(ev, "user_id", ["event_type"], k=64, salt="kmv")
+            .select("event_type", "k_eff", "kth_hash", "distinct_est"))
+
+
+KMV_USER_STATS_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5(user_id::VARCHAR || 'kmv'), 1, 15))::BIGINT
+             AS h
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS k_eff,
+       max(h) AS kth_hash,
+       round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0
+                       / CAST(max(h) AS DOUBLE) END, 4) AS distinct_est
+FROM r WHERE rn <= 64
+GROUP BY event_type
+"""
+
+
+def theta_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable companion to sketch_user_rollup: the same
+    day→month incremental-rollup shape, with the per-day summary a
+    fixed-threshold theta sketch (deterministic kept-hash set below
+    p·2^60) instead of an HLL binary. The month-level distinct-user
+    answer is the UNION of the per-day kept sets — re-aggregating
+    sketches, never raw rows — and every value hash-matches DuckDB
+    replaying the identical hash-space sample."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    from spark_ext_spark.llm.splits import hash60
+    p = 0.25
+    theta = int(p * (1 << 60))
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    # per-day sketch contents (what a real pipeline would persist)
+    daily_kept = (ev.where(hash60("user_id", "theta") < theta)
+                  .select(day, hash60("user_id", "theta").alias("h"))
+                  .distinct())
+    merged = daily_kept.select("h").distinct()
+    base = ev.agg(F.countDistinct(F.date_format("ts", "yyyy-MM-dd"))
+                  .alias("n_days"),
+                  F.count(F.lit(1)).alias("n_events"))
+    est = merged.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.count(F.lit(1)).cast("double") / F.lit(p), 4)
+        .alias("distinct_users_est"))
+    # two scalar one-row frames — the join is a broadcast of one row
+    return base.crossJoin(est)
+
+
+THETA_USER_ROLLUP_SQL = """
+WITH kept AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         ('0x' || substring(md5(user_id::VARCHAR || 'theta'), 1, 15))::BIGINT
+             AS h
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND ('0x' || substring(md5(user_id::VARCHAR || 'theta'), 1, 15))::BIGINT
+        < 288230376151711744
+), merged AS (SELECT DISTINCT h FROM kept)
+SELECT (SELECT CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+        FROM events WHERE user_id IS NOT NULL) AS n_days,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM events WHERE user_id IS NOT NULL) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(count(*) AS DOUBLE) / 0.25, 4) AS distinct_users_est
+FROM merged
+"""
+
+
 def lineitem_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unpivot/melt (wide → long, the inverse of priority_pivot): four
     lineitem measures stacked into (measure, value) rows, then one

@@ -12,13 +12,19 @@ LLM-pipeline ops that matter on a live ingest path:
   pure expressions, so they run identically on a stream.
 - ``streaming_event_counts``: watermarked sliding-window event rollup
   (the canonical late-data-tolerant aggregate).
+- ``streaming_distinct_estimate``: per-window approximate distinct via
+  the deterministic fixed-theta sketch — streaming aggregation allows
+  neither count(DISTINCT) nor sketch aggs, and this bounds dedup state
+  to a p-fraction of the distinct keys (batch twin:
+  operators/sketches.theta_distinct).
 
 All builders take/return streaming DataFrames and never call an
 action; sinks are the caller's choice (tests use the memory sink).
 """
 
 from spark_ext_spark.streaming.ops import (  # noqa: F401
-    foreach_batch_upsert, streaming_dedup_exact, streaming_enrich,
+    foreach_batch_upsert, streaming_dedup_exact,
+    streaming_distinct_estimate, streaming_enrich,
     streaming_event_counts, streaming_gather, streaming_interval_join,
     streaming_text_quality)
 from spark_ext_spark.streaming.stateful import (  # noqa: F401

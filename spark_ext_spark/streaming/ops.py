@@ -71,6 +71,49 @@ def streaming_dedup_exact(docs: DataFrame, ts_col: str, id_col: str,
     return digested.dropDuplicatesWithinWatermark(["digest"])
 
 
+def streaming_distinct_estimate(events: DataFrame, ts_col: str = "ts",
+                                key_col: str = "user_id",
+                                window: str = "10 minutes",
+                                watermark: str = "20 minutes",
+                                p: float = 0.25,
+                                salt: str = "") -> DataFrame:
+    """Approximate distinct-count per event-time window with bounded,
+    tunable state — the streaming twin of the fixed-theta sketch
+    (operators/sketches.theta_distinct, same md5-60 hash space, same
+    estimate math).
+
+    Streaming aggregation supports neither ``count(DISTINCT)`` nor
+    sketch aggregates, and the exact alternative (dropDuplicates on
+    the raw key) holds one state row per distinct key. Keeping only
+    keys that hash below p·2^60 — a deterministic p-fraction sample
+    of the KEY space, so duplicate arrivals can never bias it — cuts
+    dedup state to p·D rows and makes the estimate ``n_kept / p``.
+    Deterministic: micro-batch boundaries, retries, and replays
+    cannot change which keys are kept, unlike arrival-order-fed
+    sketches. Two chained stateful operators (dedup → windowed agg),
+    legal in Spark 4 append mode; state for closed windows is evicted
+    by the watermark."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"streaming_distinct_estimate needs 0 < p <= 1,"
+                         f" got {p}")
+    from spark_ext_spark.llm.splits import hash60
+    theta = int(p * (1 << 60))
+    h = hash60(key_col, salt)
+    kept = (events
+            .withWatermark(ts_col, watermark)
+            .where(F.col(key_col).isNotNull() & (h < theta))
+            .select(F.window(ts_col, window).alias("win"),
+                    h.alias("__h"))
+            .dropDuplicates(["win", "__h"]))
+    n = F.count(F.lit(1))
+    return (kept.groupBy("win")
+            .agg(n.alias("n_kept"),
+                 F.round(n.cast("double") / F.lit(p), 4)
+                 .alias("distinct_est"))
+            .select(F.col("win.start").alias("window_start"),
+                    "n_kept", "distinct_est"))
+
+
 def streaming_enrich(events: DataFrame, dim: DataFrame,
                      on: str, how: str = "left") -> DataFrame:
     """Stream-static join: enrich a stream against a batch dimension

@@ -165,7 +165,9 @@ def test_no_query_plans_cartesian(spark, sf_small):
                         "gather_encoder_top", "gather_encoder_top_allother",
                         "gather_encoder_index", "gather_encoder_distfit",
                         # 1-row fitted-beta attach per Newton iteration
-                        "lr_newton_steps"}
+                        "lr_newton_steps",
+                        # 1-row sketch-estimate × 1-row base-stats attach
+                        "theta_user_rollup"}
     offenders = {}
     for name, fn in entrymod.queries().items():
         p = plan_of(fn(spark, sf_small))

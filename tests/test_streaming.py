@@ -194,3 +194,52 @@ def test_foreach_batch_upsert_never_wipes_store_on_bad_batch(spark, tmp_path):
         sink(bad, 1)                               # missing column v
     got = {r["k"] for r in spark.read.parquet(store).collect()}
     assert got == {1}                              # store intact
+
+
+def test_streaming_distinct_estimate(spark, tmp_path_factory):
+    """Theta-sketch streaming distinct: p=1 degenerates to exact
+    per-window distinct counts; p=0.5 must equal the Python replay of
+    the same md5-60 hash-space sample (determinism, not luck)."""
+    import hashlib
+
+    from spark_ext_spark.streaming import streaming_distinct_estimate
+
+    d = tmp_path_factory.mktemp("distinct_stream")
+    rows = []
+    # window [00:00,00:10): users 0..19, each twice; one NULL key
+    for u in range(20):
+        rows += [(f"2024-01-01 00:0{u % 10}:00", u)] * 2
+    rows.append(("2024-01-01 00:05:00", None))
+    # window [00:10,00:20): users 0..9, each twice
+    for u in range(10):
+        rows += [(f"2024-01-01 00:1{u}:00", u)] * 2
+    rows.append(("2024-01-01 02:00:00", 99))  # watermark flush
+    df = spark.createDataFrame(rows, "ts string, user_id long") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "in"))
+
+    def run(name, p):
+        stream = spark.readStream.schema(df.schema).parquet(str(d / "in"))
+        out = streaming_distinct_estimate(
+            stream, "ts", "user_id", window="10 minutes",
+            watermark="20 minutes", p=p, salt="st")
+        _run_to_memory(out, name)
+        return {str(r["window_start"]): (r["n_kept"], r["distinct_est"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    exact = run("theta_p1", 1.0)
+    assert exact["2024-01-01 00:00:00"] == (20, 20.0)  # NULL excluded
+    assert exact["2024-01-01 00:10:00"] == (10, 10.0)
+
+    def kept(users, p):
+        theta = int(p * (1 << 60))
+        return sum(1 for u in users if int(hashlib.md5(
+            f"{u}st".encode()).hexdigest()[:15], 16) < theta)
+
+    half = run("theta_p05", 0.5)
+    k0, k1 = kept(range(20), 0.5), kept(range(10), 0.5)
+    assert half["2024-01-01 00:00:00"] == (k0, round(k0 / 0.5, 4))
+    assert half["2024-01-01 00:10:00"] == (k1, round(k1 / 0.5, 4))
+
+    with pytest.raises(ValueError):
+        streaming_distinct_estimate(df, p=0.0)

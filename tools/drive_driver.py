@@ -98,6 +98,29 @@ def main():
             errs.append(name)
             print(f"{name}: ERR {type(e).__name__}: {str(e)[:200]}")
     print(f"RESULT fails={fails} errs={errs}")
+    # Committed evidence artifact, same convention as bench.py's
+    # BENCH_local.json: full runs (no name filter) record the sweep so
+    # per-round results beyond the driver's 50-query window are
+    # inspectable from the repo, not just from session logs.
+    if not only:
+        key = (f"{spark.sparkContext.master}"
+               f" conf={os.environ.get('SPARK_GRAFT_EXTRA_CONF') or '{}'}"
+               f" sf={SF01}")
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "CORRECTNESS_local.json")
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            doc = {}
+        doc[key] = {
+            "n_queries": len(queries),
+            "n_oracle": sum(1 for n in queries if n in oracles),
+            "fails": fails,
+            "errs": errs,
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
     spark.stop()
     sys.exit(1 if (fails or errs) else 0)
 
