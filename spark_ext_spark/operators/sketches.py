@@ -48,9 +48,26 @@ from pyspark.sql import functions as F
 
 from spark_ext_spark.llm.splits import hash60
 
-__all__ = ["kmv_distinct", "theta_distinct"]
+__all__ = ["kmv_distinct", "theta_distinct", "theta_threshold",
+           "theta_estimate"]
 
 _TWO60 = float(1 << 60)
+
+
+def theta_threshold(p: float) -> int:
+    """Validated kept-hash threshold p·2^60 — THE sketch parameter.
+    Shared by the batch operator, the rollup query, and the streaming
+    estimator so the hash width / rounding can never drift between
+    them (their oracles replay the same literal)."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"theta sketch needs 0 < p <= 1, got {p}")
+    return int(p * (1 << 60))
+
+
+def theta_estimate(n_kept: Column, p: float) -> Column:
+    """Estimate distinct count from a kept-hash count: n/p, rounded to
+    the repo-wide 4dp oracle contract."""
+    return F.round(n_kept.cast("double") / F.lit(p), 4)
 
 
 def _estimate(k_eff: Column, kth: Column, k: int) -> Column:
@@ -117,23 +134,33 @@ def theta_distinct(
     ``group_cols`` from the deterministic p-fraction of the hash
     space below theta = p·2^60.
 
-    Returns ``n_kept`` and ``distinct_est`` = n_kept / p. The kept
-    set is union-mergeable across groups/partitions/days, so rollups
-    re-aggregate sketches instead of raw rows; ``theta_distinct`` of
-    the union equals the union of sketches by construction (asserted
-    in tests/test_sketches.py). Relative error ~ 1/sqrt(p·D) — choose
+    Returns ``n_kept`` and ``distinct_est`` = n_kept / p — one row for
+    EVERY group that has a non-null key, including groups whose kept
+    set is empty (n_kept=0, distinct_est=0.0): a small group can
+    legitimately sample to nothing, and that must stay distinguishable
+    from the group being absent. The kept set is union-mergeable
+    across groups/partitions/days, so rollups re-aggregate sketches
+    instead of raw rows; ``theta_distinct`` of the union equals the
+    union of sketches by construction (asserted in
+    tests/test_sketches.py). Relative error ~ 1/sqrt(p·D) — choose
     p against the smallest distinct count you care about.
     """
-    if not 0.0 < p <= 1.0:
-        raise ValueError(f"theta_distinct needs 0 < p <= 1, got {p}")
+    theta = theta_threshold(p)
     group_cols = list(group_cols or [])
-    theta = int(p * (1 << 60))
-    kept = (df.where(F.col(key).isNotNull())
-            .select(*group_cols, hash60(key, salt).alias("__h"))
+    nn = df.where(F.col(key).isNotNull())
+    kept = (nn.select(*group_cols, hash60(key, salt).alias("__h"))
             .where(F.col("__h") < theta)
             .distinct())
     n = F.count(F.lit(1))
-    return (kept.groupBy(*group_cols)
-            .agg(n.alias("n_kept"),
-                 F.round(n.cast("double") / F.lit(p), 4)
-                 .alias("distinct_est")))
+    agg = (kept.groupBy(*group_cols)
+           .agg(n.alias("n_kept"),
+                theta_estimate(n, p).alias("distinct_est")))
+    if not group_cols:
+        # global aggregation always emits its one row, count()=0 incl.
+        return agg
+    groups = nn.select(*group_cols).distinct()
+    return (groups.join(agg, group_cols, "left")
+            .select(*group_cols,
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("distinct_est", F.lit(0.0))
+                    .alias("distinct_est")))

@@ -1295,10 +1295,12 @@ def theta_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer is the UNION of the per-day kept sets — re-aggregating
     sketches, never raw rows — and every value hash-matches DuckDB
     replaying the identical hash-space sample."""
-    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     from spark_ext_spark.llm.splits import hash60
+    from spark_ext_spark.operators.sketches import (theta_estimate,
+                                                    theta_threshold)
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     p = 0.25
-    theta = int(p * (1 << 60))
+    theta = theta_threshold(p)
     day = F.date_format("ts", "yyyy-MM-dd").alias("day")
     # per-day sketch contents (what a real pipeline would persist)
     daily_kept = (ev.where(hash60("user_id", "theta") < theta)
@@ -1308,10 +1310,9 @@ def theta_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.agg(F.countDistinct(F.date_format("ts", "yyyy-MM-dd"))
                   .alias("n_days"),
                   F.count(F.lit(1)).alias("n_events"))
-    est = merged.agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.count(F.lit(1)).cast("double") / F.lit(p), 4)
-        .alias("distinct_users_est"))
+    n = F.count(F.lit(1))
+    est = merged.agg(n.alias("n_kept"),
+                     theta_estimate(n, p).alias("distinct_users_est"))
     # two scalar one-row frames — the join is a broadcast of one row
     return base.crossJoin(est)
 

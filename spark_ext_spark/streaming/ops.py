@@ -92,24 +92,29 @@ def streaming_distinct_estimate(events: DataFrame, ts_col: str = "ts",
     cannot change which keys are kept, unlike arrival-order-fed
     sketches. Two chained stateful operators (dedup → windowed agg),
     legal in Spark 4 append mode; state for closed windows is evicted
-    by the watermark."""
-    if not 0.0 < p <= 1.0:
-        raise ValueError(f"streaming_distinct_estimate needs 0 < p <= 1,"
-                         f" got {p}")
+    by the watermark.
+
+    A window whose keys all hash above theta still emits a row
+    (n_kept=0, distinct_est=0.0) — unsampled must stay
+    distinguishable from no-traffic. Rows above the threshold map to
+    a single sentinel hash (-1) before the dedup, which keeps such
+    windows alive at a cost of at most ONE state row per window."""
     from spark_ext_spark.llm.splits import hash60
-    theta = int(p * (1 << 60))
+    from spark_ext_spark.operators.sketches import (theta_estimate,
+                                                    theta_threshold)
+    theta = theta_threshold(p)
     h = hash60(key_col, salt)
     kept = (events
             .withWatermark(ts_col, watermark)
-            .where(F.col(key_col).isNotNull() & (h < theta))
+            .where(F.col(key_col).isNotNull())
             .select(F.window(ts_col, window).alias("win"),
-                    h.alias("__h"))
+                    F.when(h < theta, h).otherwise(F.lit(-1))
+                    .alias("__h"))
             .dropDuplicates(["win", "__h"]))
-    n = F.count(F.lit(1))
+    n = F.count(F.when(F.col("__h") >= 0, F.lit(1)))
     return (kept.groupBy("win")
             .agg(n.alias("n_kept"),
-                 F.round(n.cast("double") / F.lit(p), 4)
-                 .alias("distinct_est"))
+                 theta_estimate(n, p).alias("distinct_est"))
             .select(F.col("win.start").alias("window_start"),
                     "n_kept", "distinct_est"))
 

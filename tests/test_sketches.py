@@ -97,6 +97,19 @@ def test_theta_merge_equals_union(users):
     assert per_group.agg(F.sum("n_kept")).collect()[0][0] >= union_kept
 
 
+def test_theta_empty_group_emits_zero_row(spark):
+    """A group whose every key hashes above theta must still emit a
+    row (n_kept=0, est=0.0) — sampled-to-nothing is not the same as
+    absent. u1/u3/u4 hash >= 0.25*2^60 under the default salt."""
+    df = spark.createDataFrame(
+        [("dry", "u1"), ("dry", "u3"), ("dry", "u4"),
+         ("wet", "u0"), ("wet", "u2")], "grp string, uid string")
+    got = {r["grp"]: (r["n_kept"], r["distinct_est"])
+           for r in theta_distinct(df, "uid", ["grp"], p=0.25).collect()}
+    assert got["dry"] == (0, 0.0)
+    assert got["wet"] == (2, 8.0)
+
+
 def test_theta_partitioning_invariance(users):
     a = theta_distinct(users, "uid", ["grp"], p=0.25).collect()
     b = theta_distinct(users.repartition(7), "uid", ["grp"],

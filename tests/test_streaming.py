@@ -213,6 +213,10 @@ def test_streaming_distinct_estimate(spark, tmp_path_factory):
     # window [00:10,00:20): users 0..9, each twice
     for u in range(10):
         rows += [(f"2024-01-01 00:1{u}:00", u)] * 2
+    # window [00:20,00:30): only users hashing ABOVE the p=0.5
+    # threshold (salt 'st') — must emit (0, 0.0), not vanish
+    for u in (100, 110, 116):
+        rows.append(("2024-01-01 00:25:00", u))
     rows.append(("2024-01-01 02:00:00", 99))  # watermark flush
     df = spark.createDataFrame(rows, "ts string, user_id long") \
         .withColumn("ts", F.to_timestamp("ts"))
@@ -230,6 +234,7 @@ def test_streaming_distinct_estimate(spark, tmp_path_factory):
     exact = run("theta_p1", 1.0)
     assert exact["2024-01-01 00:00:00"] == (20, 20.0)  # NULL excluded
     assert exact["2024-01-01 00:10:00"] == (10, 10.0)
+    assert exact["2024-01-01 00:20:00"] == (3, 3.0)
 
     def kept(users, p):
         theta = int(p * (1 << 60))
@@ -240,6 +245,8 @@ def test_streaming_distinct_estimate(spark, tmp_path_factory):
     k0, k1 = kept(range(20), 0.5), kept(range(10), 0.5)
     assert half["2024-01-01 00:00:00"] == (k0, round(k0 / 0.5, 4))
     assert half["2024-01-01 00:10:00"] == (k1, round(k1 / 0.5, 4))
+    # the all-above-threshold window: a zero row, not a gap
+    assert half["2024-01-01 00:20:00"] == (0, 0.0)
 
     with pytest.raises(ValueError):
         streaming_distinct_estimate(df, p=0.0)

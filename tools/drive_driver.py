@@ -103,24 +103,35 @@ def main():
     # per-round results beyond the driver's 50-query window are
     # inspectable from the repo, not just from session logs.
     if not only:
-        key = (f"{spark.sparkContext.master}"
-               f" conf={os.environ.get('SPARK_GRAFT_EXTRA_CONF') or '{}'}"
-               f" sf={SF01}")
+        # canonicalize the conf JSON so formatting variants of the same
+        # config update one entry instead of accreting stale duplicates
+        conf = json.dumps(
+            json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF") or "{}"),
+            sort_keys=True, separators=(",", ":"))
+        key = f"{spark.sparkContext.master} conf={conf} sf={SF01}"
         path = os.path.join(os.path.dirname(__file__), "..",
                             "CORRECTNESS_local.json")
         try:
             with open(path) as f:
                 doc = json.load(f)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             doc = {}
+        except ValueError as e:
+            # never silently wipe prior evidence — a truncated file
+            # needs a human decision, not an empty dict
+            raise SystemExit(
+                f"{path} exists but is not valid JSON ({e}); fix or "
+                f"delete it before recording new sweep evidence")
         doc[key] = {
             "n_queries": len(queries),
             "n_oracle": sum(1 for n in queries if n in oracles),
             "fails": fails,
             "errs": errs,
         }
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
+        os.replace(tmp, path)  # atomic: a killed run can't truncate
     spark.stop()
     sys.exit(1 if (fails or errs) else 0)
 
