@@ -121,3 +121,46 @@ def test_theta_bad_p(users):
     for p in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             theta_distinct(users, "uid", ["grp"], p=p)
+
+
+# --- hypothesis differential: Spark KMV vs an independent pure-Python
+# replay (exact equality, not just error bounds) ---------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_kmv(keys, k, salt=""):
+    """Reference KMV in plain Python over the same md5-60 hash space."""
+    import hashlib
+    hs = sorted({int(hashlib.md5(f"{x}{salt}".encode()).hexdigest()[:15],
+                     16) for x in keys if x is not None})
+    kept = hs[:k]
+    if not kept:
+        return None
+    k_eff, kth = len(kept), kept[-1]
+    est = (float(k_eff) if k_eff < k
+           else round((k - 1) * float(1 << 60) / float(kth), 4))
+    return (k_eff, kth, round(est, 4))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.one_of(st.none(),
+                        st.integers(min_value=-50, max_value=50).map(str))),
+    min_size=1, max_size=120),
+    k=st.sampled_from([2, 5, 16]),
+    n_shards=st.sampled_from([1, 4]))
+def test_kmv_matches_python_replay(spark, data, k, n_shards):
+    df = spark.createDataFrame(data, "grp string, uid string")
+    got = {r["grp"]: (r["k_eff"], r["kth_hash"], r["distinct_est"])
+           for r in kmv_distinct(df, "uid", ["grp"], k=k,
+                                 n_shards=n_shards).collect()}
+    want = {}
+    for g in ("a", "b", "c"):
+        ref = _py_kmv([u for gg, u in data if gg == g], k)
+        if ref is not None:
+            want[g] = ref
+    assert got == want
