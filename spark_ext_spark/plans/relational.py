@@ -9,7 +9,7 @@ predicate pushdown, column pruning and broadcast joins for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -26,7 +26,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _lattice_avg_4dp(col: str, alias: str = "avg_v"):
+def _lattice_avg_4dp(col: str | Column, alias: str = "avg_v"):
     """4-decimal group average that is bit-identical across engines AND
     across partitionings: a bare ``round(avg(x), 4)`` is
     order-dependent double summation, and with mostly-2-decimal inputs
@@ -43,25 +43,30 @@ def _lattice_avg_4dp(col: str, alias: str = "avg_v"):
     sums are exact and associative at any order. Oracle twin:
     _lattice_avg_4dp_sql.
 
-    Scale headroom: the BIGINT lattice sum holds |x|·1e6·n_group up
-    to 9.2e18 — e.g. ~1.8e7 rows/group at |x|≈5e5. Past that, ANSI
-    mode fails loudly (no silent wrap); for 100 TB group sizes cast
-    the lattice to decimal(38,0) before summing (exact to 1e38,
-    still associative) and mirror the cast in the oracle."""
-    lat = F.floor(F.col(col) * F.lit(1e6) + F.lit(5e-1))
-    s, n = F.sum(lat), F.count(col)
+    Scale headroom: the lattice is summed as decimal(38,0) (exact to
+    1e38, still associative → still order-independent), so the sum
+    holds |x|·1e6·n_group to ~1e38 — far past any 100 TB group; ANSI
+    mode fails loudly beyond. The oracle twin sums the same BIGINT
+    lattice as DuckDB HUGEINT (exact to 1.7e38). Both exact totals
+    then pass through one identical IEEE int→double conversion, so
+    the quantize chain sees the same double on both engines at any
+    magnitude. Accepts a column name or a Column expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    lat = F.floor(c * F.lit(1e6) + F.lit(5e-1)).cast("decimal(38,0)")
+    s, n = F.sum(lat).cast("double"), F.count(c)
     return (F.when(n == 0, F.lit(None).cast("double"))
             .otherwise(F.floor((s / n) / F.lit(1e2) + F.lit(5e-1))
                        / F.lit(1e4))
             .alias(alias))
 
 
-# the matching oracle aggregate — CAST to BIGINT so DuckDB's HUGEINT
-# sum never reaches the driver's canonicalizer
+# the matching oracle aggregate — the HUGEINT sum is cast to DOUBLE
+# (same IEEE conversion Spark applies to its decimal(38,0) sum) so
+# neither engine overflows and no HUGEINT reaches the canonicalizer
 def _lattice_avg_4dp_sql(expr: str) -> str:
     return (f"CASE WHEN count({expr}) = 0 THEN NULL ELSE "
             f"floor((CAST(sum(CAST(floor(({expr}) * 1e6 + 5e-1) AS BIGINT)) "
-            f"AS BIGINT) / count({expr})) / 1e2 + 5e-1) / 1e4 END")
+            f"AS DOUBLE) / count({expr})) / 1e2 + 5e-1) / 1e4 END")
 
 
 # --- aggregation ----------------------------------------------------------
@@ -815,32 +820,32 @@ def above_class_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strict > membership can't flip. The margin re-average gets the
     # same treatment (margins are mostly on a 1e-4 lattice after the
     # 4dp class_avg subtraction).
-    lat = F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(5e-1))
-    class_avg = (F.floor((F.sum(lat).over(w) / F.count(F.lit(1)).over(w))
+    lat = (F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(5e-1))
+           .cast("decimal(38,0)"))  # exact to 1e38, see _lattice_avg_4dp
+    # count the averaged COLUMN, not rows — a NULL price must not
+    # deflate its class mean (same contract as _lattice_avg_4dp)
+    class_avg = (F.floor((F.sum(lat).over(w).cast("double")
+                          / F.count("o_totalprice").over(w))
                          / F.lit(1e2) + F.lit(5e-1)) / F.lit(1e4))
     margin = F.col("o_totalprice") - F.col("class_avg")
-    mlat = F.floor(margin * F.lit(1e6) + F.lit(5e-1))
     return (orders
             .select("o_orderpriority", "o_totalprice",
                     class_avg.alias("class_avg"))
             .filter(F.col("o_totalprice") > F.col("class_avg"))
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_above"),
-                 (F.floor((F.sum(mlat) / F.count(F.lit(1)))
-                          / F.lit(1e2) + F.lit(5e-1)) / F.lit(1e4))
-                 .alias("avg_margin")))
+                 _lattice_avg_4dp(margin, alias="avg_margin")))
 
 
-ABOVE_CLASS_AVERAGE_ORDERS_SQL = """
+ABOVE_CLASS_AVERAGE_ORDERS_SQL = f"""
 SELECT o_orderpriority, count(*) AS n_above,
-       floor((CAST(sum(CAST(floor((o_totalprice - class_avg) * 1e6 + 5e-1)
-                           AS BIGINT)) AS BIGINT)
-              / count(*)) / 1e2 + 5e-1) / 1e4 AS avg_margin
+       {_lattice_avg_4dp_sql('o_totalprice - class_avg')} AS avg_margin
 FROM (SELECT o_orderpriority, o_totalprice,
              floor((CAST(sum(CAST(floor(o_totalprice * 1e6 + 5e-1)
                                  AS BIGINT))
-                           OVER (PARTITION BY o_orderpriority) AS BIGINT)
-                    / count(*) OVER (PARTITION BY o_orderpriority))
+                           OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                    / count(o_totalprice)
+                        OVER (PARTITION BY o_orderpriority))
                    / 1e2 + 5e-1) / 1e4 AS class_avg
       FROM orders) t
 WHERE o_totalprice > class_avg
@@ -1070,7 +1075,12 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Knuth multiply which blows int64 past event_id ≈ 3.5e9) replaces
     Bernoulli draws, so task retries at 100 TB can't change the sample
     (and the oracle replays it exactly). Pure filter — no shuffle
-    until the summary agg."""
+    until the summary agg. PLANS.md shows no PushedFilters here and
+    that is inherent, not a regression: a uniform-hash predicate is a
+    function of the column, which parquet pushdown cannot accept (an
+    arithmetic hash fares no better — it only adds an IsNotNull
+    residual), and row-group min/max stats can never prune a filter
+    that is uniform by construction."""
     from spark_ext_spark.llm.splits import hash_unit_interval
     ev = load(spark, sf_dir, "events")
     frac = (F.when(F.col("event_type") == "purchase", F.lit(1.0))

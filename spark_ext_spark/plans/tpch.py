@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_ext_spark.plans.relational import load
+from spark_ext_spark.plans.relational import _lattice_avg_4dp_sql, load
 
 def _revenue():
     # lazy: Column construction needs an active session in classic mode
@@ -197,8 +197,10 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strict > on one engine/partitioning only. Exact 1e-6-lattice
     # BIGINT sum, then the same division chain on both engines
     # (relational._lattice_avg_4dp rationale, unquantized output).
-    lat = F.floor(F.col("c_acctbal") * F.lit(1e6) + F.lit(5e-1))
-    avg_bal = (F.sum(lat) / F.count("c_acctbal")) / F.lit(1e6)
+    lat = (F.floor(F.col("c_acctbal") * F.lit(1e6) + F.lit(5e-1))
+           .cast("decimal(38,0)"))  # exact to 1e38, see _lattice_avg_4dp
+    avg_bal = (F.sum(lat).cast("double")
+               / F.count("c_acctbal")) / F.lit(1e6)
     rich = (attach_scalar_agg(customer, {"avg_bal": avg_bal},
                               source=customer.filter(F.col("c_acctbal") > 0))
             .filter(F.col("c_acctbal") > F.col("avg_bal")))
@@ -214,7 +216,7 @@ SELECT c_nationkey, count(*) AS n_customers,
        round(sum(c_acctbal), 4) AS total_acctbal
 FROM customer
 WHERE c_acctbal > (SELECT (CAST(sum(CAST(floor(c_acctbal * 1e6 + 5e-1)
-                                        AS BIGINT)) AS BIGINT)
+                                        AS BIGINT)) AS DOUBLE)
                            / count(c_acctbal)) / 1e6
                    FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -773,13 +775,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and flips on .00005 half-grid averages at sf0.1 group sizes —
     # worse here than a value drift, since the min-cost equality join
     # then includes/excludes whole suppliers nondeterministically.
+    from spark_ext_spark.plans.relational import _lattice_avg_4dp
     ratio = F.col("l_extendedprice") / F.col("l_quantity")
-    lat = F.floor(ratio * F.lit(1e6) + F.lit(5e-1))
     ps = (lineitem.groupBy("l_partkey", "l_suppkey")
-          .agg(F.sum(lat).alias("__s"), F.count(ratio).alias("__n"))
-          .select("l_partkey", "l_suppkey",
-                  (F.floor((F.col("__s") / F.col("__n")) / F.lit(1e2)
-                           + F.lit(5e-1)) / F.lit(1e4)).alias("unit_cost")))
+          .agg(_lattice_avg_4dp(ratio, alias="unit_cost")))
     cand = (ps
             .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
             .join(F.broadcast(euro_supp),
@@ -794,16 +793,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "s_name", "unit_cost"))
 
 
-MIN_COST_SUPPLIER_SQL = """
+MIN_COST_SUPPLIER_SQL = f"""
 WITH ps AS (
-  -- 1e-6-lattice average, mirroring the Spark side op-for-op (see
-  -- relational._lattice_avg_4dp): exact BIGINT sum, then the same
-  -- floor-quantize double chain
+  -- 1e-6-lattice average, the shared oracle builder mirroring the
+  -- Spark side op-for-op (relational._lattice_avg_4dp)
   SELECT l_partkey, l_suppkey,
-         floor((CAST(sum(CAST(floor((l_extendedprice / l_quantity) * 1e6
-                                    + 5e-1) AS BIGINT)) AS BIGINT)
-                / count(l_extendedprice / l_quantity)) / 1e2 + 5e-1)
-           / 1e4 AS unit_cost
+         {_lattice_avg_4dp_sql('l_extendedprice / l_quantity')}
+           AS unit_cost
   FROM lineitem GROUP BY 1, 2
 ),
 euro AS (

@@ -174,7 +174,19 @@ def foreach_batch_upsert(key_cols: list[str], order_col: str, path: str):
         jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
         if fs.exists(jpath):
-            cur = spark.read.parquet(path).withColumn("__src", F.lit(0))
+            try:
+                cur = spark.read.parquet(path).withColumn("__src",
+                                                          F.lit(0))
+            except Exception as e:
+                # an existing-but-unreadable store (half-written
+                # overwrite, pre-created empty dir) must surface as an
+                # actionable error — NOT fall back to batch-only,
+                # which would replace the whole store with one
+                # micro-batch of data
+                raise RuntimeError(
+                    f"upsert store at {path} exists but is not "
+                    f"readable parquet ({type(e).__name__}); restore "
+                    f"or delete it before resuming the stream") from e
             merged = cur.unionByName(new)
         else:
             merged = new

@@ -76,3 +76,27 @@ def test_asof_right_ties_are_deterministic(spark):
         row = asof_join(left, right, on="k", left_ts="ts",
                         right_ts="rts").collect()[0]
         assert row["price_asof"] == 3.0
+
+
+def test_asof_map_typed_value_column(spark):
+    """Non-orderable value columns (maps) must not make the join
+    unplannable — the tie-break falls back to a stable content hash.
+    Regression: ordering the window by the raw value struct raised
+    EXPRESSION_TYPE_IS_NOT_ORDERABLE for any map-carrying right side."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, {"a": "x"}), (1, 20, {"b": "y"})],
+        "k long, ts long, attrs map<string,string>")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    got = {r["ts"]: r["attrs_asof"] for r in out.collect()}
+    assert got[10] == {"a": "x"} and got[25] == {"b": "y"}
+    # determinism across partitionings with a genuine (key, ts) tie
+    right2 = spark.createDataFrame(
+        [(1, 5, {"a": "x"}), (1, 5, {"z": "w"})],
+        "k long, ts long, attrs map<string,string>")
+    a = asof_join(left, right2, on="k", left_ts="ts",
+                  right_ts="ts").collect()
+    b = asof_join(left.repartition(7), right2.repartition(3), on="k",
+                  left_ts="ts", right_ts="ts").collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))

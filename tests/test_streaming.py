@@ -196,6 +196,22 @@ def test_foreach_batch_upsert_never_wipes_store_on_bad_batch(spark, tmp_path):
     assert got == {1}                              # store intact
 
 
+def test_foreach_batch_upsert_unreadable_store_errors_clearly(
+        spark, tmp_path):
+    """An existing-but-unreadable store path (pre-created empty dir,
+    half-written overwrite) must raise an actionable error naming the
+    path — neither a raw schema-inference crash nor a silent
+    batch-only fallback that would replace the store."""
+    import pytest
+    from spark_ext_spark.streaming import foreach_batch_upsert
+    store = tmp_path / "store"
+    store.mkdir()                                  # exists, no parquet
+    sink = foreach_batch_upsert(["k"], "ord", str(store))
+    batch = spark.createDataFrame([(1, 100.0)], "k long, ord double")
+    with pytest.raises(RuntimeError, match="exists but is not readable"):
+        sink(batch, 0)
+
+
 def test_streaming_distinct_estimate(spark, tmp_path_factory):
     """Theta-sketch streaming distinct: p=1 degenerates to exact
     per-window distinct counts; p=0.5 must equal the Python replay of
