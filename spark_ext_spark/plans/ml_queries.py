@@ -244,12 +244,19 @@ def _newton_sql(n_iter: int = 2) -> str:
 
     def int_moments(prefix: str) -> str:
         # p = 0.5: residual (y - 0.5) = (2y-1)/2, weight p(1-p) = 1/4;
-        # integer sums; scales re-applied in the solve inputs below
-        terms = [f"sum(({qs[k]}) * (2*y - 1)) AS {prefix}ig{k}"
+        # exact integer sums, accumulated as DECIMAL(38,0) in both
+        # dialects: the per-row products reach ~1e10, so a BIGINT
+        # accumulator would overflow around 1e9 users (q.v.
+        # relational._lattice_avg_4dp — same headroom rationale);
+        # decimal sums stay exact to 1e38 and equally associative.
+        # Scales re-applied in the solve inputs below.
+        terms = [f"sum(CAST(({qs[k]}) * (2*y - 1) AS DECIMAL(38,0))) "
+                 f"AS {prefix}ig{k}"
                  for k in range(4)]
         for j in range(4):
             for k in range(j, 4):
-                terms.append(f"sum(({qs[j]}) * ({qs[k]})) "
+                terms.append(f"sum(CAST(({qs[j]}) * ({qs[k]}) "
+                             f"AS DECIMAL(38,0))) "
                              f"AS {prefix}ih{j}{k}")
         return ",\n         ".join(terms)
 
