@@ -7,8 +7,9 @@ aggregation order — which varies with partitioning — perturbs the last
 ULP), and the true mean of cent-lattice values lands EXACTLY on the
 .00005 rounding half-grid, where a 1-ULP perturbation flips the 4dp
 result. The lattice average removes both hazards: exact associative
-BIGINT sums, then one fixed floor-quantize chain of double ops that
-both engines execute identically. These tests pin:
+integer sums (decimal(38,0) in Spark, HUGEINT in DuckDB — headroom to
+~1e38), then one fixed floor-quantize chain of double ops that both
+engines execute identically. These tests pin:
 
   * the half-grid case itself (a group whose true mean ends in 5 at
     the 5th decimal) — deterministic across partitionings and equal
@@ -121,3 +122,15 @@ def test_random_cent_groups_match_duckdb(spark, cents):
     values = [c / 100 for c in cents]
     got = _spark_avg(spark, values, partitions=4)
     assert got == _duck_avg(values)
+
+
+def test_lattice_avg_past_int64_sum(spark):
+    """The decimal(38,0) accumulator must survive lattice totals past
+    int64: two rows of 9.2e12 have lattice values 9.2e18 each (legal
+    per-row BIGINT) whose SUM (1.84e19) overflows int64 — a BIGINT
+    accumulator dies under ANSI mode right here. Both engines must
+    return the exact mean (DuckDB's HUGEINT sum mirrors the decimal)."""
+    v = 9.2e12
+    got = _spark_avg(spark, [v, v], partitions=2)
+    assert got[0] == pytest.approx(v, abs=1e-2)
+    assert _duck_avg([v, v]) == got
