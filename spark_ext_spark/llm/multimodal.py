@@ -125,14 +125,19 @@ def decode_media(df: DataFrame, real_decode: bool = False,
         inner = decoder
 
         def dims(payload):
-            # Null/empty payloads are undecodable — emit null dims
-            # instead of letting one bad cell (PIL.UnidentifiedImageError
-            # on b"") fail the task and, after retries, a 100 TB job.
-            # The fake path below keeps hashing b"" so oracle-replayed
-            # fixtures are unaffected.
+            # Undecodable payloads — null/empty AND corrupt non-empty
+            # bytes (truncated files, wrong formats) — emit null dims
+            # instead of letting one bad cell raise inside the task
+            # and, after retries, fail a 100 TB job. Callers gate on
+            # null-dim rates downstream (the same contract as a failed
+            # parse in any ingest pipeline). Deliberate aborts
+            # (KeyboardInterrupt etc.) still propagate.
             if not payload:
                 return (None, None, None)
-            return inner(payload)
+            try:
+                return inner(payload)
+            except Exception:
+                return (None, None, None)
     else:
         dims = _fake_dims
 

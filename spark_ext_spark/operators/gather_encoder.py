@@ -333,9 +333,9 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
                             # 345-355, null.asInstanceOf[Double]) — NaN
                             # must not be written into the slot or
                             # summed into all-other (NaN-poisoning).
-                            # Caveat: Arrow can't distinguish a genuine
-                            # NaN value from null, so both map to 0.0
-                            # here; the udf path keeps NaN as NaN.
+                            # Arrow can't distinguish a genuine NaN
+                            # value from null, so both map to 0.0 here;
+                            # the udf path coerces NaN→0.0 to match.
                             v = 0.0 if pd.isna(v) else float(v)
                             idx = key_index.get(k)
                             if idx is not None:
@@ -359,9 +359,12 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
                 elements: dict[int, float] = {}
                 for k, v in zip(keys, values):
                     # reference parity: a null value unboxes to 0.0
-                    # (GatherEncoder.scala:345-355); genuine NaN stays
-                    # NaN (only this row-path can tell them apart)
-                    v = 0.0 if v is None else v
+                    # (GatherEncoder.scala:345-355). Genuine NaN is
+                    # ALSO coerced to 0.0 so this path agrees with the
+                    # arrow path (where Arrow can't distinguish null
+                    # from NaN) — one operator, one output, whichever
+                    # execution path runs.
+                    v = 0.0 if (v is None or v != v) else v
                     idx = key_index.get(k)
                     if idx is not None:
                         elements[idx] = v            # last value wins

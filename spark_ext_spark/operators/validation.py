@@ -34,8 +34,15 @@ def profile_columns(df: DataFrame, cols: list[str],
     min/max (stringified so mixed types share one schema).
 
     One aggregate row carries every statistic (single scan, partial
-    aggregation). Distinct counts default to the HLL++ sketch
-    (±5% rsd): exact multi-column count_distinct makes Catalyst
+    aggregation).
+
+    .. note:: **Changed default** — ``exact_distinct`` flipped from
+       ``True`` to ``False``: distinct counts are now HLL++
+       approximations (±5% rsd) unless callers opt back into exact
+       counts. Existing call sites see different ``n_distinct`` values
+       without a code change.
+
+    Why approximate by default: exact multi-column count_distinct makes Catalyst
     Expand the scan once per distinct column (a k-column profile reads
     k+1× the rows) — the wrong default for a 100 TB acceptance gate.
     Pass ``exact_distinct=True`` when the report feeds a reconciliation

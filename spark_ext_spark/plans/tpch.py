@@ -1,7 +1,9 @@
 """TPC-H-shaped analytical queries over the synthetic star schema.
 
-These exercise the join-planning surface the reference covers with its
-relational operators (reference: src/queries/*.sql test corpus shapes):
+These exercise the join-planning surface beyond the reference's own
+usage: the reference is an ML extension library with no SQL query
+corpus (see BASELINE.md), so the TPC-H shapes here are chosen by us to
+prove the §2B dataflow surface (joins, filters, aggregates) end-to-end:
 multi-way joins with selective dimension filters (Q5), scan-only
 filter-aggregate with tight pushdown (Q6), conditional aggregation over
 a fact-dimension join (Q14), and a having-filtered semi-aggregation

@@ -209,3 +209,77 @@ def test_sample_frames_decodes_raw_frames(spark):
         counts[r["media_id"]] += 1
     for mid, n in nf.items():
         assert counts[mid] == len(range(0, max(n - 1, 0) + 1, 5))
+
+
+def test_injected_decoder_corrupt_payload_yields_null_dims(spark):
+    """A CORRUPT non-empty payload (truncated file, mislabeled format)
+    raises inside the decoder; the operator must absorb that into null
+    dimensions — same contract as null/empty — instead of failing the
+    task and, after retries, a 100 TB job. Healthy rows in the same
+    batch still decode."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\ntruncated")),
+         (2, bytearray(b"\xff\xd8\xff\xe0healthy-jpeg"))],
+        "doc_id long, payload binary")
+
+    def decoder(payload):
+        if payload.startswith(b"\x89PNG"):
+            raise ValueError("broken stream")  # what PIL raises, in spirit
+        return (len(payload), 7, 1)
+
+    out = decode_media(attach_media(df, "doc_id", "payload"),
+                       decoder=decoder)
+    metas = {r["media_id"]: r["media_meta"].asDict() for r in out.collect()}
+    assert metas[1]["width"] is None
+    assert metas[1]["height"] is None
+    assert metas[1]["n_frames"] is None
+    assert metas[2]["width"] == len(b"\xff\xd8\xff\xe0healthy-jpeg")
+    # format sniff + byte_len (payload-derived, not decode-derived)
+    # survive for the corrupt row so it stays attributable downstream
+    assert metas[1]["format"] == "png"
+    assert metas[1]["byte_len"] == len(b"\x89PNG\r\n\x1a\ntruncated")
+
+
+def _make_png(width: int, height: int) -> bytes:
+    """A minimal valid 8-bit RGB PNG built from the spec (signature +
+    IHDR + one zlib IDAT of filter-0 scanlines + IEND) — no image
+    library needed to CONSTRUCT it, so the fixture exists even where
+    Pillow doesn't."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(3 * width) for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _pil_available() -> bool:
+    import importlib.util
+    return importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(not _pil_available(),
+                    reason="Pillow not installed in this sandbox — the "
+                           "real-decode path self-verifies wherever it is")
+def test_real_decode_reads_real_pngs(spark):
+    """End-to-end real decode: spec-constructed PNGs of two distinct
+    sizes flow through decode_media(real_decode=True) and come back
+    with their true dimensions (golden: the sizes we encoded), and a
+    corrupt payload in the same frame nulls out instead of failing."""
+    df = spark.createDataFrame(
+        [(1, _make_png(5, 3)), (2, _make_png(7, 2)),
+         (3, bytearray(b"\x89PNG\r\n\x1a\nnot-really-a-png"))],
+        "doc_id long, payload binary")
+    out = decode_media(attach_media(df, "doc_id", "payload"),
+                       real_decode=True)
+    metas = {r["media_id"]: r["media_meta"].asDict() for r in out.collect()}
+    assert (metas[1]["width"], metas[1]["height"]) == (5, 3)
+    assert (metas[2]["width"], metas[2]["height"]) == (7, 2)
+    assert metas[1]["n_frames"] == 1
+    assert metas[3]["width"] is None and metas[3]["height"] is None
