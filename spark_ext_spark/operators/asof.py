@@ -9,6 +9,21 @@ ROW forward as a single struct with ``last(..., ignorenulls=True)``
 over an unbounded-preceding window. One shuffle on the key — the same
 cost as a plain equi-join — and skew behaves like any keyed window.
 
+Hot keys: a per-key window funnels each key through ONE task, so a
+pathological key (a billion-tick instrument) caps the windowed plan.
+``strategy="chunked"`` removes that ceiling with a two-phase carry —
+range-partition on the FULL sort order (key, ts, side, tiebreak) so a
+hot key spreads over many partitions, LOCF locally within each
+(partition, key) slice, then propagate one boundary carry per
+partition from a bounded (#partitions-row) driver collect — the same
+offsets technique as ``operators/prefix.py`` and the reference's own
+scanLeft trick (BinaryModelMetrics.scala:198-216), with "last
+non-null right row" as the monoid instead of "+". Both strategies
+produce identical output for any input (differential-tested,
+including an engineered single hot key and the non-orderable-struct
+tiebreak); ``strategy="auto"`` measures max per-key rows once and
+picks.
+
 Carrying one struct (not one window per value column) is load-bearing
 for semantics, not just cost: all values come from the SAME right row,
 and a genuinely NULL value in the latest right row stays NULL —
@@ -58,14 +73,107 @@ def _tiebreak(struct_col: Column, struct_t: DataType) -> Column:
     return F.xxhash64(F.to_json(struct_col))
 
 
+def _carried_chunked(unioned: DataFrame, tiebreak: Column,
+                     r_struct_t: DataType,
+                     num_partitions: int | None = None,
+                     persisted_out: list | None = None) -> DataFrame:
+    """Two-phase last-observation-carried-forward with NO per-key task
+    ceiling: range-partition the tagged union on the full sort order
+    (a hot key spans many partitions), LOCF within each (partition,
+    key) slice, then fill each partition's leading slice of its first
+    key from a per-partition boundary carry computed by a driver
+    scanLeft over ONE summary row per partition (the key open at the
+    partition's end + its last non-null right struct). Exact — "last
+    non-null" is associative, no floating point involved — so output
+    is identical to the single-window plan for any input.
+
+    Cost: one range shuffle (plus its sampling pass) and a
+    #partitions-row collect, vs the windowed plan's one hash shuffle —
+    buy the extra shuffle only when a key can exceed a task
+    (``asof_join(strategy=...)`` chooses)."""
+    spark = unioned.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # persisted so the summary pass and the output pass see the SAME
+    # sampled range boundaries / partition ids (same reason as
+    # operators/prefix.py)
+    ranged = (unioned.withColumn("__tb", tiebreak)
+              .repartitionByRange(n, "__key", "__ts", "__side", "__tb")
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())
+    if persisted_out is not None:
+        persisted_out.append(ranged)
+    w_local = (Window.partitionBy("__pid", "__key")
+               .orderBy("__ts", "__side", "__tb")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ranged.withColumn(
+        "__c_loc", F.last("__r", ignorenulls=True).over(w_local))
+    # one row per partition: (key open at the end, its local carry) —
+    # max_by over the same (ts, side, tb) tuple the window orders by,
+    # restricted per key by taking the last row's key alongside
+    summary = (local.groupBy("__pid")
+               .agg(F.max_by(
+                   F.struct(F.col("__key").alias("k"),
+                            F.col("__c_loc").alias("v")),
+                   F.struct(F.col("__ts"), F.col("__side"),
+                            F.col("__tb"))).alias("s"))
+               .select("__pid", "s.k", "s.v")
+               .collect())
+    by_pid = {r["__pid"]: (r["k"], r["v"]) for r in summary}
+    # driver scanLeft over ≤ n rows: the carry entering partition p is
+    # the latest right struct of the key still open at p's boundary;
+    # a partition whose last key saw no right rows passes the incoming
+    # carry through iff it is the SAME key, else opens a fresh key
+    rows: list[tuple] = []
+    cur_k, cur_v = None, None
+    for p in range(n):
+        rows.append((p, cur_k, cur_v))
+        if p in by_pid:
+            k, v = by_pid[p]
+            if v is not None:
+                cur_k, cur_v = k, v
+            elif k != cur_k:
+                cur_k, cur_v = k, None
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    carry_schema = StructType([
+        StructField("__pid", IntegerType(), False),
+        StructField("__carry_k", ranged.schema["__key"].dataType, True),
+        StructField("__carry_v", r_struct_t, True)])
+    carry = spark.createDataFrame(rows, carry_schema)
+    # a row still null after local LOCF belongs to its partition's
+    # leading slice — fill from the boundary carry when the keys match
+    # (eqNullSafe: a null key group carries like any other key)
+    return (local.join(F.broadcast(carry), "__pid", "left")
+            .withColumn("__c", F.coalesce(
+                F.col("__c_loc"),
+                F.when(F.col("__key").eqNullSafe(F.col("__carry_k")),
+                       F.col("__carry_v")))))
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               value_cols: list[str] | None = None,
               right_on: str | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              strategy: str = "window",
+              hot_key_threshold: int = 5_000_000,
+              num_partitions: int | None = None,
+              persisted_out: list | None = None) -> DataFrame:
     """Append, to every left row, ``value_cols`` (default: all non-key,
     non-ts right columns) from the latest right row at or before the
-    left row's timestamp; nulls when no prior right row exists."""
+    left row's timestamp; nulls when no prior right row exists.
+
+    ``strategy``: ``"window"`` (default) carries forward with one
+    per-key window — one hash shuffle, right up to the point where a
+    single hot key outgrows one task. ``"chunked"`` removes that
+    ceiling (two-phase carry, see :func:`_carried_chunked`) at the
+    cost of a range shuffle; identical output. ``"auto"`` runs one
+    counting aggregate over the tagged union and picks ``"chunked"``
+    iff the hottest key exceeds ``hot_key_threshold`` rows — an eager
+    job at call time, so latency-sensitive callers should pick
+    explicitly. ``persisted_out`` receives the chunked plan's
+    persisted intermediate for explicit release (else it lives until
+    cache eviction)."""
     right_key = right_on or on
     if value_cols is None:
         value_cols = [c for c in right.columns
@@ -88,17 +196,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             l_tagged.schema["__l"].dataType).alias("__l"),
         F.struct(*[F.col(c) for c in value_cols]).alias("__r"))
 
+    if strategy not in ("window", "chunked", "auto"):
+        raise ValueError(f"unknown asof_join strategy: {strategy!r}")
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows at the same ts sort before left rows → inclusive
-    # match; the trailing tiebreak orders right rows tied on
-    # (key, ts) deterministically
-    w = (Window.partitionBy("__key")
-         .orderBy("__ts", "__side",
-                  _tiebreak(F.col("__r"), r_struct_t))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned.select(
-        "__side", "__l",
-        F.last("__r", ignorenulls=True).over(w).alias("__c"))
+    tiebreak = _tiebreak(F.col("__r"), r_struct_t)
+    if strategy == "auto":
+        hottest = (unioned.groupBy("__key").count()
+                   .agg(F.max("count")).first()[0]) or 0
+        strategy = "chunked" if hottest > hot_key_threshold else "window"
+    if strategy == "chunked":
+        carried = _carried_chunked(unioned, tiebreak, r_struct_t,
+                                   num_partitions, persisted_out)
+    else:
+        # right rows at the same ts sort before left rows → inclusive
+        # match; the trailing tiebreak orders right rows tied on
+        # (key, ts) deterministically
+        w = (Window.partitionBy("__key")
+             .orderBy("__ts", "__side", tiebreak)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = unioned.select(
+            "__side", "__l",
+            F.last("__r", ignorenulls=True).over(w).alias("__c"))
     out = carried.filter(F.col("__side") == 1)
     return out.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],

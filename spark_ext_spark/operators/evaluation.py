@@ -72,6 +72,9 @@ class BinaryModelMetrics:
         self.prefix_threshold = prefix_threshold
         self._n_cum: int | None = None
         self._persisted: DataFrame | None = None
+        # range-partitioned intermediates persisted by the prefix-sum
+        # path — released by unpersist() alongside the confusion cache
+        self._prefix_persists: list[DataFrame] = []
 
     # -- core cumulative table --------------------------------------------
 
@@ -90,7 +93,8 @@ class BinaryModelMetrics:
             from spark_ext_spark.operators.prefix import (
                 partitioned_cumulative_sums)
             return partitioned_cumulative_sums(
-                df, [F.desc("score")], values)
+                df, [F.desc("score")], values,
+                persisted_out=self._prefix_persists)
         w = (Window.orderBy(F.desc("score"))
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         out = df
@@ -208,13 +212,18 @@ class BinaryModelMetrics:
 
     def unpersist(self) -> None:
         """Release the cached confusion table (reference
-        BinaryModelMetrics.scala:70) and the persisted compacted
-        counts backing the sizing count()."""
+        BinaryModelMetrics.scala:70), the persisted compacted counts
+        backing the sizing count(), and any range-partitioned
+        intermediates the prefix-sum path persisted — nothing this
+        object cached outlives it."""
         if "confusions" in self.__dict__:
             self.confusions.unpersist()
         if self._persisted is not None:
             self._persisted.unpersist()
             self._persisted = None
+        for df in self._prefix_persists:
+            df.unpersist()
+        self._prefix_persists.clear()
 
     def thresholds(self) -> DataFrame:
         # over the compacted counts table, NOT confusions: thresholds

@@ -27,7 +27,9 @@ __all__ = ["partitioned_cumulative_sums"]
 def partitioned_cumulative_sums(df: DataFrame, order_cols: list,
                                 values: dict[str, Column | str],
                                 num_partitions: int | None = None,
-                                inclusive: bool = True) -> DataFrame:
+                                inclusive: bool = True,
+                                persisted_out: list | None = None
+                                ) -> DataFrame:
     """Append one exact running-sum column per ``values`` entry
     (``{out_name: summed column}``), all over the same global ordering
     ``order_cols``, sharing a single range shuffle.
@@ -44,9 +46,12 @@ def partitioned_cumulative_sums(df: DataFrame, order_cols: list,
     sorted order (hypothesis-swept in tests/test_prefix.py).
 
     The range-partitioned intermediate is persisted so the offsets pass
-    and the output pass see the same partition boundaries; the cache
-    releases when the consumer's lineage is dropped or on memory
-    pressure (MEMORY_AND_DISK).
+    and the output pass see the same partition boundaries. Pass
+    ``persisted_out`` (a list) to receive that frame for explicit
+    release — callers owning a lifecycle (e.g. BinaryModelMetrics.
+    unpersist()) should ``.unpersist()`` it once the output is
+    materialized; otherwise it lives until session cache eviction
+    (MEMORY_AND_DISK).
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions",
@@ -56,6 +61,8 @@ def partitioned_cumulative_sums(df: DataFrame, order_cols: list,
     ranged = (df.repartitionByRange(n, *order_cols)
               .withColumn("__pid", F.spark_partition_id())
               .persist())
+    if persisted_out is not None:
+        persisted_out.append(ranged)
     totals_frame = (ranged.groupBy("__pid")
                     .agg(*[F.sum(c).alias(name)
                            for name, c in vals.items()]))

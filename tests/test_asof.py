@@ -100,3 +100,98 @@ def test_asof_map_typed_value_column(spark):
     b = asof_join(left.repartition(7), right2.repartition(3), on="k",
                   left_ts="ts", right_ts="ts").collect()
     assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def _norm_rows(df, map_col=None):
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        if map_col is not None and d[map_col] is not None:
+            d[map_col] = tuple(sorted(d[map_col].items()))
+        out.append(tuple(sorted(d.items(), key=lambda kv: kv[0])))
+    return sorted(out, key=repr)
+
+
+def test_asof_chunked_equals_windowed_on_hot_key(spark):
+    """Differential: an engineered single hot key (thousands of rows,
+    heavy (key, ts) ties) plus sparse keys — the chunked two-phase
+    carry must reproduce the windowed plan's output exactly, across
+    many forced partition boundaries (num_partitions=7, so the hot
+    key's carry crosses several boundaries, including tie groups split
+    mid-partition)."""
+    right = spark.range(3000).select(
+        F.lit(0).alias("k"),
+        F.pmod(F.col("id") * 7, F.lit(501)).alias("rts"),
+        F.col("id").cast("double").alias("price"))
+    right = right.unionByName(spark.createDataFrame(
+        [(1, 10, -1.0)], "k long, rts long, price double"))
+    left = spark.range(3000).select(
+        F.lit(0).alias("k"),
+        F.pmod(F.col("id") * 11, F.lit(701)).alias("ts"),
+        F.col("id").alias("lid"))
+    left = left.unionByName(spark.createDataFrame(
+        [(1, 5, -1), (1, 11, -2), (2, 3, -3)],
+        "k long, ts long, lid long"))
+    kw = dict(on="k", left_ts="ts", right_ts="rts", value_cols=["price"])
+    win = asof_join(left, right, **kw)
+    held = []
+    chk = asof_join(left, right, strategy="chunked", num_partitions=7,
+                    persisted_out=held, **kw)
+    assert _norm_rows(chk) == _norm_rows(win)
+    # the intermediate is handed back for explicit release
+    assert held and held[0].is_cached
+    held[0].unpersist()
+    assert not held[0].is_cached
+
+
+def test_asof_chunked_map_value_uses_hash_tiebreak(spark):
+    """Non-orderable (map-typed) value structs fall back to the hash
+    tiebreak; chunked and windowed must still agree row for row —
+    including on the (key, ts)-tied right rows whose winner the hash
+    decides."""
+    right = spark.createDataFrame(
+        [("a", 1, {"x": 1.0}), ("a", 1, {"y": 2.0}), ("a", 1, {"z": 3.0}),
+         ("b", 2, {"w": 4.0})],
+        "k string, rts long, m map<string,double>")
+    left = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("a", 7), ("b", 5), ("c", 9)],
+        "k string, ts long")
+    kw = dict(on="k", left_ts="ts", right_ts="rts")
+    win = asof_join(left, right, **kw)
+    chk = asof_join(left, right, strategy="chunked", num_partitions=5, **kw)
+    assert _norm_rows(chk, "m_asof") == _norm_rows(win, "m_asof")
+
+
+def test_asof_auto_strategy_measures_and_picks(spark):
+    """strategy='auto' counts the hottest key once: above the
+    threshold it runs the chunked plan (observable via persisted_out),
+    below it the windowed plan — identical results either way."""
+    right = spark.createDataFrame(
+        [(0, t, float(t)) for t in range(40)] + [(1, 3, -1.0)],
+        "k long, rts long, price double")
+    left = spark.createDataFrame(
+        [(0, t, t) for t in range(0, 40, 3)] + [(1, 9, 99), (2, 1, 42)],
+        "k long, ts long, lid long")
+    kw = dict(on="k", left_ts="ts", right_ts="rts", value_cols=["price"])
+    baseline = _norm_rows(asof_join(left, right, **kw))
+    hot_held: list = []
+    hot = asof_join(left, right, strategy="auto", hot_key_threshold=10,
+                    num_partitions=4, persisted_out=hot_held, **kw)
+    assert _norm_rows(hot) == baseline
+    assert hot_held, "auto above threshold must take the chunked plan"
+    hot_held[0].unpersist()
+    cold_held: list = []
+    cold = asof_join(left, right, strategy="auto",
+                     hot_key_threshold=10_000,
+                     persisted_out=cold_held, **kw)
+    assert _norm_rows(cold) == baseline
+    assert cold_held == [], "auto below threshold must stay windowed"
+
+
+def test_asof_unknown_strategy_raises(spark):
+    left = spark.createDataFrame([(1, 1)], "k long, ts long")
+    right = spark.createDataFrame([(1, 1, 2.0)], "k long, rts long, v double")
+    import pytest
+    with pytest.raises(ValueError, match="strategy"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                  strategy="bogus")

@@ -163,3 +163,22 @@ def test_empty_input_auc_is_half(spark):
     m = BinaryModelMetrics(empty)
     assert m.area_under_roc() == pytest.approx(0.5)
     assert m.area_under_pr() == pytest.approx(0.0)
+
+
+def test_unpersist_releases_prefix_intermediates(spark):
+    """The prefix-sum path persists a range-partitioned intermediate
+    per _with_running call; unpersist() must release those too (they
+    used to leak one cached full-table copy per above-threshold
+    confusions build for the session lifetime)."""
+    from pyspark.sql import functions as F
+    sl2 = spark.range(5000).select(
+        (F.col("id") * 1e-3).alias("score"),
+        (F.pmod(F.col("id"), F.lit(3)) < 1).cast("double").alias("label"))
+    m = BinaryModelMetrics(sl2, prefix_threshold=10)
+    m.confusions.count()
+    held = list(m._prefix_persists)
+    assert held, "prefix path did not register its persisted frame"
+    assert all(df.is_cached for df in held)
+    m.unpersist()
+    assert m._prefix_persists == []
+    assert all(not df.is_cached for df in held)
