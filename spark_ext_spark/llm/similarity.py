@@ -24,7 +24,46 @@ from pyspark.sql.window import Window
 __all__ = ["cosine_similarity_col", "cosine_topk", "lsh_buckets",
            "lsh_topk", "fit_ivf_centroids", "ivf_topk",
            "fit_ivf_centroids_quantized", "ivf_topk_deterministic",
-           "embedding_near_dups"]
+           "embedding_near_dups", "drop_artifact_table"]
+
+
+def _materialize_artifact(df: DataFrame, storage: str,
+                          table_name: str | None,
+                          persisted_out: list | None = None) -> DataFrame:
+    """Lifecycle seam for ANN intermediates that are read more than
+    once per action (LSH bucket frames, IVF cell assignments).
+
+    ``storage="cache"`` (default): session cache — right for a single
+    query over a corpus that fits executor storage memory. The frame
+    is appended to ``persisted_out`` (if given) so callers can
+    ``.unpersist()`` it explicitly instead of waiting for eviction /
+    ``spark.catalog.clearCache()``.
+
+    ``storage="table"``: write-once-read-many — the frame is EAGERLY
+    written to ``table_name`` in the session warehouse (parquet) and
+    re-read from there, the right shape for a 100 TB curation run
+    where one assignment feeds many queries and must not depend on
+    executor cache residency. Re-invoking with the same name
+    overwrites. Drop with :func:`drop_artifact_table` when the run is
+    done."""
+    if storage == "cache":
+        df = df.cache()
+        if persisted_out is not None:
+            persisted_out.append(df)
+        return df
+    if storage == "table":
+        if not table_name:
+            raise ValueError("storage='table' requires artifact_table=")
+        df.write.mode("overwrite").format("parquet").saveAsTable(table_name)
+        return df.sparkSession.table(table_name)
+    raise ValueError(f"unknown storage: {storage!r} "
+                     "(expected 'cache' or 'table')")
+
+
+def drop_artifact_table(spark, table_name: str) -> None:
+    """Explicitly end a ``storage="table"`` artifact's lifecycle."""
+    escaped = table_name.replace("`", "``")
+    spark.sql(f"DROP TABLE IF EXISTS `{escaped}`")
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
@@ -144,7 +183,10 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         method: str = "exact",
                         n_planes: int = 8, seed: int = 42,
                         round_to: int | None = 4,
-                        shard_rows: int = 16384) -> DataFrame:
+                        shard_rows: int = 16384,
+                        storage: str = "cache",
+                        artifact_table: str | None = None,
+                        persisted_out: list | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
 
     method="exact": all-pairs via the sharded co-group GEMM — the
@@ -160,12 +202,15 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     import pandas as pd
 
     if method == "lsh":
-        # cached because BOTH sides of the bucket self-join below read
-        # it (a join, unlike the q/c unions elsewhere, genuinely needs
-        # two inputs). The cache lives until the session clears it —
-        # long-lived applications calling this repeatedly should
-        # .unpersist() via spark.catalog.clearCache() between corpora.
-        b = lsh_buckets(df, n_planes, seed, id_col, vec_col).cache()
+        # materialized because BOTH sides of the bucket self-join below
+        # read it (a join, unlike the q/c unions elsewhere, genuinely
+        # needs two inputs). storage="table" (+ artifact_table=) writes
+        # it once to the warehouse instead — the multi-query / 100 TB
+        # lifecycle; storage="cache" hands the frame to persisted_out
+        # for explicit release.
+        b = _materialize_artifact(
+            lsh_buckets(df, n_planes, seed, id_col, vec_col),
+            storage, artifact_table, persisted_out)
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
                            for p in range(n_planes)])
@@ -293,7 +338,10 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
              multiprobe: bool = True,
              round_to: int | None = None,
-             shard_rows: int = 16384) -> DataFrame:
+             shard_rows: int = 16384,
+             storage: str = "cache",
+             artifact_table: str | None = None,
+             persisted_out: list | None = None) -> DataFrame:
     """Approximate top-k within LSH buckets; multiprobe also searches
     the n_planes 1-bit-adjacent buckets (recall boost without widening
     the join fan-out asymptotically).
@@ -305,10 +353,14 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     top-k. Vectors materialize once per probe, never per pair."""
     import pandas as pd
 
-    # cached: the candidate explode and the block grid's bucket-sizing
-    # aggregate both read the bucket projection (same lifetime note as
-    # ivf_topk — clearCache() between corpora in long-lived apps)
-    b = lsh_buckets(df, n_planes, seed, id_col, vec_col).cache()
+    # materialized: the candidate explode and the block grid's
+    # bucket-sizing aggregate both read the bucket projection.
+    # storage="table" persists it to the warehouse (the multi-query /
+    # 100 TB lifecycle); storage="cache" + persisted_out gives the
+    # caller an explicit unpersist handle.
+    b = _materialize_artifact(
+        lsh_buckets(df, n_planes, seed, id_col, vec_col),
+        storage, artifact_table, persisted_out)
     if multiprobe:
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
@@ -448,7 +500,10 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
              n_probes: int = 3, seed: int = 42, max_iter: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              centroids: list[list[float]] | None = None,
-             shard_rows: int = 16384) -> DataFrame:
+             shard_rows: int = 16384,
+             storage: str = "cache",
+             artifact_table: str | None = None,
+             persisted_out: list | None = None) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer (vs lsh_topk's
     data-oblivious hyperplanes): distributed k-means learns
     ``n_centroids`` cells, the corpus becomes inverted lists (one cell
@@ -479,15 +534,17 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
                          F.lit(0.0), lambda acc, z: acc + z)
         dist_structs.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
     cells_by_dist = F.array_sort(F.array(*dist_structs))
-    # cached because the interpreted n_centroids × dim distance fold
-    # is read TWICE per action — once by the candidate explode, once
-    # by the block grid's bucket-sizing aggregate — and uncached each
-    # reader re-evaluates it (measured 2-3× slower). The cache lives
-    # until the session clears it; long-lived applications should
-    # clearCache() between corpora, and at 100 TB the assignment
-    # belongs in a persisted table (write once, read twice), not
-    # session cache.
-    assigned = emb.withColumn("__cbd", cells_by_dist).cache()
+    # materialized because the interpreted n_centroids × dim distance
+    # fold is read TWICE per action — once by the candidate explode,
+    # once by the block grid's bucket-sizing aggregate — and
+    # unmaterialized each reader re-evaluates it (measured 2-3×
+    # slower). At 100 TB pass storage="table": the assignment is
+    # written once to the warehouse and read from disk by both
+    # branches, independent of executor cache residency; drop it with
+    # drop_artifact_table when the run ends.
+    assigned = _materialize_artifact(
+        emb.withColumn("__cbd", cells_by_dist),
+        storage, artifact_table, persisted_out)
     # nearest cell (= the member cell) is probes[0] — _explode_roles'
     # first-element contract; __cbd referenced exactly once
     probes = F.transform(F.slice("__cbd", 1, n_probes),
@@ -582,7 +639,10 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
                            vec_col: str = "embedding",
                            round_to: int = 4,
                            centroids: list[list[int]] | None = None,
-                           shard_rows: int = 16384) -> DataFrame:
+                           shard_rows: int = 16384,
+                           storage: str = "cache",
+                           artifact_table: str | None = None,
+                           persisted_out: list | None = None) -> DataFrame:
     """IVF ANN over the quantized-Lloyd coarse quantizer — identical
     candidate generation to :func:`ivf_topk` (probe ``n_probes``
     nearest cells, exact GEMM re-rank inside), but every stage up to
@@ -597,12 +657,13 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
                     F.col(vec_col).cast("array<double>").alias("vec"),
                     _ivf_quantize_expr(vec_col).alias("qv"))
     cbd = _ivf_cells_by_dist(centroids)
-    # single-pass fan-out (see _explode_roles): the interpreted
-    # distance fold evaluates once per row, nothing stays cached
-    # cached: the explode branch and the block grid's sizing aggregate
-    # both read the interpreted distance fold (see ivf_topk's note on
-    # lifetime; clearCache() between corpora in long-lived apps)
-    emb = emb.withColumn("__cbd", cbd).drop("qv").cache()
+    # materialized: the explode branch and the block grid's sizing
+    # aggregate both read the interpreted distance fold (see
+    # ivf_topk's lifecycle note; storage="table" for multi-query /
+    # 100 TB runs, persisted_out for explicit cache release)
+    emb = _materialize_artifact(
+        emb.withColumn("__cbd", cbd).drop("qv"),
+        storage, artifact_table, persisted_out)
     probes = F.transform(F.slice("__cbd", 1, n_probes), lambda s: s["cell"])
     both = _explode_roles(emb, probes, "cell")  # member cell = probes[0]
     return _grouped_candidate_topk(both, "cell", k,
