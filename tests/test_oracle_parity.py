@@ -68,15 +68,43 @@ def test_semantic_clusters_exact_variant(spark, duck):
     compare_to_oracle(df, duck, lq.SEMANTIC_CLUSTERS_EXACT_SQL)
 
 
+# The driver hash-checks exactly these 50 entries (dict order). Round
+# 6 rotated always-green redundant variants out (collect_array_
+# distinct, gather_encoder_distfit, lift/recall/F curves, doc_lm_
+# scores, doc_chunks) for seven families previously verified only by
+# the committed local sweeps (kmv/theta sketches, winnowing, n-gram
+# containment, repeated n-grams, contamination, a TPC-H scan shape).
+DRIVER_WINDOW = [
+    "collect_array", "gather", "gather_encoder_top",
+    "gather_encoder_top_allother", "gather_encoder_index",
+    "string_indexer", "downsampling_hash", "binning", "gains_curve",
+    "roc_curve", "roc_curve_binned", "auc_metrics",
+    "precision_by_threshold", "s2_cells", "lr_newton_steps",
+    "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash_pairs",
+    "dup_clusters", "text_stats", "language_id", "tfidf_top_terms",
+    "doc_quality", "source_capped_corpus", "doc_sample_k",
+    "train_test_split", "sequence_packing", "cosine_topk",
+    "ann_lsh_topk", "embedding_near_dups", "ann_ivf_topk",
+    "embedding_quantize", "media_sniff_formats", "media_pipeline",
+    "asof_join_orders", "range_join_windows", "salted_user_totals",
+    "top_event_per_user", "props_variant_extract", "event_sessions",
+    "zorder_events", "moving_avg_7d", "kmv_user_stats",
+    "theta_user_rollup", "winnow_pairs", "ngram_containment",
+    "repeated_ngrams", "benchmark_contamination", "tpch_q6_forecast",
+]
+
+
 def test_driver_window_composition():
     """The driver hash-checks only the FIRST 50 queries() entries.
-    Keep that window FULLY oracle-covered: the A12 LR slot is the
-    deterministic lr_newton_steps (verbatim-SQL IRLS, hash-exact);
-    the converged-optimizer local_lr_model sits past position 50.
-    Reordering queries() or inserting an oracle-less query before
-    position 50 fails here instead of silently costing a green row."""
+    Pin the exact set AND order: every window row oracle-covered (the
+    A12 LR slot is the deterministic lr_newton_steps; the converged
+    local_lr_model sits past position 50), every operator family
+    represented. Reordering queries(), inserting an oracle-less query
+    before position 50, or accidentally shifting the boundary fails
+    here instead of silently costing a green row."""
     import __spark_entry__ as em
     first50 = list(em.queries())[:50]
+    assert first50 == DRIVER_WINDOW
     missing = [n for n in first50 if n not in em.oracle_sql()]
     assert missing == [], missing
 
