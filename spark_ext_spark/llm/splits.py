@@ -72,19 +72,23 @@ def hash_split(df: DataFrame, key_col: str,
 
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                    budget: int = 2048,
-                   num_partitions: int = 8) -> DataFrame:
+                   num_partitions: int = 8,
+                   persisted_out: list | None = None) -> DataFrame:
     """(id, n_tokens, seq_id): documents ordered by id are concatenated
     into sequences of ≈``budget`` tokens; seq_id = exclusive running
     token count DIV budget. A document straddling a boundary belongs to
     the sequence where it starts (overflow ≤ its own length — the
     standard streaming-packing contract). Distributed: ordering via
     range partitioning + two-phase prefix sums, never a single-task
-    window."""
+    window. ``persisted_out`` receives the prefix path's persisted
+    intermediate for explicit release once the packing is
+    materialized."""
     toks = df.select(F.col(id_col).alias("doc"),
                      F.size(tokens(text_col)).alias("n_tokens"))
     cum = partitioned_cumulative_sums(
         toks, [F.asc("doc")], {"cum_excl": "n_tokens"},
-        num_partitions=num_partitions, inclusive=False)
+        num_partitions=num_partitions, inclusive=False,
+        persisted_out=persisted_out)
     return cum.select(
         F.col("doc").alias(id_col), "n_tokens",
         F.floor(F.col("cum_excl") / F.lit(budget)).alias("seq_id"))

@@ -158,9 +158,13 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
                 .select(F.explode(F.col(f"{in_col}.{key}")).alias("key"))
                 .groupBy("key").count())
 
-    def selected_keys(self, dataset: DataFrame) -> DataFrame:
+    def selected_keys(self, dataset: DataFrame,
+                      persisted_out: list | None = None) -> DataFrame:
         """Dictionary as a DataFrame (key, count, slot) — stays
-        distributed; ``fit`` does the final bounded collect."""
+        distributed; ``fit`` does the final bounded collect.
+        ``persisted_out`` receives any intermediate the distributed
+        (fitPartitions > 1) prefix-sum path persists, for release
+        after the dictionary is materialized (``_fit`` does this)."""
         transformation = self.getOrDefault(self.transformation)
         if transformation not in TRANSFORMATIONS:
             raise ValueError(
@@ -193,7 +197,8 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
                 cs = partitioned_cumulative_sums(
                     with_total(counts), order,
                     {"cum": "count", "slot": F.lit(1)},
-                    num_partitions=n_fit, inclusive=False)
+                    num_partitions=n_fit, inclusive=False,
+                    persisted_out=persisted_out)
                 return (cs.filter(F.col("cum") < threshold)
                         .select("key", "count",
                                 F.col("slot").cast("int").alias("slot")))
@@ -217,7 +222,8 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
             if n_fit > 1:
                 cs = partitioned_cumulative_sums(
                     selected, order, {"slot": F.lit(1)},
-                    num_partitions=n_fit, inclusive=False)
+                    num_partitions=n_fit, inclusive=False,
+                    persisted_out=persisted_out)
                 return cs.select("key", "count",
                                  F.col("slot").cast("int").alias("slot"))
 
@@ -228,8 +234,13 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
     def _fit(self, dataset: DataFrame) -> "GatherEncoderModel":
         self._validate_schema(dataset.schema)
         max_keys = self.getOrDefault(self.maxKeys)
-        rows = (self.selected_keys(dataset)
+        held: list = []
+        rows = (self.selected_keys(dataset, persisted_out=held)
                 .orderBy("slot").limit(max_keys + 1).collect())
+        # the dictionary is on the driver now — release the prefix
+        # path's range-partitioned intermediate immediately
+        for fr in held:
+            fr.unpersist()
         if len(rows) > max_keys:
             raise ValueError(
                 f"Fitted dictionary exceeds maxKeys={max_keys}; raise "
