@@ -108,7 +108,7 @@ def _pil_decoder():
 
 
 def decode_media(df: DataFrame, real_decode: bool = False,
-                 decoder=None) -> DataFrame:
+                 decoder=None, on_error: str = "null") -> DataFrame:
     """Fill width/height/n_frames via mapInPandas over (media_id,
     media, media_meta).
 
@@ -118,27 +118,34 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     (bytes → (width, height, n_frames)) — the seam for soundfile /
     ffmpeg / a test double. The default path produces deterministic
     sha256-derived fake dimensions so pipelines stay end-to-end
-    testable without codec libraries."""
+    testable without codec libraries.
+
+    ``on_error``: ``"null"`` (default) turns a payload the decoder
+    raises on — corrupt bytes, truncated file, wrong format — into
+    null dimensions instead of failing the task (and, after retries, a
+    100 TB job); each failing batch logs one warning with its failure
+    count so a SYSTEMATIC defect (wrong-arity custom decoder, missing
+    executor-side codec) is visible in executor logs, not silently
+    all-null. ``"raise"`` propagates the first error — the right mode
+    while developing a new decoder. Callers in null mode should gate
+    on the null-dim rate downstream."""
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error: {on_error!r}")
     if real_decode and decoder is None:
         decoder = _pil_decoder()
     if decoder is not None:
         inner = decoder
+        strict = on_error == "raise"
 
         def dims(payload):
-            # Undecodable payloads — null/empty AND corrupt non-empty
-            # bytes (truncated files, wrong formats) — emit null dims
-            # instead of letting one bad cell raise inside the task
-            # and, after retries, fail a 100 TB job. Callers gate on
-            # null-dim rates downstream (the same contract as a failed
-            # parse in any ingest pipeline). Deliberate aborts
-            # (KeyboardInterrupt etc.) still propagate.
+            # Null/empty payloads are undecodable in any mode — null
+            # dims rather than feeding b"" to a real codec.
             if not payload:
                 return (None, None, None)
-            try:
-                return inner(payload)
-            except Exception:
-                return (None, None, None)
+            return inner(payload)
     else:
+        inner = None
+        strict = True  # the fake path never raises
         dims = _fake_dims
 
     # media_id keeps its own type: attach_media accepts any id column
@@ -150,12 +157,30 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = []
+            n_err, last_err = 0, None
             for payload, meta in zip(pdf["media"], pdf["media_meta"]):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, nf = dims(payload)
+                if strict:
+                    w, h, nf = dims(payload)
+                else:
+                    try:
+                        w, h, nf = dims(payload)
+                    except Exception as e:  # noqa: BLE001 — see on_error
+                        n_err += 1
+                        last_err = f"{type(e).__name__}: {e}"
+                        w = h = nf = None
                 metas.append({"format": meta["format"],
                               "byte_len": meta["byte_len"],
                               "width": w, "height": h, "n_frames": nf})
+            if n_err:
+                # one line per failing batch in the EXECUTOR log: a
+                # systematic defect (wrong-arity decoder, missing
+                # executor-side codec) shows up as every-batch
+                # warnings, not a silently all-null output
+                import logging
+                logging.getLogger(__name__).warning(
+                    "decode_media: %d/%d payloads undecodable in this "
+                    "batch (last error: %s)", n_err, len(pdf), last_err)
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "media": pdf["media"],
                                 "media_meta": metas})

@@ -198,9 +198,22 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     inherent to exactness, so prefer method="lsh" at large N.
     method="lsh": hyperplane-bucket blocking then exact cosine within
     buckets (+1-bit multiprobe) — the 100 TB path; recall follows the
-    LSH S-curve, candidates come from equi-joins only."""
+    LSH S-curve, candidates come from equi-joins only.
+
+    The storage/artifact_table/persisted_out lifecycle applies to the
+    LSH bucket frame only; the exact path materializes no reusable
+    artifact, so passing them with method="exact" raises instead of
+    silently writing nothing."""
     import pandas as pd
 
+    if storage not in ("cache", "table"):
+        raise ValueError(f"unknown storage: {storage!r} "
+                         "(expected 'cache' or 'table')")
+    if method != "lsh" and (storage != "cache" or artifact_table
+                            or persisted_out is not None):
+        raise ValueError(
+            "storage/artifact_table/persisted_out apply to method='lsh' "
+            "only — the exact path has no reusable artifact to persist")
     if method == "lsh":
         # materialized because BOTH sides of the bucket self-join below
         # read it (a join, unlike the q/c unions elsewhere, genuinely

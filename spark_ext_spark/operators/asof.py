@@ -94,29 +94,35 @@ def _carried_chunked(unioned: DataFrame, tiebreak: Column,
     spark = unioned.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # persisted so the summary pass and the output pass see the SAME
-    # sampled range boundaries / partition ids (same reason as
-    # operators/prefix.py)
     ranged = (unioned.withColumn("__tb", tiebreak)
               .repartitionByRange(n, "__key", "__ts", "__side", "__tb")
-              .withColumn("__pid", F.spark_partition_id())
-              .persist())
-    if persisted_out is not None:
-        persisted_out.append(ranged)
+              .withColumn("__pid", F.spark_partition_id()))
     w_local = (Window.partitionBy("__pid", "__key")
                .orderBy("__ts", "__side", "__tb")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # persisted AFTER the window so (a) the summary pass and the
+    # output pass see the same sampled range boundaries/partition ids
+    # (same reason as operators/prefix.py) and (b) the per-(pid,key)
+    # sort+window — the heaviest stage — runs once, not once per pass
     local = ranged.withColumn(
-        "__c_loc", F.last("__r", ignorenulls=True).over(w_local))
-    # one row per partition: (key open at the end, its local carry) —
-    # max_by over the same (ts, side, tb) tuple the window orders by,
-    # restricted per key by taking the last row's key alongside
+        "__c_loc",
+        F.last("__r", ignorenulls=True).over(w_local)).persist()
+    if persisted_out is not None:
+        persisted_out.append(local)
+    # one row per partition: (key open at the end, its local carry).
+    # max_by MUST order by the FULL range-sort tuple with __key
+    # LEADING — the partition's globally-last row is the one with the
+    # greatest (key, ts, side, tb), not the greatest (ts, side, tb):
+    # a partition holding the tail of an earlier key with LARGE
+    # timestamps plus the head of the next key with small ones would
+    # otherwise summarize the wrong key and null out the next
+    # partition's leading carry (regression-tested).
     summary = (local.groupBy("__pid")
                .agg(F.max_by(
                    F.struct(F.col("__key").alias("k"),
                             F.col("__c_loc").alias("v")),
-                   F.struct(F.col("__ts"), F.col("__side"),
-                            F.col("__tb"))).alias("s"))
+                   F.struct(F.col("__key"), F.col("__ts"),
+                            F.col("__side"), F.col("__tb"))).alias("s"))
                .select("__pid", "s.k", "s.v")
                .collect())
     by_pid = {r["__pid"]: (r["k"], r["v"]) for r in summary}
@@ -171,7 +177,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     counting aggregate over the tagged union and picks ``"chunked"``
     iff the hottest key exceeds ``hot_key_threshold`` rows — an eager
     job at call time, so latency-sensitive callers should pick
-    explicitly. ``persisted_out`` receives the chunked plan's
+    explicitly. The measured local[32]/128 GB crossover is 6-23M hot
+    rows (SCALE.md "Engineered-skew A/B"); the 5M default sits below
+    it on purpose — real cluster tasks get a few GB, and the windowed
+    plan's single hot task hits spill/OOM long before it stops being
+    fast on a 128 GB box. ``persisted_out`` receives the chunked plan's
     persisted intermediate for explicit release (else it lives until
     cache eviction)."""
     right_key = right_on or on

@@ -195,3 +195,26 @@ def test_asof_unknown_strategy_raises(spark):
     with pytest.raises(ValueError, match="strategy"):
         asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
                   strategy="bogus")
+
+
+def test_asof_chunked_boundary_summary_orders_by_key_first(spark):
+    """Regression (round-6 review): the per-partition boundary summary
+    must pick the partition's globally-last row by the FULL range-sort
+    tuple (key, ts, side, tb). Ordering by (ts, side, tb) alone let a
+    partition holding the tail of an earlier key with LARGE timestamps
+    (key 0, ts 1000..1999) plus the head of the next key with small
+    ones (key 1, rts 5) summarize key 0 as 'open' at the boundary —
+    and every key-1 left row in the next partition got a spurious null
+    instead of the carried 555.0."""
+    right = spark.range(1000).select(
+        F.lit(0).alias("k"), (F.col("id") + 1000).alias("rts"),
+        F.col("id").cast("double").alias("price"))
+    right = right.unionByName(spark.createDataFrame(
+        [(1, 5, 555.0)], "k long, rts long, price double"))
+    left = spark.range(1000).select(
+        F.lit(1).alias("k"), (F.col("id") + 6).alias("ts"))
+    kw = dict(on="k", left_ts="ts", right_ts="rts", value_cols=["price"])
+    win = asof_join(left, right, **kw)
+    chk = asof_join(left, right, strategy="chunked", num_partitions=2, **kw)
+    assert _norm_rows(chk) == _norm_rows(win)
+    assert all(r["price_asof"] == 555.0 for r in chk.collect())

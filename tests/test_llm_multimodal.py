@@ -283,3 +283,24 @@ def test_real_decode_reads_real_pngs(spark):
     assert (metas[2]["width"], metas[2]["height"]) == (7, 2)
     assert metas[1]["n_frames"] == 1
     assert metas[3]["width"] is None and metas[3]["height"] is None
+
+
+def test_decode_on_error_raise_propagates(spark):
+    """on_error='raise' is the decoder-development mode: the first
+    decode failure fails the job instead of flowing into null dims —
+    a wrong-arity custom decoder must not produce a silently all-null
+    100 TB output."""
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n\x1a\nx"))],
+                               "doc_id long, payload binary")
+    wrong_arity = lambda payload, fmt: (1, 1, 1)         # noqa: E731
+    out = decode_media(attach_media(df, "doc_id", "payload"),
+                       decoder=wrong_arity, on_error="raise")
+    with pytest.raises(Exception, match="positional argument"):
+        out.collect()
+    # default mode absorbs the same defect into null dims (and logs)
+    nulls = decode_media(attach_media(df, "doc_id", "payload"),
+                         decoder=wrong_arity)
+    assert nulls.first()["media_meta"]["width"] is None
+    with pytest.raises(ValueError, match="on_error"):
+        decode_media(attach_media(df, "doc_id", "payload"),
+                     decoder=wrong_arity, on_error="ignore")

@@ -345,3 +345,14 @@ def test_artifact_storage_validation(vecs):
         ivf_topk_deterministic(vecs, k=2, n_centroids=4, storage="table")
     with pytest.raises(ValueError, match="storage"):
         lsh_topk(vecs, k=2, storage="s3")
+
+
+def test_near_dups_exact_rejects_artifact_args(vecs):
+    """The storage lifecycle belongs to the LSH bucket frame; on the
+    exact path it used to be silently ignored — a caller believing the
+    artifact was persisted must get an error instead."""
+    with pytest.raises(ValueError, match="method='lsh'"):
+        embedding_near_dups(vecs, method="exact", storage="table",
+                            artifact_table="t_x")
+    with pytest.raises(ValueError, match="storage"):
+        embedding_near_dups(vecs, method="lsh", storage="s3")
