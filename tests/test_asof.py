@@ -218,3 +218,40 @@ def test_asof_chunked_boundary_summary_orders_by_key_first(spark):
     chk = asof_join(left, right, strategy="chunked", num_partitions=2, **kw)
     assert _norm_rows(chk) == _norm_rows(win)
     assert all(r["price_asof"] == 555.0 for r in chk.collect())
+
+
+def test_asof_chunked_equals_windowed_randomized(spark):
+    """Property-style differential: random key/ts layouts (many keys ×
+    few rows, few keys × many rows, duplicate timestamps, keys with no
+    right rows, null keys) across several partition counts. The
+    round-6 boundary-summary bug slipped past the engineered cases
+    because none placed two keys' extremes in one partition — random
+    layouts cover that class by volume."""
+    import random
+    rng = random.Random(20260815)
+    for trial, (n_keys, n_rows) in enumerate([(3, 400), (40, 400),
+                                              (7, 300)]):
+        rows_r, rows_l = [], []
+        for i in range(n_rows):
+            k = rng.randrange(n_keys)
+            key = None if k == 0 and n_keys > 5 else k
+            ts = rng.randrange(50)            # heavy ties
+            if rng.random() < 0.5:
+                rows_r.append((key, ts, float(rng.randrange(1000))))
+            else:
+                rows_l.append((key, ts, i))
+        right = spark.createDataFrame(rows_r or [(0, 0, 0.0)],
+                                      "k long, rts long, price double")
+        left = spark.createDataFrame(rows_l or [(0, 0, 0)],
+                                     "k long, ts long, lid long")
+        kw = dict(on="k", left_ts="ts", right_ts="rts",
+                  value_cols=["price"])
+        win = _norm_rows(asof_join(left, right, **kw))
+        for n_parts in (2, 5, 17):
+            held: list = []
+            chk = asof_join(left, right, strategy="chunked",
+                            num_partitions=n_parts,
+                            persisted_out=held, **kw)
+            assert _norm_rows(chk) == win, (trial, n_parts)
+            for fr in held:
+                fr.unpersist()
