@@ -108,7 +108,7 @@ def _pil_decoder():
 
 
 def decode_media(df: DataFrame, real_decode: bool = False,
-                 decoder=None, on_error: str = "null") -> DataFrame:
+                 decoder=None, on_error: str | None = None) -> DataFrame:
     """Fill width/height/n_frames via mapInPandas over (media_id,
     media, media_meta).
 
@@ -120,15 +120,22 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     sha256-derived fake dimensions so pipelines stay end-to-end
     testable without codec libraries.
 
-    ``on_error``: ``"null"`` (default) turns a payload the decoder
-    raises on — corrupt bytes, truncated file, wrong format — into
-    null dimensions instead of failing the task (and, after retries, a
-    100 TB job); each failing batch logs one warning with its failure
-    count so a SYSTEMATIC defect (wrong-arity custom decoder, missing
-    executor-side codec) is visible in executor logs, not silently
-    all-null. ``"raise"`` propagates the first error — the right mode
-    while developing a new decoder. Callers in null mode should gate
-    on the null-dim rate downstream."""
+    ``on_error``: ``"null"`` turns a payload the decoder raises on —
+    corrupt bytes, truncated file, wrong format — into null dimensions
+    instead of failing the task (and, after retries, a 100 TB job);
+    each failing batch logs one warning with its failure count so a
+    SYSTEMATIC defect (missing executor-side codec) stays visible in
+    executor logs, not silently all-null. ``"raise"`` propagates the
+    first error. The default depends on where the decoder came from:
+    a library decoder (``real_decode=True``) defaults to ``"null"``
+    (corrupt files in a 100 TB corpus are data, not bugs), while an
+    INJECTED ``decoder`` defaults to ``"raise"`` so a programming
+    error in new decoder code (wrong arity TypeError, NameError) fails
+    fast instead of silently becoming an all-null column — pass
+    ``on_error="null"`` explicitly once the decoder is trusted.
+    Callers in null mode should gate on the null-dim rate downstream."""
+    if on_error is None:
+        on_error = "raise" if decoder is not None else "null"
     if on_error not in ("null", "raise"):
         raise ValueError(f"unknown on_error: {on_error!r}")
     if real_decode and decoder is None:

@@ -45,13 +45,29 @@ def _materialize_artifact(df: DataFrame, storage: str,
     where one assignment feeds many queries and must not depend on
     executor cache residency. Re-invoking with the same name
     overwrites. Drop with :func:`drop_artifact_table` when the run is
-    done."""
+    done.
+
+    Mismatched arguments raise (same strict contract as
+    ``embedding_near_dups``'s exact path): ``artifact_table`` with
+    ``storage="cache"`` would silently produce no table, and
+    ``persisted_out`` with ``storage="table"`` would silently never be
+    filled — both are caller bugs, not preferences."""
     if storage == "cache":
+        if table_name:
+            raise ValueError(
+                "artifact_table= is only meaningful with "
+                "storage='table'; storage='cache' would silently "
+                "create no table — drop the argument or switch storage")
         df = df.cache()
         if persisted_out is not None:
             persisted_out.append(df)
         return df
     if storage == "table":
+        if persisted_out is not None:
+            raise ValueError(
+                "persisted_out= is only meaningful with "
+                "storage='cache'; a storage='table' artifact is "
+                "released with drop_artifact_table(), not unpersist()")
         if not table_name:
             raise ValueError("storage='table' requires artifact_table=")
         df.write.mode("overwrite").format("parquet").saveAsTable(table_name)

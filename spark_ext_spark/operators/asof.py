@@ -43,10 +43,35 @@ the same output; DuckDB itself leaves this case undefined.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 from pyspark.sql.window import Window
+
+# Session-scoped sizing cache for strategy="auto": (left key plan hash,
+# right key plan hash) -> hottest-key row count. The histogram depends
+# only on the key projections, so N as-of joins over the same tables —
+# regardless of value_cols — pay ONE sizing job. Keyed on the ANALYZED
+# plan: if the underlying files change under an identical plan (a
+# re-written parquet path), call clear_hot_key_cache().
+_HOTKEY_CACHE: dict[tuple, int] = {}
+_sizing_runs = 0  # test seam: counts actual sizing jobs executed
+
+
+def clear_hot_key_cache() -> None:
+    """Drop cached auto-strategy key histograms (use after the data
+    under a previously sized table path has been rewritten)."""
+    _HOTKEY_CACHE.clear()
+
+
+def _key_plan_hash(df: DataFrame, col: str) -> int | None:
+    """Stable-within-session hash of the key projection's analyzed
+    plan; None when the API is unavailable (e.g. Spark Connect)."""
+    try:
+        return int(df.select(F.col(col)).semanticHash())
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        return None
 
 
 def _orderable(dt: DataType) -> bool:
@@ -76,7 +101,9 @@ def _tiebreak(struct_col: Column, struct_t: DataType) -> Column:
 def _carried_chunked(unioned: DataFrame, tiebreak: Column,
                      r_struct_t: DataType,
                      num_partitions: int | None = None,
-                     persisted_out: list | None = None) -> DataFrame:
+                     persisted_out: list | None = None,
+                     storage_level: StorageLevel | None = None,
+                     checkpoint: bool = False) -> DataFrame:
     """Two-phase last-observation-carried-forward with NO per-key task
     ceiling: range-partition the tagged union on the full sort order
     (a hot key spans many partitions), LOCF within each (partition,
@@ -90,7 +117,20 @@ def _carried_chunked(unioned: DataFrame, tiebreak: Column,
     Cost: one range shuffle (plus its sampling pass) and a
     #partitions-row collect, vs the windowed plan's one hash shuffle —
     buy the extra shuffle only when a key can exceed a task
-    (``asof_join(strategy=...)`` chooses)."""
+    (``asof_join(strategy=...)`` chooses).
+
+    RECOMPUTE HAZARD: the driver-collected pid→carry map is only valid
+    for the materialization it was computed from. If persisted
+    partitions are evicted or lost (executor failure) the recompute
+    re-runs ``repartitionByRange``'s sampling, which can assign
+    different partition ids than the collected summary and silently
+    mis-carry. Defaults are safe on a single-JVM/local run (persist is
+    deser MEMORY_AND_DISK — eviction spills, it doesn't drop); for
+    long multi-hour cluster runs pass ``storage_level=StorageLevel.
+    MEMORY_AND_DISK_2`` (replica survives one executor loss) or
+    ``checkpoint=True`` (reliable checkpoint to the configured
+    ``setCheckpointDir``, immune to any executor loss — the same seam
+    as the connected-components iterate in ``llm/clusters.py``)."""
     spark = unioned.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -105,10 +145,17 @@ def _carried_chunked(unioned: DataFrame, tiebreak: Column,
     # (same reason as operators/prefix.py) and (b) the per-(pid,key)
     # sort+window — the heaviest stage — runs once, not once per pass
     local = ranged.withColumn(
-        "__c_loc",
-        F.last("__r", ignorenulls=True).over(w_local)).persist()
-    if persisted_out is not None:
-        persisted_out.append(local)
+        "__c_loc", F.last("__r", ignorenulls=True).over(w_local))
+    if checkpoint:
+        # reliable materialization: partition ids are frozen on disk,
+        # so the pid→carry map below stays valid through ANY executor
+        # loss (requires spark.sparkContext.setCheckpointDir)
+        local = local.checkpoint(eager=True)
+    else:
+        local = local.persist(storage_level
+                              or StorageLevel.MEMORY_AND_DISK_DESER)
+        if persisted_out is not None:
+            persisted_out.append(local)
     # one row per partition: (key open at the end, its local carry).
     # max_by MUST order by the FULL range-sort tuple with __key
     # LEADING — the partition's globally-last row is the one with the
@@ -164,7 +211,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               strategy: str = "window",
               hot_key_threshold: int = 5_000_000,
               num_partitions: int | None = None,
-              persisted_out: list | None = None) -> DataFrame:
+              persisted_out: list | None = None,
+              storage_level: StorageLevel | None = None,
+              checkpoint: bool = False,
+              hottest_key_count: int | None = None) -> DataFrame:
     """Append, to every left row, ``value_cols`` (default: all non-key,
     non-ts right columns) from the latest right row at or before the
     left row's timestamp; nulls when no prior right row exists.
@@ -176,14 +226,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     cost of a range shuffle; identical output. ``"auto"`` runs one
     counting aggregate over the tagged union and picks ``"chunked"``
     iff the hottest key exceeds ``hot_key_threshold`` rows — an eager
-    job at call time, so latency-sensitive callers should pick
-    explicitly. The measured local[32]/128 GB crossover is 6-23M hot
+    job at call time, amortized two ways: the result is cached per
+    (left key plan, right key plan) for the session (N as-of joins
+    over the same tables pay one sizing job; ``clear_hot_key_cache()``
+    after rewriting data under an identical plan), and
+    ``hottest_key_count`` lets a caller who already knows the key
+    histogram (table stats, a prior profile) skip the job entirely.
+    The measured local[32]/128 GB crossover is 6-23M hot
     rows (SCALE.md "Engineered-skew A/B"); the 5M default sits below
     it on purpose — real cluster tasks get a few GB, and the windowed
     plan's single hot task hits spill/OOM long before it stops being
     fast on a 128 GB box. ``persisted_out`` receives the chunked plan's
     persisted intermediate for explicit release (else it lives until
-    cache eviction)."""
+    cache eviction); ``storage_level``/``checkpoint`` harden that
+    intermediate against executor loss on long cluster runs (see
+    :func:`_carried_chunked`'s recompute-hazard note)."""
     right_key = right_on or on
     if value_cols is None:
         value_cols = [c for c in right.columns
@@ -211,12 +268,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     unioned = l_tagged.unionByName(r_tagged)
     tiebreak = _tiebreak(F.col("__r"), r_struct_t)
     if strategy == "auto":
-        hottest = (unioned.groupBy("__key").count()
-                   .agg(F.max("count")).first()[0]) or 0
+        hottest = hottest_key_count
+        if hottest is None:
+            lh = _key_plan_hash(left, on)
+            rh = _key_plan_hash(right, right_key)
+            ck = (lh, rh) if lh is not None and rh is not None else None
+            if ck is not None and ck in _HOTKEY_CACHE:
+                hottest = _HOTKEY_CACHE[ck]
+            else:
+                hottest = (unioned.groupBy("__key").count()
+                           .agg(F.max("count")).first()[0]) or 0
+                global _sizing_runs
+                _sizing_runs += 1
+                if ck is not None:
+                    _HOTKEY_CACHE[ck] = hottest
         strategy = "chunked" if hottest > hot_key_threshold else "window"
     if strategy == "chunked":
         carried = _carried_chunked(unioned, tiebreak, r_struct_t,
-                                   num_partitions, persisted_out)
+                                   num_partitions, persisted_out,
+                                   storage_level, checkpoint)
     else:
         # right rows at the same ts sort before left rows → inclusive
         # match; the trailing tiebreak orders right rows tied on

@@ -265,6 +265,14 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
     - null/empty gathered array → all-zero sparse vector;
     - empty dictionary and allOther=false → size-0 dense vector;
     - empty dictionary + failOnEmptyKeys → error at transform.
+
+    Null vs NaN values: on every path a null VALUE unboxes to 0.0
+    (GatherEncoder.scala:345-355). A genuine NaN value is preserved by
+    ``encodeMethod="udf"`` (reference parity — NaN lands in the slot,
+    or poisons the all-other sum); ``encodeMethod="arrow"`` CANNOT
+    distinguish NaN from null over Arrow transport and conflates both
+    to 0.0 — a documented limitation, so route NaN-bearing inputs to
+    the udf path.
     """
 
     modelKeys = Param(Params._dummy(), "modelKeys",
@@ -341,12 +349,13 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
                             # null elements arrive from Arrow as NaN (or
                             # None under object dtype); the reference
                             # unboxes null to 0.0 (GatherEncoder.scala:
-                            # 345-355, null.asInstanceOf[Double]) — NaN
-                            # must not be written into the slot or
-                            # summed into all-other (NaN-poisoning).
-                            # Arrow can't distinguish a genuine NaN
-                            # value from null, so both map to 0.0 here;
-                            # the udf path coerces NaN→0.0 to match.
+                            # 345-355, null.asInstanceOf[Double]).
+                            # KNOWN LIMITATION: Arrow transport cannot
+                            # distinguish a genuine NaN value from null,
+                            # so this path conflates both to 0.0. The
+                            # reference PRESERVES genuine NaN — use
+                            # encodeMethod="udf" for NaN-bearing inputs
+                            # (documented in the class docstring).
                             v = 0.0 if pd.isna(v) else float(v)
                             idx = key_index.get(k)
                             if idx is not None:
@@ -369,13 +378,15 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
                 key_index = key_index_bc.value
                 elements: dict[int, float] = {}
                 for k, v in zip(keys, values):
-                    # reference parity: a null value unboxes to 0.0
-                    # (GatherEncoder.scala:345-355). Genuine NaN is
-                    # ALSO coerced to 0.0 so this path agrees with the
-                    # arrow path (where Arrow can't distinguish null
-                    # from NaN) — one operator, one output, whichever
-                    # execution path runs.
-                    v = 0.0 if (v is None or v != v) else v
+                    # reference parity: only a null value unboxes to
+                    # 0.0 (GatherEncoder.scala:345-355,
+                    # null.asInstanceOf[Double]); a genuine NaN value
+                    # is PRESERVED — written into the slot, or summed
+                    # (NaN-poisoning, as the reference would) into the
+                    # all-other slot. The arrow path cannot represent
+                    # this distinction (Arrow nulls and NaN collapse),
+                    # so NaN-bearing inputs belong on this path.
+                    v = 0.0 if v is None else v
                     idx = key_index.get(k)
                     if idx is not None:
                         elements[idx] = v            # last value wins

@@ -36,11 +36,8 @@ def profile_columns(df: DataFrame, cols: list[str],
     One aggregate row carries every statistic (single scan, partial
     aggregation).
 
-    .. note:: **Changed default** — ``exact_distinct`` flipped from
-       ``True`` to ``False``: distinct counts are now HLL++
-       approximations (±5% rsd) unless callers opt back into exact
-       counts. Existing call sites see different ``n_distinct`` values
-       without a code change.
+    Distinct counts are HLL++ approximations (±5% rsd) by default;
+    pass ``exact_distinct=True`` for exact cardinalities.
 
     Why approximate by default: exact multi-column count_distinct makes Catalyst
     Expand the scan once per distinct column (a k-column profile reads

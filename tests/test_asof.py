@@ -255,3 +255,35 @@ def test_asof_chunked_equals_windowed_randomized(spark):
             assert _norm_rows(chk) == win, (trial, n_parts)
             for fr in held:
                 fr.unpersist()
+
+
+def test_asof_auto_sizing_job_cached_per_key_plan(spark):
+    """A second auto call over the same tables must NOT run another
+    sizing job: the hottest-key count is cached per (left key plan,
+    right key plan) — asserted via the module's sizing-run counter —
+    and a caller-supplied hottest_key_count skips the job entirely."""
+    from spark_ext_spark.operators import asof as asof_mod
+    right = spark.createDataFrame([(0, t, float(t)) for t in range(20)],
+                                  "k long, rts long, price double")
+    left = spark.createDataFrame([(0, t, t) for t in range(5)],
+                                 "k long, ts long, lid long")
+    kw = dict(on="k", left_ts="ts", right_ts="rts", value_cols=["price"])
+    asof_mod.clear_hot_key_cache()
+    runs0 = asof_mod._sizing_runs
+    a = asof_join(left, right, strategy="auto", **kw)
+    assert a.count() == 5
+    assert asof_mod._sizing_runs == runs0 + 1
+    # same tables, different value selection: still one cached entry
+    b = asof_join(left, right, strategy="auto", **kw)
+    assert b.count() == 5
+    assert asof_mod._sizing_runs == runs0 + 1, "second auto call re-sized"
+    # explicit histogram: no sizing job and the choice honors it
+    held: list = []
+    c = asof_join(left, right, strategy="auto", hottest_key_count=50,
+                  hot_key_threshold=10, num_partitions=3,
+                  persisted_out=held, **kw)
+    assert c.count() == 5
+    assert asof_mod._sizing_runs == runs0 + 1
+    assert held, "hottest_key_count above threshold must go chunked"
+    held[0].unpersist()
+    asof_mod.clear_hot_key_cache()

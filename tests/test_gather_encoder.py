@@ -290,3 +290,30 @@ def test_null_values_unbox_to_zero_both_encode_paths(spark):
         got = {r["pk"]: list(r["f"].toArray())
                for r in m.transform(df).collect()}
         assert got == expected, method
+
+
+def test_nan_values_preserved_on_udf_path(spark):
+    """Reference parity: GatherEncoder.scala:345-355 unboxes only NULL
+    to 0.0 — a genuine NaN VALUE is preserved, landing in the fitted
+    slot and poisoning the all-other sum. Only the udf path can honor
+    this (Arrow transport conflates NaN with null — documented
+    limitation in the class docstring, where NaN→0.0)."""
+    import math
+    df = spark.createDataFrame(
+        [(1, [("a", float("nan")), ("zz", 2.0)]),
+         (2, [("a", 1.0), ("zz", float("nan")), ("yy", 3.0)])],
+        "pk long, g array<struct<key string, value double>>")
+    m = GatherEncoderModel(keys=["a"])
+    m._set(inputCol="g", outputCol="f", keyCol="key", valueCol="value",
+           allOther=True, encodeMethod="udf")
+    got = {r["pk"]: list(r["f"].toArray())
+           for r in m.transform(df).collect()}
+    assert math.isnan(got[1][0]) and got[1][1] == 2.0   # NaN in slot
+    assert got[2][0] == 1.0 and math.isnan(got[2][1])   # NaN poisons sum
+
+    # arrow path: same inputs, NaN conflated to 0.0 (the documented
+    # divergence — asserted so a silent behavior change is visible)
+    m._set(encodeMethod="arrow")
+    got = {r["pk"]: list(r["f"].toArray())
+           for r in m.transform(df).collect()}
+    assert got == {1: [0.0, 2.0], 2: [1.0, 3.0]}

@@ -228,7 +228,7 @@ def test_injected_decoder_corrupt_payload_yields_null_dims(spark):
         return (len(payload), 7, 1)
 
     out = decode_media(attach_media(df, "doc_id", "payload"),
-                       decoder=decoder)
+                       decoder=decoder, on_error="null")
     metas = {r["media_id"]: r["media_meta"].asDict() for r in out.collect()}
     assert metas[1]["width"] is None
     assert metas[1]["height"] is None
@@ -286,20 +286,21 @@ def test_real_decode_reads_real_pngs(spark):
 
 
 def test_decode_on_error_raise_propagates(spark):
-    """on_error='raise' is the decoder-development mode: the first
-    decode failure fails the job instead of flowing into null dims —
-    a wrong-arity custom decoder must not produce a silently all-null
-    100 TB output."""
+    """An INJECTED decoder defaults to on_error='raise' (decoder-
+    development mode): the first decode failure fails the job instead
+    of flowing into null dims — a wrong-arity custom decoder must not
+    produce a silently all-null 100 TB output. Explicit
+    on_error='null' opts a trusted decoder back into absorption."""
     df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n\x1a\nx"))],
                                "doc_id long, payload binary")
     wrong_arity = lambda payload, fmt: (1, 1, 1)         # noqa: E731
     out = decode_media(attach_media(df, "doc_id", "payload"),
-                       decoder=wrong_arity, on_error="raise")
+                       decoder=wrong_arity)  # default for injected: raise
     with pytest.raises(Exception, match="positional argument"):
         out.collect()
-    # default mode absorbs the same defect into null dims (and logs)
+    # explicit null mode absorbs the same defect into null dims (+logs)
     nulls = decode_media(attach_media(df, "doc_id", "payload"),
-                         decoder=wrong_arity)
+                         decoder=wrong_arity, on_error="null")
     assert nulls.first()["media_meta"]["width"] is None
     with pytest.raises(ValueError, match="on_error"):
         decode_media(attach_media(df, "doc_id", "payload"),

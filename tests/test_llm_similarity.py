@@ -345,6 +345,13 @@ def test_artifact_storage_validation(vecs):
         ivf_topk_deterministic(vecs, k=2, n_centroids=4, storage="table")
     with pytest.raises(ValueError, match="storage"):
         lsh_topk(vecs, k=2, storage="s3")
+    # mismatched lifecycle args are caller bugs, not preferences —
+    # every entry point shares _materialize_artifact's strict check
+    with pytest.raises(ValueError, match="artifact_table"):
+        lsh_topk(vecs, k=2, storage="cache", artifact_table="t_x")
+    with pytest.raises(ValueError, match="persisted_out"):
+        ivf_topk_deterministic(vecs, k=2, n_centroids=4, storage="table",
+                               artifact_table="t_x", persisted_out=[])
 
 
 def test_near_dups_exact_rejects_artifact_args(vecs):
