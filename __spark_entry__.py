@@ -43,24 +43,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compare fails on equal values. Wrap integer aggregates in
     ``CAST(... AS BIGINT)``; enforced by tests/test_oracle_types.py."""
     return {
-        # --- 1-15: reference §2A surface --------------------------------
-        # (window rotated in round 6: always-green redundant variants —
-        # collect_array_distinct, gather_encoder_distfit, lift/recall/F
-        # curves, doc_lm_scores, doc_chunks — moved past position 50 to
-        # make room for families the driver had never hash-checked.)
+        # --- 1-13: reference §2A surface --------------------------------
+        # (window rotated in round 7: always-green §2A/dedup/text
+        # redundancy — encoder top_allother/index, string_indexer,
+        # downsampling, gains/roc/precision curves, ngram_jaccard,
+        # simhash, winnow, tfidf, doc_quality, theta rollup — moved
+        # past position 50, making room for the validation, gap-fill,
+        # heavy-report, SQL-surface, and join-complex TPC-H families
+        # the driver had never hash-checked, plus the chunked as-of
+        # scale path. Every rotated-out name stays covered by the
+        # committed 3-config local sweeps and the bench.)
         "collect_array": rel.user_event_types,
         "gather": gq.gather_user_events,
         "gather_encoder_top": fq.gather_encoder_top,
-        "gather_encoder_top_allother": fq.gather_encoder_top_allother,
-        "gather_encoder_index": fq.gather_encoder_index,
-        "string_indexer": fq.string_indexer,
-        "downsampling_hash": fq.downsampling_hash,
         "binning": fq.binning_quantity,
-        "gains_curve": eq.gains_curve,
-        "roc_curve": eq.roc_curve,
         "roc_curve_binned": eq.roc_curve_binned,
         "auc_metrics": eq.auc_metrics,
-        "precision_by_threshold": eq.precision_by_threshold,
         "s2_cells": mq.s2_cells,
         # A12 LR family, deterministic variant: 2 unrolled IRLS steps
         # whose SQL text both engines execute verbatim (hash-exact).
@@ -68,21 +66,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the 50-query window; its values are pinned by R-glmnet
         # goldens in tests/test_classification.py.
         "lr_newton_steps": mq.lr_newton_steps,
-        # --- 16-28: LLM dedup + text analysis ---------------------------
+        "string_indexer": fq.string_indexer,
+        # --- LLM dedup + text analysis ----------------------------------
         "exact_dedup": lq.exact_dedup,
-        "ngram_jaccard": lq.ngram_jaccard,
         "minhash_lsh": lq.minhash_lsh,
-        "simhash_pairs": lq.simhash_pairs,
         "dup_clusters": lq.dup_clusters,
         "text_stats": lq.doc_text_stats,
         "language_id": lq.doc_language_id,
-        "tfidf_top_terms": lq.tfidf_top_terms,
-        "doc_quality": lq.doc_quality,
         "source_capped_corpus": lq.source_capped_corpus,
         "doc_sample_k": lq.doc_sample_k,
         "train_test_split": lq.train_test_split,
         "sequence_packing": lq.sequence_packing,
-        # --- 29-35: similarity search + multimodal ----------------------
+        # --- similarity search + multimodal -----------------------------
         "cosine_topk": lq.cosine_topk_bruteforce,
         "ann_lsh_topk": lq.ann_lsh_topk,
         "embedding_near_dups": lq.embedding_near_dup_pairs,
@@ -90,7 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": lq.embedding_quantize,
         "media_sniff_formats": lq.media_sniff_formats,
         "media_pipeline": lq.media_pipeline,
-        # --- 36-43: one representative per beyond-§2B family ------------
+        # --- one representative per beyond-§2B family -------------------
         "asof_join_orders": lq.asof_join_orders,
         "range_join_windows": rel.events_in_order_windows,
         "salted_user_totals": rel.salted_user_totals,
@@ -99,20 +94,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": rel.event_sessions,
         "zorder_events": rel.zorder_event_keys,
         "moving_avg_7d": rel.moving_avg_7d,
-        # --- 44-50: round-6 rotation — families previously verified
-        # only by the committed local sweeps, now driver-checked -------
+        # --- round-6 rotation survivors ---------------------------------
         "kmv_user_stats": rel.kmv_user_stats,
-        "theta_user_rollup": rel.theta_user_rollup,
-        "winnow_pairs": lq.winnow_pairs,
         "ngram_containment": lq.ngram_containment,
         "repeated_ngrams": lq.repeated_ngrams,
         "benchmark_contamination": lq.benchmark_contamination,
         "tpch_q6_forecast": tpch.forecast_revenue_change,
+        # --- 39-50: round-7 rotation — families with zero driver
+        # history (validation, gap-fill family, heavy dedup reports,
+        # SQL grouping sets / JSON extraction, the two most
+        # join-complex TPC-H shapes) plus the chunked as-of scale
+        # path, which shares ASOF_JOIN_ORDERS_SQL verbatim ------------
+        "asof_join_orders_chunked": lq.asof_join_orders_chunked,
+        "table_profile": rel.table_profile,
+        "lineitem_expectations": rel.lineitem_expectations,
+        "hourly_gapfill": rel.hourly_gapfill,
+        "hourly_zscores": rel.hourly_zscores,
+        "semantic_clusters": lq.semantic_clusters,
+        "dedup_reduction_report": lq.dedup_reduction_report,
+        "sql_grouping_sets": rel.sql_grouping_sets,
+        "props_json_extract": rel.props_json_extract,
+        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
+        "pricing_summary": rel.pricing_summary,
         # --- 51+: §2B dataflow surface (bench coverage; all green via
-        # tests/test_oracle_parity.py at sf0.001). tpch_q6_forecast
+        # tests/test_oracle_parity.py at sf0.001). pricing_summary
         # above is entry #50, the last driver-hash-checked position —
         # count before moving this boundary;
         # test_driver_window_composition pins the exact set. ------------
+        "gather_encoder_top_allother": fq.gather_encoder_top_allother,
+        "gather_encoder_index": fq.gather_encoder_index,
+        "downsampling_hash": fq.downsampling_hash,
+        "gains_curve": eq.gains_curve,
+        "roc_curve": eq.roc_curve,
+        "precision_by_threshold": eq.precision_by_threshold,
+        "ngram_jaccard": lq.ngram_jaccard,
+        "simhash_pairs": lq.simhash_pairs,
+        "winnow_pairs": lq.winnow_pairs,
+        "tfidf_top_terms": lq.tfidf_top_terms,
+        "doc_quality": lq.doc_quality,
+        "theta_user_rollup": rel.theta_user_rollup,
         "collect_array_distinct": rel.user_distinct_event_types,
         "gather_encoder_distfit": fq.gather_encoder_distfit,
         "lift_curve": eq.lift_curve,
@@ -120,7 +141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_measure": eq.f_measure_by_threshold,
         "doc_lm_scores": lq.doc_lm_scores,
         "doc_chunks": lq.doc_chunks,
-        "pricing_summary": rel.pricing_summary,
         "source_temperature_mix": lq.source_temperature_mix,
         "gather_flat": gq.gather_user_events_flat,
         "gather_count": gq.gather_user_event_counts,
@@ -144,9 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": rel.cube_order_stats,
         "price_percentiles": rel.price_percentiles,
         "hourly_rollup": rel.hourly_rollup,
-        "hourly_gapfill": rel.hourly_gapfill,
         "hourly_interpolate": rel.hourly_interpolate,
-        "hourly_zscores": rel.hourly_zscores,
         "shipping_priority": rel.shipping_priority,
         "intersect_buyers": rel.intersect_high_value_buyers,
         "except_non_urgent": rel.except_low_priority_only,
@@ -170,24 +188,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty": tpch.small_quantity_revenue,
         "tpch_q19_discounted": tpch.discounted_revenue,
         "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
-        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
         "tpch_q11_important_parts": tpch.important_parts,
-        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
         "tpch_q16_parts_suppliers": tpch.parts_supplier_counts,
         "daily_active_users": rel.daily_active_users,
         "cheapest_order_per_customer": rel.cheapest_order_per_customer,
-        "props_json_extract": rel.props_json_extract,
-        "sql_grouping_sets": rel.sql_grouping_sets,
         "approx_user_stats": rel.approx_user_stats,  # rows-only (sketch)
         "doc_sentences": rel.doc_sentences,
         "stratified_sample_events": rel.stratified_sample_events,
         "value_statistics": rel.value_statistics,
         "value_robust_stats": rel.value_robust_stats,
         "corpus_dedup_stats": lq.corpus_dedup_stats,
-        "table_profile": rel.table_profile,
-        "lineitem_expectations": rel.lineitem_expectations,
         "mixture_report": lq.mixture_report,
-        "semantic_clusters": lq.semantic_clusters,
         "length_batches": lq.length_batches,
         "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
         "lineitem_measure_stats": rel.lineitem_measure_stats,
@@ -195,7 +206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
         "hilbert_event_keys": rel.hilbert_event_keys,
         "quality_top_fraction": lq.quality_top_fraction,
-        "dedup_reduction_report": lq.dedup_reduction_report,
         "language_mix_report": lq.language_mix_report,
     }
 
@@ -244,6 +254,9 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": lq.TRAIN_TEST_SPLIT_SQL,
         "sequence_packing": lq.SEQUENCE_PACKING_SQL,
         "asof_join_orders": lq.ASOF_JOIN_ORDERS_SQL,
+        # the two strategies are output-identical by contract — the
+        # chunked scale path answers to the SAME oracle text verbatim
+        "asof_join_orders_chunked": lq.ASOF_JOIN_ORDERS_SQL,
         "media_byte_stats": lq.MEDIA_BYTE_STATS_SQL,
         "media_sniff_formats": lq.MEDIA_SNIFF_FORMATS_SQL,
         "media_pipeline": lq.MEDIA_PIPELINE_SQL,

@@ -645,6 +645,28 @@ ASOF LEFT JOIN o
 """
 
 
+def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of join forced onto the SCALE path
+    (``strategy="chunked"``: range partition → per-(pid,key) LOCF →
+    driver scanLeft boundary carry, operators/asof.py) so the
+    hot-key-proof plan — including its boundary-carry propagation —
+    gets driver hash evidence against the identical oracle, not just
+    the local differential tests. Same oracle SQL as asof_join_orders
+    by construction (the two strategies are output-identical)."""
+    from spark_ext_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (load(spark, sf_dir, "orders")
+              .groupBy("o_custkey", "o_orderdate")
+              .agg(F.max("o_totalprice").alias("o_totalprice")))
+    joined = asof_join(ev, orders, on="user_id", left_ts="ts",
+                       right_ts="o_orderdate", right_on="o_custkey",
+                       value_cols=["o_totalprice"], strategy="chunked")
+    return joined.select("event_id", "user_id",
+                         F.round("o_totalprice_asof", 4)
+                         .alias("last_order_price"))
+
+
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents' bytes treated as opaque media payloads → attach →
     stub-decode → stub-resize(64×64) → frame-sample → per-source stats

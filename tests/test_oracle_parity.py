@@ -69,28 +69,31 @@ def test_semantic_clusters_exact_variant(spark, duck):
 
 
 # The driver hash-checks exactly these 50 entries (dict order). Round
-# 6 rotated always-green redundant variants out (collect_array_
-# distinct, gather_encoder_distfit, lift/recall/F curves, doc_lm_
-# scores, doc_chunks) for seven families previously verified only by
-# the committed local sweeps (kmv/theta sketches, winnowing, n-gram
-# containment, repeated n-grams, contamination, a TPC-H scan shape).
+# 7 rotated out always-green redundancy (encoder variants, the
+# gains/roc/precision curves, downsampling, ngram_jaccard, simhash,
+# winnowing, tfidf, doc_quality, theta rollup) for the families with
+# zero driver history: validation (table_profile, lineitem_
+# expectations), the gap-fill family, the heaviest dedup reports
+# (semantic_clusters, dedup_reduction_report), SQL grouping sets /
+# JSON extraction, the two most join-complex TPC-H shapes, and the
+# chunked as-of scale path (same oracle text as asof_join_orders).
 DRIVER_WINDOW = [
-    "collect_array", "gather", "gather_encoder_top",
-    "gather_encoder_top_allother", "gather_encoder_index",
-    "string_indexer", "downsampling_hash", "binning", "gains_curve",
-    "roc_curve", "roc_curve_binned", "auc_metrics",
-    "precision_by_threshold", "s2_cells", "lr_newton_steps",
-    "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash_pairs",
-    "dup_clusters", "text_stats", "language_id", "tfidf_top_terms",
-    "doc_quality", "source_capped_corpus", "doc_sample_k",
-    "train_test_split", "sequence_packing", "cosine_topk",
-    "ann_lsh_topk", "embedding_near_dups", "ann_ivf_topk",
-    "embedding_quantize", "media_sniff_formats", "media_pipeline",
-    "asof_join_orders", "range_join_windows", "salted_user_totals",
-    "top_event_per_user", "props_variant_extract", "event_sessions",
-    "zorder_events", "moving_avg_7d", "kmv_user_stats",
-    "theta_user_rollup", "winnow_pairs", "ngram_containment",
+    "collect_array", "gather", "gather_encoder_top", "binning",
+    "roc_curve_binned", "auc_metrics", "s2_cells", "lr_newton_steps",
+    "string_indexer", "exact_dedup", "minhash_lsh", "dup_clusters",
+    "text_stats", "language_id", "source_capped_corpus", "doc_sample_k",
+    "train_test_split", "sequence_packing", "cosine_topk", "ann_lsh_topk",
+    "embedding_near_dups", "ann_ivf_topk", "embedding_quantize",
+    "media_sniff_formats", "media_pipeline", "asof_join_orders",
+    "range_join_windows", "salted_user_totals", "top_event_per_user",
+    "props_variant_extract", "event_sessions", "zorder_events",
+    "moving_avg_7d", "kmv_user_stats", "ngram_containment",
     "repeated_ngrams", "benchmark_contamination", "tpch_q6_forecast",
+    "asof_join_orders_chunked", "table_profile", "lineitem_expectations",
+    "hourly_gapfill", "hourly_zscores", "semantic_clusters",
+    "dedup_reduction_report", "sql_grouping_sets", "props_json_extract",
+    "tpch_q21_waiting_suppliers", "tpch_q2_min_cost_supplier",
+    "pricing_summary",
 ]
 
 
