@@ -13,6 +13,21 @@ Fault tolerance: a query that raises is recorded as an "errors" entry
 and skipped from the headline sum — one bad query must never zero the
 whole bench. The per-query map prints BEFORE the headline value so a
 tail-capture of the output always keeps the headline intact.
+
+Instrument calibration (round 7): wall-clock on this box drifts ±30%
+with background load, which can swamp a real regression. Three
+load-normalization aids are recorded alongside the medians:
+- a fixed CALIBRATION query (pricing_summary — scan+agg, plan
+  unchanged since round 1) is timed before AND after the sweep; its
+  two numbers estimate box load during the run, and their ratio to a
+  quiet-box reference (BASELINE.md) normalizes cross-round sums;
+- per-query BEST-of-3 is reported next to the median — best-of is
+  far less load-sensitive (a quiet scheduling window usually occurs
+  in 3 tries), so compare best-of across rounds when calibration
+  shows drift;
+- 1-minute load averages before/after the sweep, for the record.
+The headline metric stays the round-1 median methodology so the
+historical series remains comparable.
 """
 
 from __future__ import annotations
@@ -31,10 +46,41 @@ import __spark_entry__ as entrymod  # noqa: E402
 from spark_ext_spark.session import get_spark  # noqa: E402
 
 RUNS = 3
+CALIBRATION_QUERY = "pricing_summary"
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _loadavg_1m() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
+def _calibrate(spark, queries, sf_dir) -> float | None:
+    """Median of 3 forced runs of the fixed calibration query — a box
+    load probe, not a benchmark row (its own sweep timing is separate).
+    One UNTIMED run first: the probe must measure box load, and on the
+    pre-sweep call the first execution otherwise pays one-time JVM
+    codegen/shuffle spin-up (measured 3.0 s vs 0.33 s warm — pure
+    cold-start, which would make every pre/post pair look like drift)."""
+    fn = queries.get(CALIBRATION_QUERY)
+    if fn is None:
+        return None
+    try:
+        force(fn(spark, sf_dir))
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            force(fn(spark, sf_dir))
+            samples.append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+        return round(statistics.median(samples), 4)
+    except Exception:  # noqa: BLE001 — calibration must never fail the bench
+        return None
 
 
 def main() -> None:
@@ -62,7 +108,11 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warmup must never fail the bench
             pass
 
+    load_pre = _loadavg_1m()
+    calib_pre = _calibrate(spark, queries, sf_dir)
+
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in queries.items():
         samples = []
@@ -72,6 +122,7 @@ def main() -> None:
                 force(fn(spark, sf_dir))
                 samples.append(time.monotonic() - t0)
             timings[name] = round(statistics.median(samples), 4)
+            best[name] = round(min(samples), 4)
         except Exception as exc:  # noqa: BLE001 — bench must survive any query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             traceback.print_exc(file=sys.stderr)
@@ -83,7 +134,11 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
 
+    calib_post = _calibrate(spark, queries, sf_dir)
+    load_post = _loadavg_1m()
+
     total = round(sum(timings.values()), 4)
+    total_best = round(sum(best.values()), 4)
     # Per-query detail first (may be long), compact headline line LAST:
     # the driver tail-captures stdout, so a long final line loses its
     # head (r1: parsed=null). Keep the last line short and parseable.
@@ -92,7 +147,12 @@ def main() -> None:
     # persist the full detail so round-over-round per-query regression
     # diffing never needs a bench re-run.
     detail = {"sf": sf, "runs": RUNS, "total_sec": total,
-              "queries": timings, "errors": errors}
+              "total_best_sec": total_best,
+              "calibration": {"query": CALIBRATION_QUERY,
+                              "pre_sec": calib_pre, "post_sec": calib_post,
+                              "loadavg_1m_pre": load_pre,
+                              "loadavg_1m_post": load_post},
+              "queries": timings, "best": best, "errors": errors}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_local.json"), "w") as fh:
@@ -106,6 +166,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        # load-drift instrumentation: best-of-3 sum (load-insensitive
+        # comparator) and the fixed calibration probe before/after the
+        # sweep — normalize cross-round sums by calib vs the quiet-box
+        # reference in BASELINE.md before calling a delta a regression
+        "best": total_best,
+        "calib": [calib_pre, calib_post],
     }))
     spark.stop()
 

@@ -146,6 +146,38 @@ def main() -> None:
         held.clear()
     results["asof_chunked_skewed"] = round(best, 3)
 
+    # 5. global-ordering cumulative sums: one global window (every row
+    # through ONE task) vs operators/prefix.py's range-partitioned
+    # prefix sums, at the distinct-score cardinalities around
+    # BinaryModelMetrics' prefix_threshold default (1e6). The curve
+    # operators switch paths on this number; measure the crossover the
+    # same way the as-of one was measured instead of asserting it.
+    from pyspark.sql.window import Window as W2
+
+    from spark_ext_spark.operators.prefix import partitioned_cumulative_sums
+    for rows in (int(float(x)) for x in
+                 os.environ.get("PREFIX_ROWS", "1e6,1e7").split(",")):
+        base = (spark.range(rows)
+                .select(F.col("id").alias("score"),
+                        (F.xxhash64("id") % 1000).alias("v")))
+        gw = (W2.orderBy("score")
+              .rowsBetween(W2.unboundedPreceding, W2.currentRow))
+
+        def window_path():
+            force(base.select("score", F.sum("v").over(gw).alias("cum")))
+
+        def prefix_path():
+            held: list = []
+            force(partitioned_cumulative_sums(
+                base, ["score"], {"cum": F.col("v")},
+                persisted_out=held))
+            for fr in held:
+                fr.unpersist()
+
+        tag = f"{rows:.0e}".replace("+0", "").replace("+", "")
+        results[f"prefix_global_window_{tag}"] = timed(window_path, runs=2)
+        results[f"prefix_partitioned_{tag}"] = timed(prefix_path, runs=2)
+
     print(json.dumps({"sf_dir": SF_DIR, "rows": n, "hot_key_rows": hot,
                       "amplify": AMPLIFY, "sec": results}))
     spark.stop()
