@@ -133,7 +133,12 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     error in new decoder code (wrong arity TypeError, NameError) fails
     fast instead of silently becoming an all-null column — pass
     ``on_error="null"`` explicitly once the decoder is trusted.
-    Callers in null mode should gate on the null-dim rate downstream."""
+    Callers in null mode should gate on the null-dim rate downstream.
+
+    .. versionchanged:: round 7
+       Injected decoders previously defaulted to ``"null"``; existing
+       call sites that rely on corrupt payloads being absorbed must
+       now pass ``on_error="null"`` explicitly."""
     if on_error is None:
         on_error = "raise" if decoder is not None else "null"
     if on_error not in ("null", "raise"):

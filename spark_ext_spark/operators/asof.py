@@ -49,13 +49,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 from pyspark.sql.window import Window
 
-# Session-scoped sizing cache for strategy="auto": (left key plan hash,
-# right key plan hash) -> hottest-key row count. The histogram depends
+# Session-scoped sizing cache for strategy="auto": (left key plan,
+# right key plan) -> hottest-key row count. The histogram depends
 # only on the key projections, so N as-of joins over the same tables —
 # regardless of value_cols — pay ONE sizing job. Keyed on the ANALYZED
-# plan: if the underlying files change under an identical plan (a
-# re-written parquet path), call clear_hot_key_cache().
+# plan (semanticHash widened with the key column name/type — the
+# residual collision probability across two 64-bit pairs is
+# negligible, and a collision's worst case is a suboptimal strategy
+# pick, corrected by passing strategy or hottest_key_count
+# explicitly): if the underlying files change under an identical plan
+# (a re-written parquet path), call clear_hot_key_cache(). FIFO-capped
+# so an unbounded stream of distinct table pairs can't grow the driver
+# dict for the session lifetime.
 _HOTKEY_CACHE: dict[tuple, int] = {}
+_HOTKEY_CACHE_MAX = 1024
 _sizing_runs = 0  # test seam: counts actual sizing jobs executed
 
 
@@ -65,11 +72,14 @@ def clear_hot_key_cache() -> None:
     _HOTKEY_CACHE.clear()
 
 
-def _key_plan_hash(df: DataFrame, col: str) -> int | None:
-    """Stable-within-session hash of the key projection's analyzed
-    plan; None when the API is unavailable (e.g. Spark Connect)."""
+def _key_plan_hash(df: DataFrame, col: str) -> tuple | None:
+    """Stable-within-session identity of the key projection: analyzed
+    plan semanticHash widened with the column name and type; None when
+    the API is unavailable (e.g. Spark Connect)."""
     try:
-        return int(df.select(F.col(col)).semanticHash())
+        proj = df.select(F.col(col))
+        return (int(proj.semanticHash()), col,
+                proj.schema[0].dataType.simpleString())
     except Exception:  # noqa: BLE001 — cache is best-effort
         return None
 
@@ -130,7 +140,12 @@ def _carried_chunked(unioned: DataFrame, tiebreak: Column,
     MEMORY_AND_DISK_2`` (replica survives one executor loss) or
     ``checkpoint=True`` (reliable checkpoint to the configured
     ``setCheckpointDir``, immune to any executor loss — the same seam
-    as the connected-components iterate in ``llm/clusters.py``)."""
+    as the connected-components iterate in ``llm/clusters.py``).
+    Checkpoint files are NOT auto-deleted: they must outlive the
+    returned lazy DataFrame, and Spark only reclaims them under the
+    non-default ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    — budget the checkpoint volume (one materialized union per call)
+    and clean the directory when the run ends."""
     spark = unioned.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -265,6 +280,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     if strategy not in ("window", "chunked", "auto"):
         raise ValueError(f"unknown asof_join strategy: {strategy!r}")
+    if checkpoint and persisted_out is not None:
+        # same strict contract as the ANN artifact lifecycle: a
+        # checkpointed intermediate is not cache-released, so a caller
+        # wiring 'for fr in held: fr.unpersist()' would silently no-op
+        raise ValueError(
+            "persisted_out= is only meaningful without checkpoint=True; "
+            "a checkpointed intermediate is reclaimed by cleaning the "
+            "checkpoint directory, not by unpersist()")
+    if checkpoint and storage_level is not None:
+        raise ValueError("storage_level= and checkpoint=True are "
+                         "mutually exclusive materialization modes")
     unioned = l_tagged.unionByName(r_tagged)
     tiebreak = _tiebreak(F.col("__r"), r_struct_t)
     if strategy == "auto":
@@ -281,6 +307,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                 global _sizing_runs
                 _sizing_runs += 1
                 if ck is not None:
+                    if len(_HOTKEY_CACHE) >= _HOTKEY_CACHE_MAX:
+                        _HOTKEY_CACHE.pop(next(iter(_HOTKEY_CACHE)))
                     _HOTKEY_CACHE[ck] = hottest
         strategy = "chunked" if hottest > hot_key_threshold else "window"
     if strategy == "chunked":

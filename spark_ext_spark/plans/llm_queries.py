@@ -645,6 +645,14 @@ ASOF LEFT JOIN o
 """
 
 
+# the chunked plan's persisted intermediate must outlive the returned
+# lazy DataFrame (the pid→carry map is only valid for that
+# materialization — operators/asof.py), so the query fn can't
+# unpersist before the caller's action. Bound residency to ONE copy
+# instead: each invocation releases the previous invocation's frames.
+_CHUNKED_ASOF_HELD: list = []
+
+
 def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of join forced onto the SCALE path
     (``strategy="chunked"``: range partition → per-(pid,key) LOCF →
@@ -655,13 +663,17 @@ def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction (the two strategies are output-identical)."""
     from spark_ext_spark.operators.asof import asof_join
 
+    for fr in _CHUNKED_ASOF_HELD:
+        fr.unpersist()
+    _CHUNKED_ASOF_HELD.clear()
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = (load(spark, sf_dir, "orders")
               .groupBy("o_custkey", "o_orderdate")
               .agg(F.max("o_totalprice").alias("o_totalprice")))
     joined = asof_join(ev, orders, on="user_id", left_ts="ts",
                        right_ts="o_orderdate", right_on="o_custkey",
-                       value_cols=["o_totalprice"], strategy="chunked")
+                       value_cols=["o_totalprice"], strategy="chunked",
+                       persisted_out=_CHUNKED_ASOF_HELD)
     return joined.select("event_id", "user_id",
                          F.round("o_totalprice_asof", 4)
                          .alias("last_order_price"))

@@ -61,7 +61,11 @@ def test_table_mode_lifecycle_at_sf01(spark):
     assert os.path.isdir(_warehouse_dir(spark, tname))
     assert _topk_rows(ivf_table) == ivf_cache_rows
 
-    # second consumer off the SAME artifact table (re-read, not refit)
+    # re-invoking with the same name recomputes the assignment and
+    # OVERWRITES the table (the documented semantics) — results stay
+    # stable across the overwrite. A consumer wanting re-read-without-
+    # recompute reads spark.table(tname) directly (exercised by
+    # test_table_mode_artifact_readable_without_source_cache below).
     again = ivf_topk(emb, k=5, centroids=centroids, n_probes=2,
                      storage="table", artifact_table=tname)
     assert _topk_rows(again) == ivf_cache_rows

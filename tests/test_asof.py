@@ -287,3 +287,20 @@ def test_asof_auto_sizing_job_cached_per_key_plan(spark):
     assert held, "hottest_key_count above threshold must go chunked"
     held[0].unpersist()
     asof_mod.clear_hot_key_cache()
+
+
+def test_asof_checkpoint_rejects_cache_lifecycle_args(spark):
+    """checkpoint=True materializes reliably — an unpersist handle or
+    a storage level would silently not apply, so both raise (same
+    strict contract as the ANN artifact lifecycle)."""
+    import pytest
+    from pyspark import StorageLevel
+    left = spark.createDataFrame([(1, 1)], "k long, ts long")
+    right = spark.createDataFrame([(1, 1, 2.0)], "k long, rts long, v double")
+    kw = dict(on="k", left_ts="ts", right_ts="rts")
+    with pytest.raises(ValueError, match="persisted_out"):
+        asof_join(left, right, strategy="chunked", checkpoint=True,
+                  persisted_out=[], **kw)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        asof_join(left, right, strategy="chunked", checkpoint=True,
+                  storage_level=StorageLevel.MEMORY_AND_DISK_2, **kw)

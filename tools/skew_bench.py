@@ -166,17 +166,21 @@ def main() -> None:
         def window_path():
             force(base.select("score", F.sum("v").over(gw).alias("cum")))
 
-        def prefix_path():
+        tag = f"{rows:.0e}".replace("+0", "").replace("+", "")
+        results[f"prefix_global_window_{tag}"] = timed(window_path, runs=2)
+        # unpersist happens OUTSIDE the timed region (same rule as the
+        # as-of A/B above: the window arm has no analogous teardown)
+        best = float("inf")
+        for _ in range(2):
             held: list = []
+            t0 = time.perf_counter()
             force(partitioned_cumulative_sums(
                 base, ["score"], {"cum": F.col("v")},
                 persisted_out=held))
+            best = min(best, time.perf_counter() - t0)
             for fr in held:
                 fr.unpersist()
-
-        tag = f"{rows:.0e}".replace("+0", "").replace("+", "")
-        results[f"prefix_global_window_{tag}"] = timed(window_path, runs=2)
-        results[f"prefix_partitioned_{tag}"] = timed(prefix_path, runs=2)
+        results[f"prefix_partitioned_{tag}"] = round(best, 3)
 
     print(json.dumps({"sf_dir": SF_DIR, "rows": n, "hot_key_rows": hot,
                       "amplify": AMPLIFY, "sec": results}))
