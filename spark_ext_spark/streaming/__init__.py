@@ -28,4 +28,5 @@ from spark_ext_spark.streaming.ops import (  # noqa: F401
     streaming_event_counts, streaming_gather, streaming_interval_join,
     streaming_text_quality)
 from spark_ext_spark.streaming.stateful import (  # noqa: F401
-    ROCKSDB_PROVIDER, streaming_running_totals)
+    ROCKSDB_PROVIDER, streaming_running_totals,
+    streaming_running_totals_v1)

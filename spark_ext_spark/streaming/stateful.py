@@ -18,6 +18,13 @@ container, so the query fails at stream start here (the operator
 builds fine — plan construction needs no protobuf). The test skips
 when protobuf is absent; on any standard Spark 4 deployment (protobuf
 ships with pyspark[connect] and every distro) it runs as written.
+``streaming_running_totals_v1`` is the same operator on the Spark 3.x
+``applyInPandasWithState`` API (no protobuf wire protocol) — it
+EXECUTES in this container, so the running-totals semantics
+(cross-batch accumulation, checkpoint-restart survival) carry
+executed evidence even where the v2 API cannot start; the two share
+one output schema and are differential-testable on any deployment
+that runs both.
 """
 
 from __future__ import annotations
@@ -26,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (DoubleType, LongType, StructField,
                                StructType)
 
-__all__ = ["streaming_running_totals", "ROCKSDB_PROVIDER"]
+__all__ = ["streaming_running_totals", "streaming_running_totals_v1",
+           "ROCKSDB_PROVIDER"]
 
 ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
                     "state.RocksDBStateStoreProvider")
@@ -82,3 +90,48 @@ def streaming_running_totals(events: DataFrame, key_col: str = "user_id",
                                         outputStructType=out_schema,
                                         outputMode="Update",
                                         timeMode=time_mode))
+
+
+def _output_schema(events: DataFrame, key_col: str) -> StructType:
+    # key column keeps ITS OWN type (same reason as the v2 op above)
+    return StructType([
+        StructField(key_col, events.schema[key_col].dataType),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+
+
+def streaming_running_totals_v1(events: DataFrame,
+                                key_col: str = "user_id",
+                                value_col: str = "value") -> DataFrame:
+    """``streaming_running_totals`` on the Spark 3.x
+    ``applyInPandasWithState`` API: identical output contract — one
+    (key, n_events, total_value) row per key per micro-batch that
+    touched it, lifetime totals, update semantics. No typed state
+    handles or TTL (v2-only features), but no protobuf dependency
+    either, so it executes on any Python-only deployment. State per
+    key is two scalars — O(distinct keys), independent of volume."""
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = _output_schema(events, key_col)
+    state_schema = "n long, total double"
+
+    def fn(key: Tuple[Any, ...],
+           batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += int(len(pdf))
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
