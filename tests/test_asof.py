@@ -304,3 +304,26 @@ def test_asof_checkpoint_rejects_cache_lifecycle_args(spark):
     with pytest.raises(ValueError, match="mutually exclusive"):
         asof_join(left, right, strategy="chunked", checkpoint=True,
                   storage_level=StorageLevel.MEMORY_AND_DISK_2, **kw)
+
+
+def test_asof_null_timestamps_follow_predicate_semantics(spark):
+    """left_ts >= right_ts is three-valued: NULL on either side never
+    matches. A null-rts right row must NOT be LOCF-carried into left
+    rows before the key's first real right row (it sorts first under
+    nulls-first ordering — the bug this pins against), and a null-ts
+    left row appears in the output with null values. Both strategies
+    agree."""
+    left = spark.createDataFrame(
+        [(1, 1, 100), (1, 5, 101), (1, None, 102)],
+        "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, None, 7.0), (1, 3, 9.0)],
+        "k long, rts long, v double")
+    expected = [(100, None),   # ts=1: no real rts <= 1 (null rts ignored)
+                (101, 9.0),    # ts=5: rts=3 matches
+                (102, None)]   # null left ts: predicate never true
+    for strat in ("window", "chunked"):
+        out = asof_join(left, right, on="k", left_ts="ts",
+                        right_ts="rts", strategy=strat)
+        got = sorted((r["lid"], r["v_asof"]) for r in out.collect())
+        assert got == expected, strat
