@@ -83,14 +83,20 @@ def drop_artifact_table(spark, table_name: str) -> None:
 
 
 def cosine_similarity_col(a: Column, b: Column) -> Column:
-    """cos(a,b) as a JVM expression over two array<double> columns."""
+    """cos(a,b) as a JVM expression over two array<double> columns.
+
+    Zero-norm vectors yield similarity 0.0 — the same guard as the
+    GEMM paths (`_role_split_gemm`). Without it, 0/0 = NaN, and Spark
+    ranks NaN as the LARGEST double, so one zero (padding) embedding
+    would top every descending-similarity ranking it appears in."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)) \
+            .otherwise(dot / (na * nb))
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,

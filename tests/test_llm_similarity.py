@@ -293,6 +293,18 @@ def test_zero_norm_vectors_do_not_poison_gemm(spark):
     zq = [r for r in out if r["query_id"] == 0]
     assert len(zq) == 3 and all(r["sim"] == 0.0 for r in zq)
 
+    # the expr path shares the guard: without it 0/0 = NaN, and Spark
+    # ranks NaN as the LARGEST double, so the zero vector would TOP
+    # every query's descending ranking — assert both the zero query's
+    # sims and that no other query ranks vec 0 first
+    expr = cosine_topk(df, df, k=3, method="expr").collect()
+    assert all(not np.isnan(r["sim"]) for r in expr)
+    zq = [r for r in expr if r["query_id"] == 0]
+    assert len(zq) == 3 and all(r["sim"] == 0.0 for r in zq)
+    firsts = {r["query_id"]: r["neighbor_id"]
+              for r in expr if r["rank"] == 1}
+    assert all(n != 0 for q, n in firsts.items() if q != 0)
+
 
 def _topk_rows(df):
     return sorted(tuple(r) for r in
