@@ -267,13 +267,20 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
     (matching md5() in any other engine) plus a locality-insensitive
-    sorted-token variant that survives word reordering."""
+    sorted-token variant that survives word reordering.
+
+    NULL text → NULL in BOTH columns (concat_ws would silently turn a
+    null token array into '' and stamp every null doc with md5('') —
+    colliding them all into one spurious dedup cluster); a non-null
+    but token-less text (empty, whitespace, punctuation-only) is a
+    real value and fingerprints as md5('')."""
     norm = normalize_text(text_col)
     sorted_tokens = F.concat_ws(" ", F.array_sort(tokens(text_col)))
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("fingerprint"),
-        F.md5(sorted_tokens).alias("bag_fingerprint"))
+        F.when(F.col(text_col).isNull(), F.lit(None))
+         .otherwise(F.md5(sorted_tokens)).alias("bag_fingerprint"))
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,

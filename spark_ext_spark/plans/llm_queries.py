@@ -280,7 +280,12 @@ WITH toks AS (
 )
 SELECT doc_id,
        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
-       md5(array_to_string(list_sort(tk), ' ')) AS bag_fingerprint
+       -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+       -- concat_ws of an empty array is '' — token-less docs
+       -- fingerprint as md5(''); NULL text stays NULL on both engines
+       CASE WHEN text IS NULL THEN NULL
+            ELSE md5(coalesce(array_to_string(list_sort(tk), ' '), ''))
+       END AS bag_fingerprint
 FROM toks
 """
 
@@ -1048,17 +1053,23 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ext_spark.llm.dedup import normalize_text, shingle_array
 
     docs = load(spark, sf_dir, "documents")
-    wdf = docs.select("doc_id",
+    wdf = docs.select("doc_id", F.col("text").isNull().alias("__nil"),
                       F.split(normalize_text("text"), " ").alias("__words"))
     sh = shingle_array(F.col("__words"), 3)
     total = F.size(sh)
     distinct = F.size(F.array_distinct(sh))
+    # NULL text → NULL row (not "0 shingles, fully repetitive"); a doc
+    # too short to have shingles has repetition 0.0, not 1.0 — zero of
+    # its zero shingles repeat
+    nul = F.lit(None)
     return wdf.select(
         "doc_id",
-        total.alias("n_shingles"),
-        distinct.alias("n_distinct"),
-        F.round(F.lit(1.0) - distinct / F.greatest(total, F.lit(1))
-                .cast("double"), 4).alias("rep_ratio"))
+        F.when(F.col("__nil"), nul).otherwise(total).alias("n_shingles"),
+        F.when(F.col("__nil"), nul).otherwise(distinct).alias("n_distinct"),
+        F.when(F.col("__nil"), nul)
+         .when(total == 0, F.lit(0.0))
+         .otherwise(F.round(F.lit(1.0) - distinct / total.cast("double"),
+                            4)).alias("rep_ratio"))
 
 
 DOC_REPETITION_SQL = """
@@ -1074,8 +1085,11 @@ WITH sh AS (
 SELECT doc_id,
        len(s) AS n_shingles,
        len(list_distinct(s)) AS n_distinct,
-       round(1.0 - len(list_distinct(s)) / greatest(len(s), 1), 4)
-         AS rep_ratio
+       -- NULL text propagates (len(NULL) is NULL); a shingle-less doc
+       -- has repetition 0.0 — zero of its zero shingles repeat
+       CASE WHEN len(s) = 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(s)) / len(s), 4)
+       END AS rep_ratio
 FROM sh
 """
 
@@ -1103,11 +1117,15 @@ WITH stats AS (
         FROM documents)
 )
 SELECT doc_id,
+       -- NULL guard: DuckDB least/greatest SKIP null arguments, so a
+       -- NULL text would fabricate 0.3 (least(NULL,1.0)=1.0) where
+       -- Spark's null-propagating expressions yield NULL
+       CASE WHEN n_chars IS NULL THEN NULL ELSE
        round(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 10000
                          THEN 1.0 ELSE 0.0 END)
              + 0.3 * least(distinct_ratio * 2, 1.0)
              + 0.3 * greatest(0.0, 1.0 - (punct_ratio + digit_ratio) * 5),
-             4) AS quality_score
+             4) END AS quality_score
 FROM stats
 """
 

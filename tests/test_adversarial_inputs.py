@@ -171,3 +171,61 @@ def test_zorder_keys_nonnegative_for_negative_ids(spark, hostile_sf):
     keys = {r["event_id"]: r["zkey"] for r in
             rel.zorder_event_keys(spark, hostile_sf).collect()}
     assert all(k >= 0 for k in keys.values())
+
+
+@pytest.fixture(scope="module")
+def hostile_docs_sf(spark, tmp_path_factory):
+    """documents.parquet with the text classes absent from the
+    synthetic corpus: empty text, NULL text, whitespace-only,
+    emoji/astral-plane codepoints, CJK (no spaces/punctuation), and a
+    single 10k-char token. Each of these split the engines at least
+    once (NULL-text bag_fingerprint, DuckDB null-skipping
+    least/greatest in quality, array_to_string([]) = NULL)."""
+    d = str(tmp_path_factory.mktemp("hostile_docs"))
+    rows = [
+        (1, "web", "Hello world! This is fine.", "2024-01-01"),
+        (2, "web", "", "2024-01-02"),
+        (3, "forum", None, "2024-01-03"),
+        (4, "forum", "\U0001f600\U0001f389\U0001f680 emoji only "
+                     "\U0001f600\U0001f600", "2024-01-04"),
+        (5, "wiki", "中文文本没有空格标点符号也很少", "2024-01-05"),
+        (6, "wiki", "a" * 10000, "2024-01-06"),
+        (7, "web", "  \t\n  ", "2024-01-07"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, date string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def hostile_docs_duck(hostile_docs_sf):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{hostile_docs_sf}/documents.parquet/*.parquet'")
+    yield con
+    con.close()
+
+
+def _lq():
+    from spark_ext_spark.plans import llm_queries
+    return llm_queries
+
+
+@pytest.mark.parametrize("qname,sqlname", [
+    ("doc_text_stats", "DOC_TEXT_STATS_SQL"),
+    ("token_counts", "TOKEN_COUNTS_SQL"),
+    ("doc_language_id", "DOC_LANGUAGE_ID_SQL"),
+    ("doc_fingerprints", "DOC_FINGERPRINTS_SQL"),
+    ("doc_quality", "DOC_QUALITY_SQL"),
+    ("exact_dedup", "EXACT_DEDUP_SQL"),
+    ("doc_repetition", "DOC_REPETITION_SQL"),
+    ("pii_redaction", "PII_REDACTION_SQL"),
+], ids=["stats", "tokens", "langid", "fingerprints", "quality",
+        "dedup", "repetition", "pii"])
+def test_hostile_documents_stay_cross_engine_green(spark, hostile_docs_sf,
+                                                   hostile_docs_duck,
+                                                   qname, sqlname):
+    lq = _lq()
+    compare_to_oracle(getattr(lq, qname)(spark, hostile_docs_sf),
+                      hostile_docs_duck, getattr(lq, sqlname))
