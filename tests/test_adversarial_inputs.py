@@ -221,8 +221,20 @@ def _lq():
     ("exact_dedup", "EXACT_DEDUP_SQL"),
     ("doc_repetition", "DOC_REPETITION_SQL"),
     ("pii_redaction", "PII_REDACTION_SQL"),
+    ("ngram_jaccard", "NGRAM_JACCARD_SQL"),
+    ("minhash_lsh", "MINHASH_LSH_SQL"),
+    ("simhash_pairs", "SIMHASH_PAIRS_SQL"),
+    ("winnow_pairs", "WINNOW_PAIRS_SQL"),
+    ("ngram_containment", "NGRAM_CONTAINMENT_SQL"),
+    ("doc_chunks", "DOC_CHUNKS_SQL"),
+    ("doc_lm_scores", "DOC_LM_SCORES_SQL"),
+    ("doc_gopher_rules", "GOPHER_RULES_SQL"),
+    ("benchmark_contamination", "BENCHMARK_CONTAMINATION_SQL"),
+    ("repeated_ngrams", "REPEATED_NGRAMS_SQL"),
 ], ids=["stats", "tokens", "langid", "fingerprints", "quality",
-        "dedup", "repetition", "pii"])
+        "dedup", "repetition", "pii", "jaccard", "minhash", "simhash",
+        "winnow", "containment", "chunks", "lm", "gopher",
+        "contamination", "repngrams"])
 def test_hostile_documents_stay_cross_engine_green(spark, hostile_docs_sf,
                                                    hostile_docs_duck,
                                                    qname, sqlname):
