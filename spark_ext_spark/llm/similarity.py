@@ -123,10 +123,12 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     kept as the declarative reference plan (good when M is tiny).
     """
     if method == "expr":
-        q = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).cast("array<double>").alias("qv"))
-        c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).cast("array<double>").alias("cv"))
+        q = (queries.filter(F.col(vec_col).isNotNull())
+             .select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).cast("array<double>").alias("qv")))
+        c = (corpus.filter(F.col(vec_col).isNotNull())
+             .select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).cast("array<double>").alias("cv")))
         sim = cosine_similarity_col(F.col("qv"), F.col("cv"))
         if round_to is not None:
             sim = F.round(sim, round_to)
@@ -141,8 +143,9 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     c, n_shards = _sharded(corpus, id_col, vec_col, shard_rows)
     c = c.withColumn("role", F.lit("c"))
-    q = (queries.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).cast("array<double>").alias("vec"))
+    q = (queries.filter(F.col(vec_col).isNotNull())  # same as _sharded
+         .select(F.col(id_col).alias("vec_id"),
+                 F.col(vec_col).cast("array<double>").alias("vec"))
          .withColumn("shard",
                      F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))))
          .withColumn("role", F.lit("q")))
@@ -172,8 +175,19 @@ def _role_split_gemm(pdf: pd.DataFrame, round_to: int | None):
     cs = pdf[pdf["role"] == "c"]
     if qs.empty or cs.empty:
         return None
-    qm = np.array(qs["vec"].tolist(), dtype=np.float64)
-    cm = np.array(cs["vec"].tolist(), dtype=np.float64)
+    try:
+        qm = np.array(qs["vec"].tolist(), dtype=np.float64)
+        cm = np.array(cs["vec"].tolist(), dtype=np.float64)
+    except ValueError as e:
+        # ragged input: nulls are filtered at every entry point, so
+        # this is mixed dimensionality — name the defect instead of
+        # numpy's opaque inhomogeneous-shape error
+        dims = sorted({len(v) for v in list(qs["vec"]) + list(cs["vec"])
+                       if v is not None})
+        raise ValueError(
+            f"embeddings have mixed dimensionality {dims}; similarity "
+            "search requires one fixed dim — repair or split the "
+            "corpus") from e
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
     cn = np.linalg.norm(cm, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
@@ -190,6 +204,11 @@ def _sharded(df: DataFrame, id_col: str, vec_col: str,
     where S sizes shards to ≤ shard_rows vectors. The count() is the
     only driver-side job in the exact-GEMM paths — a scalar aggregate,
     not a materialization, so it is scale-safe."""
+    # null embeddings are excluded from similarity search: they can
+    # match nothing, and ONE null row reaching a GEMM group kills the
+    # whole task (np.array turns [None, [...]] ragged) — at 100 TB, a
+    # job death from one bad row
+    df = df.filter(F.col(vec_col).isNotNull())
     cnt = df.count()
     n_shards = max(1, math.ceil(cnt / shard_rows))
     out = df.select(
@@ -265,8 +284,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
 
     c, n_shards = _sharded(df, id_col, vec_col, shard_rows)
     c = c.withColumn("role", F.lit("c"))
-    q = (df.select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).cast("array<double>").alias("vec"))
+    q = (df.filter(F.col(vec_col).isNotNull())  # same as _sharded
+         .select(F.col(id_col).alias("vec_id"),
+                 F.col(vec_col).cast("array<double>").alias("vec"))
          .withColumn("shard",
                      F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))))
          .withColumn("role", F.lit("q")))
@@ -365,8 +385,11 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
         dot = F.aggregate(F.zip_with(v, row, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, z: acc + z)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return df.select(F.col(id_col).alias("vec_id"),
-                     v.alias("vec"), bucket.alias("bucket"))
+    # null embeddings excluded (same contract as _sharded: they match
+    # nothing, and a null vec row crashes the downstream GEMM group)
+    return (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("vec_id"),
+                    v.alias("vec"), bucket.alias("bucket")))
 
 
 def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
@@ -560,8 +583,9 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
         centroids = fit_ivf_centroids(df, n_centroids, seed, max_iter,
                                       vec_col)
 
-    emb = df.select(F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).cast("array<double>").alias("vec"))
+    emb = (df.filter(F.col(vec_col).isNotNull())
+           .select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("vec")))
     dist_structs = []
     for i, c in enumerate(centroids):
         row = F.array(*[F.lit(float(x)) for x in c])
@@ -639,8 +663,12 @@ def fit_ivf_centroids_quantized(df: DataFrame, n_centroids: int = 16,
     """
     if dim is None:
         dim = _infer_dim(df, vec_col)
-    q = (df.select(F.col(id_col).alias("vec_id"),
-                   _ivf_quantize_expr(vec_col).alias("qv")).cache())
+    # null embeddings excluded (same contract as every search entry
+    # point) — a null row among the n_centroids smallest ids would
+    # otherwise seed a null centroid and crash the fit
+    q = (df.filter(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("vec_id"),
+                 _ivf_quantize_expr(vec_col).alias("qv")).cache())
     init = q.orderBy("vec_id").limit(n_centroids).collect()
     cents = [[int(x) for x in r["qv"]] for r in init]
     if len(cents) < n_centroids:
@@ -688,9 +716,10 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
     if centroids is None:
         centroids = fit_ivf_centroids_quantized(
             df, n_centroids, n_iter, id_col, vec_col)
-    emb = df.select(F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).cast("array<double>").alias("vec"),
-                    _ivf_quantize_expr(vec_col).alias("qv"))
+    emb = (df.filter(F.col(vec_col).isNotNull())  # nulls match nothing
+           .select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("vec"),
+                   _ivf_quantize_expr(vec_col).alias("qv")))
     cbd = _ivf_cells_by_dist(centroids)
     # materialized: the explode branch and the block grid's sizing
     # aggregate both read the interpreted distance fold (see

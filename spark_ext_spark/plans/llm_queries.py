@@ -371,11 +371,28 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_TOPK_SQL = """
-WITH pairs AS (
+-- null embeddings are excluded from similarity search (operator
+-- contract: they match nothing; a null row must not kill the job).
+-- MATERIALIZED: DuckDB evaluates list_cosine_similarity over raw scan
+-- batches before a pushed-down filter removes the null row, and the
+-- function ERRORS on null input instead of returning NULL
+WITH e0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+e AS MATERIALIZED (
+  -- second layer: list_dot_product must only ever see the already-
+  -- materialized null-free rows (same eager-batch hazard as above)
+  SELECT vec_id, v, list_dot_product(v, v) = 0 AS z FROM e0
+),
+pairs AS (
+  -- zero-norm guard: the operator defines cos(0, x) = 0.0; DuckDB's
+  -- list_cosine_similarity returns -1.0 there
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]), 4) AS sim
-  FROM embeddings a, embeddings b
+         CASE WHEN a.z OR b.z THEN 0.0
+              ELSE round(list_cosine_similarity(a.v, b.v), 4)
+         END AS sim
+  FROM e a, e b
   WHERE a.vec_id <> b.vec_id
 ),
 ranked AS (
@@ -422,6 +439,7 @@ dots AS (
              i -> e.embedding[i]::DOUBLE * p.plane[i]),
              (a, b) -> a + b) AS d
   FROM embeddings e CROSS JOIN planes p
+  WHERE e.embedding IS NOT NULL  -- operator contract: nulls excluded
 ),
 buckets AS (
   SELECT vec_id,
@@ -447,13 +465,25 @@ cand AS (
   FROM probes q
   JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 ),
+-- MATERIALIZED null-filter before list_cosine_similarity: DuckDB
+-- evaluates it over raw scan batches and ERRORS on a null embedding
+-- (see COSINE_TOPK_SQL); candidates only ever reference non-null ids
+emb_nn0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+emb_nn AS MATERIALIZED (
+  SELECT vec_id, v, list_dot_product(v, v) = 0 AS z FROM emb_nn0
+),
 sims AS (
+  -- zero-norm guard: operator contract cos(0, x) = 0.0 (DuckDB: -1.0)
   SELECT query_id, neighbor_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]), 4) AS sim
+         CASE WHEN a.z OR b.z THEN 0.0
+              ELSE round(list_cosine_similarity(a.v, b.v), 4)
+         END AS sim
   FROM cand
-  JOIN embeddings a ON a.vec_id = cand.query_id
-  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+  JOIN emb_nn a ON a.vec_id = cand.query_id
+  JOIN emb_nn b ON b.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, sim,
@@ -533,6 +563,7 @@ WITH q AS (
          list_transform(embedding::DOUBLE[],
              x -> CAST(floor(x * {scale}.0) AS BIGINT)) AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL  -- operator contract: nulls excluded
 ),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
@@ -552,13 +583,24 @@ cand AS (
   FROM probes p
   JOIN assigned a ON p.cell = a.cell AND p.vec_id <> a.vec_id
 ),
+-- MATERIALIZED null-filter before list_cosine_similarity (see
+-- COSINE_TOPK_SQL's note); candidate ids are all non-null already
+emb_nn0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+emb_nn AS MATERIALIZED (
+  SELECT vec_id, v, list_dot_product(v, v) = 0 AS z FROM emb_nn0
+),
 sims AS (
+  -- zero-norm guard: operator contract cos(0, x) = 0.0 (DuckDB: -1.0)
   SELECT query_id, neighbor_id,
-         round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                      eb.embedding::DOUBLE[]), 4) AS sim
+         CASE WHEN ea.z OR eb.z THEN 0.0
+              ELSE round(list_cosine_similarity(ea.v, eb.v), 4)
+         END AS sim
   FROM cand
-  JOIN embeddings ea ON ea.vec_id = cand.query_id
-  JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+  JOIN emb_nn ea ON ea.vec_id = cand.query_id
+  JOIN emb_nn eb ON eb.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, sim,
@@ -584,13 +626,21 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEAR_DUPS_SQL = """
+-- MATERIALIZED null-filter: see COSINE_TOPK_SQL's note
+WITH e0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT vec_id, v, list_dot_product(v, v) = 0 AS z FROM e0
+)
+-- zero-norm pairs have cos 0.0 by operator contract (DuckDB: -1.0),
+-- which can never clear the 0.4 threshold, so excluding them matches
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]), 4) AS sim
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                   b.embedding::DOUBLE[]), 4) >= 0.4
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND NOT a.z AND NOT b.z
+  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
 """
 
 
@@ -960,11 +1010,21 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NORMS_SQL = """
-SELECT vec_id,
-       len(embedding) AS dim,
-       round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                   embedding::DOUBLE[])), 4) AS l2_norm
-FROM embeddings
+-- split null rows out BEFORE list_dot_product ever sees them: DuckDB
+-- evaluates it over raw scan batches (even under a CASE guard) and
+-- ERRORS on null input where Spark's zip_with/aggregate
+-- null-propagate. A null embedding profiles as a null row.
+WITH nn AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT vec_id, len(v) AS dim,
+       round(sqrt(list_dot_product(v, v)), 4) AS l2_norm
+FROM nn
+UNION ALL
+SELECT vec_id, CAST(NULL AS BIGINT) AS dim,
+       CAST(NULL AS DOUBLE) AS l2_norm
+FROM embeddings WHERE embedding IS NULL
 """
 
 
@@ -1455,22 +1515,35 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
 ),
 scaled AS (
+  -- guards mirror the operator's pinned null/empty/zero contract
+  -- (DuckDB list_reduce ERRORS on NULL and on empty lists): null
+  -- vector -> all-null row; empty vector -> scale 0; zero vector ->
+  -- divide by 1 so q=0/err=0
   SELECT vec_id,
-         list_reduce(list_transform(x, e -> abs(e)),
-                     (a, b) -> greatest(a, b)) / 127.0 AS scale, x
+         CASE WHEN x IS NULL THEN NULL
+              WHEN len(x) = 0 THEN 0.0
+              ELSE list_reduce(list_transform(x, e -> abs(e)),
+                               (a, b) -> greatest(a, b)) / 127.0
+         END AS scale, x
   FROM v
 ),
 errs AS (
   SELECT vec_id, scale,
-         list_transform(list_zip(x,
-             list_transform(x, e -> round(e / scale)::INT)),
-             p -> abs(p[1] - p[2] * scale)) AS err,
+         CASE WHEN x IS NULL OR len(x) = 0 THEN NULL
+              ELSE list_transform(list_zip(x,
+                  list_transform(x, e -> round(
+                      e / (CASE WHEN scale = 0 THEN 1.0
+                                ELSE scale END))::INT)),
+                  p -> abs(p[1] - p[2] * scale))
+         END AS err,
          len(x) AS n
   FROM scaled
 )
 SELECT vec_id, round(scale, 6) AS scale,
-       round(list_reduce(err, (a, b) -> greatest(a, b)), 4)
-         AS max_abs_err,
+       CASE WHEN scale IS NULL THEN NULL
+            WHEN err IS NULL THEN 0.0
+            ELSE round(list_reduce(err, (a, b) -> greatest(a, b)), 4)
+       END AS max_abs_err,
        round(list_sum(err) / n, 4) AS mean_abs_err
 FROM errs
 """
@@ -1656,14 +1729,23 @@ cand AS (
   FROM probes q
   JOIN buckets c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
 ),
+-- MATERIALIZED null-filter + zero-norm mask before
+-- list_cosine_similarity (see COSINE_TOPK_SQL's note); a zero-norm
+-- side has cos 0.0 by operator contract, below any threshold
+sem_nn0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+sem_nn AS MATERIALIZED (
+  SELECT vec_id, v, list_dot_product(v, v) = 0 AS z FROM sem_nn0
+),
 pairs AS (
   SELECT id_a, id_b
   FROM cand
-  JOIN embeddings a ON a.vec_id = cand.id_a
-  JOIN embeddings b ON b.vec_id = cand.id_b
-  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                     b.embedding::DOUBLE[]), 4)
-        >= {threshold}
+  JOIN sem_nn a ON a.vec_id = cand.id_a
+  JOIN sem_nn b ON b.vec_id = cand.id_b
+  WHERE NOT a.z AND NOT b.z
+    AND round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
@@ -1690,12 +1772,19 @@ SEMANTIC_CLUSTERS_SQL = _semantic_clusters_oracle()
 
 # exact all-pairs closure variant, kept for the local parity suite
 SEMANTIC_CLUSTERS_EXACT_SQL = """
-WITH RECURSIVE pairs AS (
+-- MATERIALIZED null-filter + zero-norm mask (see COSINE_TOPK_SQL)
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT vec_id, v, list_dot_product(v, v) = 0 AS z FROM e0
+),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a, embeddings b
-  WHERE a.vec_id < b.vec_id
-    AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                     b.embedding::DOUBLE[]), 4) >= 0.4
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id AND NOT a.z AND NOT b.z
+    AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs

@@ -241,3 +241,64 @@ def test_hostile_documents_stay_cross_engine_green(spark, hostile_docs_sf,
     lq = _lq()
     compare_to_oracle(getattr(lq, qname)(spark, hostile_docs_sf),
                       hostile_docs_duck, getattr(lq, sqlname))
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_sf(spark, tmp_path_factory):
+    """embeddings.parquet with the vector classes absent from the
+    synthetic table: a NULL embedding (one bad row must not kill a
+    GEMM task — previously an inhomogeneous-numpy crash), an all-zero
+    vector (cos undefined: operator contract 0.0, DuckDB's
+    list_cosine_similarity says -1.0), and an exact duplicate. 64-dim
+    to match the declared LSH/IVF oracles' plane/centroid constants;
+    >=16 non-null rows so the IVF fit's n_centroids=16 seeds exist."""
+    import numpy as np
+    d = str(tmp_path_factory.mktemp("hostile_emb"))
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(64).tolist(), f"s{i % 3}")
+            for i in range(1, 21)]
+    rows += [(21, [0.0] * 64, "s0"), (22, None, "s1"),
+             (23, rows[0][1], "s2")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, source string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_duck(hostile_emb_sf):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{hostile_emb_sf}/embeddings.parquet/*.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qname,sqlname", [
+    ("cosine_topk_bruteforce", "COSINE_TOPK_SQL"),
+    ("ann_lsh_topk", "ANN_LSH_TOPK_SQL"),
+    ("ann_ivf_topk", "ANN_IVF_TOPK_SQL"),
+    ("embedding_near_dup_pairs", "EMBEDDING_NEAR_DUPS_SQL"),
+    ("embedding_quantize", "EMBEDDING_QUANTIZE_SQL"),
+    ("embedding_norms", "EMBEDDING_NORMS_SQL"),
+    ("semantic_clusters", "SEMANTIC_CLUSTERS_SQL"),
+], ids=["cosine", "lsh", "ivf", "neardups", "quantize", "norms",
+        "semclusters"])
+def test_hostile_embeddings_stay_cross_engine_green(spark, hostile_emb_sf,
+                                                    hostile_emb_duck,
+                                                    qname, sqlname):
+    lq = _lq()
+    compare_to_oracle(getattr(lq, qname)(spark, hostile_emb_sf),
+                      hostile_emb_duck, getattr(lq, sqlname))
+
+
+def test_mixed_dim_embeddings_raise_named_error(spark):
+    """Ragged dimensionality is a pipeline defect: the GEMM names it
+    (with the dims seen) instead of dying in numpy's opaque
+    inhomogeneous-shape ValueError."""
+    from spark_ext_spark.llm.similarity import cosine_topk
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, [0.5, 0.1])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="mixed dimensionality"):
+        cosine_topk(df, df, k=1).collect()
