@@ -188,7 +188,7 @@ def cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUMULATIVE_USER_VALUE_SQL = """
 SELECT user_id, event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
 FROM events
 """
@@ -773,7 +773,9 @@ SELECT user_id, event_id,
        round(value - lag(value)  OVER w, 4) AS delta_prev,
        round(lead(value) OVER w - value, 4) AS delta_next
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+-- NULLS FIRST: Spark ascending window order puts null ts first,
+  -- DuckDB defaults to NULLS LAST — the contract follows Spark
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 """
 
 
@@ -913,11 +915,13 @@ WITH flagged AS (
                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  -- NULLS FIRST: Spark ascending window order puts null ts first,
+  -- DuckDB defaults to NULLS LAST — the contract follows Spark
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 ),
 sess AS (
   SELECT user_id, us,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us NULLS FIRST, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
@@ -1113,11 +1117,19 @@ def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number alternative sorts every partition; max_by only carries
     one candidate per group through the combine."""
     ev = load(spark, sf_dir, "events")
-    ordk = F.struct(F.col("value"), F.col("event_id"))
+    # FILTER (value IS NOT NULL): a row whose ordering value is NULL
+    # must not win either argmax or argmin — Spark's struct comparison
+    # ranks a null field FIRST ascending (so min_by would pick it)
+    # while DuckDB ranks nulls LAST; excluding unrankable rows is the
+    # only ordering both engines (and common sense) agree on
     return (ev.groupBy("user_id")
-            .agg(F.max_by("event_type", ordk).alias("top_type"),
+            .agg(F.expr("max_by(event_type, struct(value, event_id)) "
+                        "FILTER (WHERE value IS NOT NULL)")
+                 .alias("top_type"),
                  F.round(F.max("value"), 4).alias("top_value"),
-                 F.min_by("event_type", ordk).alias("bottom_type")))
+                 F.expr("min_by(event_type, struct(value, event_id)) "
+                        "FILTER (WHERE value IS NOT NULL)")
+                 .alias("bottom_type")))
 
 
 TOP_EVENT_PER_USER_SQL = """
@@ -1127,14 +1139,20 @@ WITH ranked AS (
                             ORDER BY value DESC, event_id DESC) AS rt,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY value ASC, event_id ASC) AS rb
-  FROM events
-)
-SELECT user_id,
+  FROM events WHERE value IS NOT NULL
+),
+-- null-value rows can win neither argmax nor argmin (see the Spark
+-- FILTER clause); the outer aggregate still keeps every user
+everyone AS (SELECT DISTINCT user_id FROM events)
+SELECT e.user_id,
        max(CASE WHEN rt = 1 THEN event_type END) AS top_type,
        round(max(value), 4) AS top_value,
        max(CASE WHEN rb = 1 THEN event_type END) AS bottom_type
-FROM ranked
-GROUP BY user_id
+FROM everyone e
+-- null-safe join: the NULL user_id group is a real group (Spark
+-- groupBy treats null as one key); plain equality would detach it
+LEFT JOIN ranked r ON e.user_id IS NOT DISTINCT FROM r.user_id
+GROUP BY e.user_id
 """
 
 

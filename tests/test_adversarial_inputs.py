@@ -302,3 +302,48 @@ def test_mixed_dim_embeddings_raise_named_error(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="mixed dimensionality"):
         cosine_topk(df, df, k=1).collect()
+
+
+@pytest.fixture(scope="module")
+def nullish_sf(spark, tmp_path_factory):
+    """events with NULL ts / user_id / event_type / value and an
+    exact-tie timestamp — the classes that exposed three contract
+    splits: window ORDER BY ts (Spark: nulls first; DuckDB: nulls
+    last → oracle says NULLS FIRST), max_by/min_by with a NULL
+    ordering value (Spark struct compare ranks it first ascending,
+    DuckDB last → both sides now exclude unrankable rows), and the
+    NULL user_id group detaching from a plain-equality join."""
+    return _events_fixture(spark, tmp_path_factory, "nullish", [
+        (1, _T, 1, "click", 1.5, None),
+        (2, None, 1, "view", 2.0, None),
+        (3, datetime.datetime(2024, 1, 1, 13, 0), None, "click", 3.0,
+         None),
+        (4, datetime.datetime(2024, 1, 1, 14, 0), 2, None, None, None),
+        (5, datetime.datetime(2024, 1, 1, 14, 0), 2, "view", 4.0, None),
+        (6, datetime.datetime(2024, 1, 1, 15, 0), 1, "purchase", 5.0,
+         None),
+        (7, None, None, None, None, None),
+    ])
+
+
+@pytest.mark.parametrize("query,sql", [
+    (rel.user_event_types, rel.USER_EVENT_TYPES_SQL),
+    (rel.event_sessions, rel.EVENT_SESSIONS_SQL),
+    (rel.moving_avg_7d, rel.MOVING_AVG_7D_SQL),
+    (rel.kmv_user_stats, rel.KMV_USER_STATS_SQL),
+    (rel.theta_user_rollup, rel.THETA_USER_ROLLUP_SQL),
+    (rel.hourly_rollup, rel.HOURLY_ROLLUP_SQL),
+    (rel.hourly_gapfill, rel.HOURLY_GAPFILL_SQL),
+    (rel.hourly_zscores, rel.HOURLY_ZSCORES_SQL),
+    (rel.cumulative_user_value, rel.CUMULATIVE_USER_VALUE_SQL),
+    (rel.top_event_per_user, rel.TOP_EVENT_PER_USER_SQL),
+    (rel.salted_user_totals, rel.SALTED_USER_TOTALS_SQL),
+    (rel.user_value_deltas, rel.USER_VALUE_DELTAS_SQL),
+    (rel.daily_active_users, rel.DAILY_ACTIVE_USERS_SQL),
+], ids=["collect", "sessions", "movavg", "kmv", "theta", "hourly",
+        "gapfill", "zscores", "cumsum", "topevent", "salted", "deltas",
+        "dau"])
+def test_nullish_events_stay_cross_engine_green(spark, nullish_sf,
+                                                query, sql):
+    d, con = nullish_sf
+    compare_to_oracle(query(spark, d), con, sql)
