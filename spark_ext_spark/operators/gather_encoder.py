@@ -154,8 +154,13 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
         the SQL oracles replay the shipped behavior)."""
         in_col = self.getOrDefault(self.inputCol)
         key = self.getOrDefault(self.keyCol)
+        # a NULL key is not a fittable feature: it can't name a vector
+        # slot, and SQL engines silently drop it from dictionary joins
+        # anyway — excluded here so the fitted slot order never shifts
+        # by one when a corpus gains null keys
         return (dataset
                 .select(F.explode(F.col(f"{in_col}.{key}")).alias("key"))
+                .filter(F.col("key").isNotNull())
                 .groupBy("key").count())
 
     def selected_keys(self, dataset: DataFrame,

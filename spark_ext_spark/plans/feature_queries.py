@@ -62,7 +62,11 @@ WITH gathered AS (
   FROM events GROUP BY user_id, event_type
 ),
 counts AS (
-  SELECT event_type AS key, count(*) AS cnt FROM gathered GROUP BY 1
+  -- NULL keys are not fittable features (operator contract: excluded
+  -- from the dictionary, its slot order, and the coverage/support
+  -- denominators — see GatherEncoder.key_counts)
+  SELECT event_type AS key, count(*) AS cnt FROM gathered
+  WHERE event_type IS NOT NULL GROUP BY 1
 )
 """
 

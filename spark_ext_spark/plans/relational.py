@@ -1435,8 +1435,11 @@ def hilbert_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     minute = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
     a = F.pmod(F.col("user_id"), F.lit(65536))
-    return ev.select("event_id",
-                     hilbert_key(a, minute, bits=16).alias("hkey"))
+    # a NULL coordinate has no position on the curve: the key is NULL,
+    # not whatever number the rotation walk's null-coerced CASE
+    # branches happen to accumulate (the engines disagreed there)
+    key = F.when(a.isNull() | minute.isNull(), F.lit(None))           .otherwise(hilbert_key(a, minute, bits=16))
+    return ev.select("event_id", key.alias("hkey"))
 
 
 def _hilbert_oracle(bits: int = 16) -> str:
@@ -1471,7 +1474,12 @@ WITH h_init AS (
   FROM events
 ),
 {",".join(rounds)}
-SELECT event_id, d AS hkey FROM {prev}
+-- NULL coordinate -> NULL key (join back to the pre-walk columns;
+-- the walk itself coerces nulls through CASE branches)
+SELECT h.event_id,
+       CASE WHEN e.user_id IS NULL OR e.ts IS NULL THEN NULL
+            ELSE d END AS hkey
+FROM {prev} h JOIN events e USING (event_id)
 """
 
 

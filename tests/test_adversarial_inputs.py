@@ -340,9 +340,16 @@ def nullish_sf(spark, tmp_path_factory):
     (rel.salted_user_totals, rel.SALTED_USER_TOTALS_SQL),
     (rel.user_value_deltas, rel.USER_VALUE_DELTAS_SQL),
     (rel.daily_active_users, rel.DAILY_ACTIVE_USERS_SQL),
+    (rel.hilbert_event_keys, rel.HILBERT_EVENT_KEYS_SQL),
+    (fq.gather_encoder_top, fq.GATHER_ENCODER_TOP_SQL),
+    (fq.gather_encoder_top_allother, fq.GATHER_ENCODER_TOP_ALLOTHER_SQL),
+    (fq.gather_encoder_index, fq.GATHER_ENCODER_INDEX_SQL),
+    (fq.gather_encoder_distfit, fq.GATHER_ENCODER_TOP_SQL),
 ], ids=["collect", "sessions", "movavg", "kmv", "theta", "hourly",
         "gapfill", "zscores", "cumsum", "topevent", "salted", "deltas",
-        "dau"])
+        "dau", "hilbert_null_coords", "encoder_top_null_key",
+        "encoder_allother_null_key", "encoder_index_null_key",
+        "encoder_distfit_null_key"])
 def test_nullish_events_stay_cross_engine_green(spark, nullish_sf,
                                                 query, sql):
     d, con = nullish_sf
