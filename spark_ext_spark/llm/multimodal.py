@@ -158,7 +158,15 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     else:
         inner = None
         strict = True  # the fake path never raises
-        dims = _fake_dims
+
+        def dims(payload):
+            # null/empty payloads are undecodable on EVERY path — the
+            # fake path previously fabricated sha256(b"")-derived dims
+            # for them, diverging from the real/injected decoders'
+            # null-dims contract
+            if not payload:
+                return (None, None, None)
+            return _fake_dims(payload)
 
     # media_id keeps its own type: attach_media accepts any id column
     # (string/UUID ids included), so a hardcoded bigint here would die
@@ -232,8 +240,12 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     if "media_meta" not in df.columns:
         df = decode_media(attach_media(df, "media_id", "media"))
     n_frames = F.col("media_meta.n_frames")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)),
-                     F.lit(every_n))
+    # an undecodable item (null n_frames — null/corrupt payload) has
+    # no frames to sample: explode(null) drops it. The bare
+    # greatest(n_frames - 1, 0) fabricated one frame for such items
+    # because Spark's greatest SKIPS null arguments.
+    idx = F.when(n_frames >= 1,
+                 F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
     return (df
             .select("media_id", F.explode(idx).alias("frame_idx"),
                     F.sha2(F.concat(F.col("media"),

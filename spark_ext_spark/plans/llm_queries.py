@@ -771,8 +771,12 @@ MEDIA_PIPELINE_SQL = """
 WITH m AS (
   SELECT doc_id, source,
          octet_length(encode(text)) AS byte_len,
-         1 + ('0x' || substr(sha256(text), 5, 2))::INTEGER % 30
-             AS n_frames
+         -- null/empty payloads are undecodable (decode_media contract
+         -- on every path): no dims, no frames to sample
+         CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
+              THEN NULL
+              ELSE 1 + ('0x' || substr(sha256(text), 5, 2))::INTEGER % 30
+         END AS n_frames
   FROM documents
 )
 SELECT source, count(*) AS n_items,

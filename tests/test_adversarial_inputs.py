@@ -231,10 +231,14 @@ def _lq():
     ("doc_gopher_rules", "GOPHER_RULES_SQL"),
     ("benchmark_contamination", "BENCHMARK_CONTAMINATION_SQL"),
     ("repeated_ngrams", "REPEATED_NGRAMS_SQL"),
+    ("media_sniff_formats", "MEDIA_SNIFF_FORMATS_SQL"),
+    ("media_byte_stats", "MEDIA_BYTE_STATS_SQL"),
+    ("media_pipeline", "MEDIA_PIPELINE_SQL"),
 ], ids=["stats", "tokens", "langid", "fingerprints", "quality",
         "dedup", "repetition", "pii", "jaccard", "minhash", "simhash",
         "winnow", "containment", "chunks", "lm", "gopher",
-        "contamination", "repngrams"])
+        "contamination", "repngrams", "sniff", "bytestats",
+        "mediapipe"])
 def test_hostile_documents_stay_cross_engine_green(spark, hostile_docs_sf,
                                                    hostile_docs_duck,
                                                    qname, sqlname):
