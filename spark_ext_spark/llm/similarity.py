@@ -99,6 +99,18 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
             .otherwise(dot / (na * nb))
 
 
+def _nn_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The one invariant every search entry point shares: null
+    embeddings are excluded (they can match nothing, and a single null
+    row reaching a GEMM group turns the batch ragged and kills the
+    task — at 100 TB, one bad row fails the job). Returns the
+    normalized (vec_id, vec) frame; the isNotNull predicate pushes
+    down to the parquet scan."""
+    return (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("vec")))
+
+
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int | None = None,
@@ -143,9 +155,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     c, n_shards = _sharded(corpus, id_col, vec_col, shard_rows)
     c = c.withColumn("role", F.lit("c"))
-    q = (queries.filter(F.col(vec_col).isNotNull())  # same as _sharded
-         .select(F.col(id_col).alias("vec_id"),
-                 F.col(vec_col).cast("array<double>").alias("vec"))
+    q = (_nn_vectors(queries, id_col, vec_col)
          .withColumn("shard",
                      F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))))
          .withColumn("role", F.lit("q")))
@@ -188,6 +198,14 @@ def _role_split_gemm(pdf: pd.DataFrame, round_to: int | None):
             f"embeddings have mixed dimensionality {dims}; similarity "
             "search requires one fixed dim — repair or split the "
             "corpus") from e
+    if qm.shape[1] != cm.shape[1]:
+        # each side homogeneous but query dim != corpus dim: without
+        # this check the defect escapes to numpy's raw matmul
+        # core-dimension error
+        raise ValueError(
+            f"embeddings have mixed dimensionality "
+            f"{sorted({qm.shape[1], cm.shape[1]})}; similarity search "
+            "requires one fixed dim — repair or split the corpus")
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
     cn = np.linalg.norm(cm, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
@@ -204,18 +222,12 @@ def _sharded(df: DataFrame, id_col: str, vec_col: str,
     where S sizes shards to ≤ shard_rows vectors. The count() is the
     only driver-side job in the exact-GEMM paths — a scalar aggregate,
     not a materialization, so it is scale-safe."""
-    # null embeddings are excluded from similarity search: they can
-    # match nothing, and ONE null row reaching a GEMM group kills the
-    # whole task (np.array turns [None, [...]] ragged) — at 100 TB, a
-    # job death from one bad row
-    df = df.filter(F.col(vec_col).isNotNull())
-    cnt = df.count()
+    nn = _nn_vectors(df, id_col, vec_col)
+    cnt = nn.count()
     n_shards = max(1, math.ceil(cnt / shard_rows))
-    out = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
-         .cast("int").alias("shard"))
+    out = nn.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_shards))
+                  .cast("int"))
     return out, n_shards
 
 
@@ -284,9 +296,7 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
 
     c, n_shards = _sharded(df, id_col, vec_col, shard_rows)
     c = c.withColumn("role", F.lit("c"))
-    q = (df.filter(F.col(vec_col).isNotNull())  # same as _sharded
-         .select(F.col(id_col).alias("vec_id"),
-                 F.col(vec_col).cast("array<double>").alias("vec"))
+    q = (_nn_vectors(df, id_col, vec_col)
          .withColumn("shard",
                      F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))))
          .withColumn("role", F.lit("q")))
@@ -546,7 +556,11 @@ def fit_ivf_centroids(df: DataFrame, n_centroids: int = 16, seed: int = 42,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = (df.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    # null embeddings excluded here too (finding of the round-7
+    # self-review: array_to_vector NPEs on a null array, so one bad
+    # row killed the MLlib fit while every other entry point filtered)
+    feat = (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(vec_col).cast("array<double>").alias("vec"))
             .withColumn("__fv", array_to_vector("vec")).cache())
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
                    initMode="random", featuresCol="__fv").fit(feat)
@@ -583,9 +597,7 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
         centroids = fit_ivf_centroids(df, n_centroids, seed, max_iter,
                                       vec_col)
 
-    emb = (df.filter(F.col(vec_col).isNotNull())
-           .select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).cast("array<double>").alias("vec")))
+    emb = _nn_vectors(df, id_col, vec_col)
     dist_structs = []
     for i, c in enumerate(centroids):
         row = F.array(*[F.lit(float(x)) for x in c])

@@ -33,14 +33,16 @@ struct is non-null for every right row even when all its fields are
 null, so ``ignorenulls`` only skips the left-row placeholders.
 
 Matches DuckDB/kdb ASOF JOIN semantics (inclusive: a right row at
-exactly left_ts matches). NULL timestamps follow the SQL predicate
-``left_ts >= right_ts`` (three-valued logic: never true for NULL on
-either side): a right row with a NULL timestamp matches nothing —
-without this rule, nulls-first sort order would make LOCF carry it
-into every left row before the first real right row — and a left row
-with a NULL timestamp gets null values. (DuckDB's ASOF quirk of
-matching a NULL left ts to a NULL right ts is deliberately not
-reproduced; it contradicts its own predicate.) Right rows tied on
+exactly left_ts matches). NULL keys and NULL timestamps follow the
+SQL predicates ``left_key = right_key AND left_ts >= right_ts``
+(three-valued logic: never true for NULL on either side): a right row
+with a NULL key or NULL timestamp matches nothing — without this
+rule, the keyed window would group NULL-key rows together and
+nulls-first sort order would make LOCF carry a NULL-ts row into every
+left row before the first real right row — and a left row with a NULL
+key or timestamp gets null values. (DuckDB's ASOF quirk of matching a
+NULL left ts to a NULL right ts is deliberately not reproduced; it
+contradicts its own predicate.) Right rows tied on
 (key, ts) are broken
 deterministically — by the value struct's field order (greatest wins)
 when the struct is orderable, else by a hash of its JSON form
@@ -278,13 +280,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(1).alias("__side"),                      # left sorts AFTER
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(r_struct_t).alias("__r"))
-    # a NULL-timestamp right row can never satisfy left_ts >= right_ts;
-    # dropped HERE (not post-hoc) because nulls sort FIRST, so LOCF
-    # would otherwise carry it into every left row preceding the key's
-    # first real right row. Left NULL-ts rows stay (they must appear in
-    # the output): they also sort first, so their carry is null — the
-    # predicate-consistent result.
-    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
+    # predicate semantics on the RIGHT side: a NULL-timestamp right
+    # row can never satisfy left_ts >= right_ts, and a NULL-KEY right
+    # row can never satisfy left_key = right_key — both dropped HERE
+    # (not post-hoc) because nulls sort FIRST, so LOCF would otherwise
+    # carry them into early left rows (and the keyed window would
+    # match NULL-key left rows to NULL-key right rows, which SQL
+    # equality never does). Left NULL-ts/NULL-key rows stay (they must
+    # appear in the output); with no right rows sorting before them in
+    # their group, their carry is null — the predicate-consistent
+    # result.
+    r_tagged = right.filter(F.col(right_ts).isNotNull()
+                            & F.col(right_key).isNotNull()).select(
         F.col(right_key).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),                      # right sorts FIRST

@@ -1449,7 +1449,7 @@ def _hilbert_oracle(bits: int = 16) -> str:
         s = 1 << i
         cur = f"h{i}"
         rounds.append(f"""{cur} AS (
-  SELECT event_id,
+  SELECT event_id, nil,
          d + {s * s} * CAST(xor(3 * rx, ry) AS BIGINT) AS d,
          CASE WHEN ry = 0
               THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
@@ -1457,7 +1457,7 @@ def _hilbert_oracle(bits: int = 16) -> str:
          CASE WHEN ry = 0
               THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
               ELSE y END AS y
-  FROM (SELECT event_id, x, y, d,
+  FROM (SELECT event_id, nil, x, y, d,
                CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
                CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
         FROM {prev})
@@ -1465,8 +1465,12 @@ def _hilbert_oracle(bits: int = 16) -> str:
         prev = cur
     return f"""
 WITH h_init AS (
-  -- ((x % m) + m) % m == Spark pmod (bare % is sign-preserving)
+  -- ((x % m) + m) % m == Spark pmod (bare % is sign-preserving).
+  -- nil carries the NULL-coordinate flag through the rotation CTEs
+  -- (a re-join back to events would drop NULL event_ids and fan out
+  -- duplicates — one row in must stay one row out)
   SELECT event_id,
+         user_id IS NULL OR ts IS NULL AS nil,
          CAST(((user_id % 65536) + 65536) % 65536 AS BIGINT) AS x,
          CAST(extract(hour FROM ts) * 60 + extract(minute FROM ts)
               AS BIGINT) AS y,
@@ -1474,12 +1478,10 @@ WITH h_init AS (
   FROM events
 ),
 {",".join(rounds)}
--- NULL coordinate -> NULL key (join back to the pre-walk columns;
--- the walk itself coerces nulls through CASE branches)
-SELECT h.event_id,
-       CASE WHEN e.user_id IS NULL OR e.ts IS NULL THEN NULL
-            ELSE d END AS hkey
-FROM {prev} h JOIN events e USING (event_id)
+-- NULL coordinate -> NULL key; the walk itself coerces nulls through
+-- CASE branches, so the pre-walk flag decides
+SELECT event_id, CASE WHEN nil THEN NULL ELSE d END AS hkey
+FROM {prev}
 """
 
 

@@ -327,3 +327,22 @@ def test_asof_null_timestamps_follow_predicate_semantics(spark):
                         right_ts="rts", strategy=strat)
         got = sorted((r["lid"], r["v_asof"]) for r in out.collect())
         assert got == expected, strat
+
+
+def test_asof_null_keys_follow_predicate_semantics(spark):
+    """left_key = right_key is never true for NULL either: a NULL-key
+    right row matches nothing (the keyed window would otherwise group
+    NULL-key rows together and match them — SQL equality does not),
+    and a NULL-key left row appears in the output with null values.
+    Matches DuckDB ASOF JOIN ON l.k = r.k AND l.ts >= r.rts."""
+    left = spark.createDataFrame(
+        [(None, 5, 100), (1, 5, 101)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(None, 3, 9.0), (1, 3, 7.0)], "k long, rts long, v double")
+    expected = [(100, None),   # null key: equality never true
+                (101, 7.0)]
+    for strat in ("window", "chunked"):
+        out = asof_join(left, right, on="k", left_ts="ts",
+                        right_ts="rts", strategy=strat)
+        got = sorted((r["lid"], r["v_asof"]) for r in out.collect())
+        assert got == expected, strat
