@@ -1613,8 +1613,16 @@ def hourly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield NULL scores on both engines (guarded division; ANSI mode
     would otherwise error on the constant-window case)."""
     ev = load(spark, sf_dir, "events")
-    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
-                         "event_type")
+    # an unknown-time event has no hour bucket and must not pollute
+    # the trailing baseline of real hours (it would occupy a frame
+    # slot) — dropped from the time series on both engines. Also
+    # load-bearing for the oracle: DuckDB 1.0's window operator
+    # places a NULL-ordering-key row NONDETERMINISTICALLY (even under
+    # a coalesce sentinel; observed 6 placements in 8 runs), so the
+    # window must never see one.
+    hourly = (ev.filter(F.col("ts").isNotNull())
+              .groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                       "event_type")
               .agg(F.count(F.lit(1)).alias("n_events")))
     w = (Window.partitionBy("event_type").orderBy("hour")
          .rowsBetween(-24, -1))
@@ -1629,9 +1637,11 @@ def hourly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HOURLY_ZSCORES_SQL = """
 WITH hourly AS (
+  -- ts IS NOT NULL: unknown-time events are outside the time series
+  -- (and DuckDB 1.0 windows place NULL ordering keys randomly)
   SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT hour, event_type, n_events,
        round(avg(n_events) OVER w, 4) AS trailing_mean,

@@ -358,3 +358,41 @@ def test_nullish_events_stay_cross_engine_green(spark, nullish_sf,
                                                 query, sql):
     d, con = nullish_sf
     compare_to_oracle(query(spark, d), con, sql)
+
+
+@pytest.mark.parametrize("seed", [11, 29], ids=["seed11", "seed29"])
+def test_randomized_nullish_events_parity(spark, tmp_path_factory, seed):
+    """Generalizes the hand-built nullish fixture: a seeded random
+    events table where EVERY column is null with probability ~1/6 and
+    timestamps collide heavily, swept against the window/argmax/
+    sessionize/sketch battery. Catches null-interaction classes no
+    hand-picked fixture thought of (deterministic seeds — failures
+    reproduce)."""
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for i in range(120):
+        def n(v):
+            return None if rng.random() < 1 / 6 else v
+        ts = n(datetime.datetime(2024, 1, 1 + rng.randrange(3),
+                                 rng.randrange(24), 15 * rng.randrange(4)))
+        rows.append((n(i) if rng.random() < 0.05 else i, ts,
+                     n(rng.randrange(6)),
+                     n(rng.choice(["click", "view", "purchase"])),
+                     n(round(rng.uniform(-5, 5), 2)), None))
+    d, con = _events_fixture(spark, tmp_path_factory,
+                             f"randnull{seed}", rows)
+    for query, sql in [
+        (rel.user_event_types, rel.USER_EVENT_TYPES_SQL),
+        (rel.event_sessions, rel.EVENT_SESSIONS_SQL),
+        (rel.cumulative_user_value, rel.CUMULATIVE_USER_VALUE_SQL),
+        (rel.top_event_per_user, rel.TOP_EVENT_PER_USER_SQL),
+        (rel.user_value_deltas, rel.USER_VALUE_DELTAS_SQL),
+        (rel.kmv_user_stats, rel.KMV_USER_STATS_SQL),
+        (rel.hourly_zscores, rel.HOURLY_ZSCORES_SQL),
+        (rel.hilbert_event_keys, rel.HILBERT_EVENT_KEYS_SQL),
+        (fq.gather_encoder_top_allother,
+         fq.GATHER_ENCODER_TOP_ALLOTHER_SQL),
+        (fq.string_indexer, fq.STRING_INDEXER_SQL),
+    ]:
+        compare_to_oracle(query(spark, d), con, sql)
