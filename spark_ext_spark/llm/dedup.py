@@ -37,10 +37,17 @@ _MERSENNE61 = (1 << 61) - 1
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical text form for dedup: lowercase, trimmed, whitespace
-    collapsed. Pure JVM expression."""
+    """Canonical text form for dedup: lowercase, whitespace collapsed,
+    THEN trimmed. Pure JVM expression.
+
+    Collapse-before-trim is load-bearing: trim removes only SPACES, so
+    trimming first leaves a leading/trailing whitespace run (tab,
+    newline) that the collapse turns into a stray ' ' — and a stray
+    leading space becomes a phantom '' token after split, silently
+    desyncing every split-based consumer from Python's str.split()
+    semantics (the minhash/simhash Arrow UDFs tokenize that way)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

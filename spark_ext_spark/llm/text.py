@@ -73,7 +73,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
     noise = F.greatest(
         F.lit(0.0),
         F.lit(1.0) - (F.col("punct_ratio") + F.col("digit_ratio")) * 5)
-    score = F.round(0.4 * length_ok + 0.3 * diversity + 0.3 * noise, 4)
+    # floor-quantize instead of F.round: the 0.3·(4dp ratio) products
+    # land EXACTLY on the .00005 half-grid, where Spark's BigDecimal
+    # shortest-repr rounding and DuckDB's binary-value rounding flip
+    # opposite ways; floor(x·1e4 + 0.5)/1e4 is the same double op
+    # chain on both engines (see plans/relational._lattice_avg_4dp)
+    raw = 0.4 * length_ok + 0.3 * diversity + 0.3 * noise
+    score = F.floor(raw * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
     return stats.select(id_col, score.alias("quality_score"))
 
 

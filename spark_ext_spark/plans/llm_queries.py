@@ -27,7 +27,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_DEDUP_SQL = """
-SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest,
+SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
        min(doc_id) AS canonical_id,
        count(*) AS n_members
 FROM documents
@@ -37,7 +37,7 @@ GROUP BY 1
 _SHINGLE_CTE = """
 WITH norm AS (
   SELECT doc_id,
-         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
   FROM documents
 ),
 sh_all AS (
@@ -127,7 +127,7 @@ def _minhash_lsh_oracle() -> str:
 WITH params(hi, a, b) AS (VALUES
     {params}),
 norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ),
 words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -193,7 +193,7 @@ def _simhash_pairs_oracle(max_hamming: int = 8) -> str:
 WITH bands(band, sh, mask) AS (VALUES
     {bands}),
 norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ),
 words AS (
@@ -279,7 +279,7 @@ WITH toks AS (
   FROM documents
 )
 SELECT doc_id,
-       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        -- coalesce: DuckDB array_to_string([]) is NULL, Spark
        -- concat_ws of an empty array is '' — token-less docs
        -- fingerprint as md5(''); NULL text stays NULL on both engines
@@ -877,8 +877,8 @@ def _winnow_oracle(k: int = 4, window: int = 5,
     return f"""
 WITH norm AS (
   SELECT doc_id,
-         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ',
-                                     'g'), ' ') AS w
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                     'g')), ' ') AS w
   FROM documents
 ),
 hs AS (
@@ -1142,8 +1142,8 @@ WITH sh AS (
          [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           FOR i IN generate_series(1, len(w) - 2)] AS s
   FROM (SELECT doc_id,
-               string_split(regexp_replace(trim(lower(text)),
-                                           '\\s+', ' ', 'g'), ' ') AS w
+               string_split(trim(regexp_replace(lower(text),
+                                           '\\s+', ' ', 'g')), ' ') AS w
         FROM documents)
 )
 SELECT doc_id,
@@ -1184,12 +1184,15 @@ SELECT doc_id,
        -- NULL guard: DuckDB least/greatest SKIP null arguments, so a
        -- NULL text would fabricate 0.3 (least(NULL,1.0)=1.0) where
        -- Spark's null-propagating expressions yield NULL
+       -- floor-quantize, not round(): see quality_score (the
+       -- 0.3·4dp products land on the .00005 half-grid where the
+       -- engines' round() rules flip opposite ways)
        CASE WHEN n_chars IS NULL THEN NULL ELSE
-       round(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 10000
-                         THEN 1.0 ELSE 0.0 END)
-             + 0.3 * least(distinct_ratio * 2, 1.0)
-             + 0.3 * greatest(0.0, 1.0 - (punct_ratio + digit_ratio) * 5),
-             4) END AS quality_score
+       floor((0.4 * (CASE WHEN n_chars BETWEEN 50 AND 10000
+                          THEN 1.0 ELSE 0.0 END)
+              + 0.3 * least(distinct_ratio * 2, 1.0)
+              + 0.3 * greatest(0.0, 1.0 - (punct_ratio + digit_ratio) * 5))
+             * 1e4 + 5e-1) / 1e4 END AS quality_score
 FROM stats
 """
 
@@ -1317,8 +1320,8 @@ WITH sh AS (
            || ' ' || w[i+4] AS shingle
   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
         FROM (SELECT doc_id,
-                     string_split(regexp_replace(trim(lower(text)),
-                                                 '\\s+', ' ', 'g'), ' ') AS w
+                     string_split(trim(regexp_replace(lower(text),
+                                                 '\\s+', ' ', 'g')), ' ') AS w
               FROM documents)
         WHERE len(w) >= 5)
 ),
@@ -1461,7 +1464,7 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_LM_SCORES_SQL = """
 WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ),
 tris AS (
@@ -1650,15 +1653,15 @@ def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_DEDUP_STATS_SQL = """
--- trim-then-collapse ordering matches Spark's normalize_text (and
--- EXACT_DEDUP_SQL): collapse-first would merge texts differing only
--- in edge whitespace into different digests than the engine's
+-- collapse-then-trim ordering matches Spark's normalize_text (and
+-- EXACT_DEDUP_SQL): trim-first leaves a stray edge space for texts
+-- starting/ending in non-space whitespace (trim removes spaces only)
 SELECT count(*) AS n_docs,
-       count(DISTINCT md5(regexp_replace(trim(lower(text)),
-                                         '\\s+', ' ', 'g')))
+       count(DISTINCT md5(trim(regexp_replace(lower(text),
+                                         '\\s+', ' ', 'g'))))
            AS n_unique,
        round(1.0 - count(DISTINCT
-                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
              / count(*), 4) AS dup_rate,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents

@@ -396,3 +396,52 @@ def test_randomized_nullish_events_parity(spark, tmp_path_factory, seed):
         (fq.string_indexer, fq.STRING_INDEXER_SQL),
     ]:
         compare_to_oracle(query(spark, d), con, sql)
+
+
+@pytest.mark.parametrize("seed", [7, 23], ids=["seed7", "seed23"])
+def test_randomized_unicode_docs_parity(spark, tmp_path_factory, seed):
+    """Seeded random documents assembled from hostile pieces (emoji,
+    CJK, combining accents, Cyrillic, 300-char tokens, abbreviation
+    periods, bare punctuation, tabs, empty/NULL) swept against the
+    text/dedup battery. Caught two real defects on first run: the
+    trim-before-collapse phantom '' token desyncing the Python
+    (str.split) tokenizers from normalize_text, and quality_score's
+    0.3·4dp products landing on the .00005 round() half-grid."""
+    import random
+    rng = random.Random(seed)
+    pieces = ["hello", "world", "the", "é", "漢字", "😀", "a" * 300, "",
+              " ", "\t", "Mr. X", "3.14", "http://a.b", "word,",
+              "dogs!", "ñó", "тест"]
+    rows = []
+    for i in range(80):
+        if rng.random() < 0.1:
+            text = None
+        else:
+            text = " ".join(rng.choice(pieces)
+                            for _ in range(rng.randrange(0, 30)))
+        rows.append((i, rng.choice(["web", "forum", "wiki"]), text,
+                     None if text is None else len(text)))
+    d = str(tmp_path_factory.mktemp(f"randdocs{seed}"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    lq = _lq()
+    for qname, sqlname in [
+        ("doc_text_stats", "DOC_TEXT_STATS_SQL"),
+        ("doc_fingerprints", "DOC_FINGERPRINTS_SQL"),
+        ("doc_quality", "DOC_QUALITY_SQL"),
+        ("doc_repetition", "DOC_REPETITION_SQL"),
+        ("ngram_jaccard", "NGRAM_JACCARD_SQL"),
+        ("minhash_lsh", "MINHASH_LSH_SQL"),
+        ("simhash_pairs", "SIMHASH_PAIRS_SQL"),
+        ("doc_chunks", "DOC_CHUNKS_SQL"),
+        ("repeated_ngrams", "REPEATED_NGRAMS_SQL"),
+        ("exact_dedup", "EXACT_DEDUP_SQL"),
+        ("winnow_pairs", "WINNOW_PAIRS_SQL"),
+        ("corpus_dedup_stats", "CORPUS_DEDUP_STATS_SQL"),
+    ]:
+        compare_to_oracle(getattr(lq, qname)(spark, d), con,
+                          getattr(lq, sqlname))
