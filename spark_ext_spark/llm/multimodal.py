@@ -21,6 +21,7 @@ batch of payloads fits executor memory.
 from __future__ import annotations
 
 import hashlib
+import warnings
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,6 +36,10 @@ __all__ = ["MEDIA_META_SCHEMA", "attach_media", "sniff_format",
 # The typed metadata carried alongside every media payload.
 MEDIA_META_SCHEMA = ("struct<format:string, byte_len:bigint, "
                      "width:int, height:int, n_frames:int>")
+
+# One-time-per-process flag for the round-7 on_error default change
+# (injected decoders: 'null' → 'raise'); see decode_media.
+_WARNED_INJECTED_DEFAULT = False
 
 _MAGIC = [
     ("89504e47", "png"), ("ffd8ff", "jpeg"), ("47494638", "gif"),
@@ -138,9 +143,21 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     .. versionchanged:: round 7
        Injected decoders previously defaulted to ``"null"``; existing
        call sites that rely on corrupt payloads being absorbed must
-       now pass ``on_error="null"`` explicitly."""
+       now pass ``on_error="null"`` explicitly (a one-time
+       FutureWarning flags call sites still relying on the implicit
+       default)."""
     if on_error is None:
         on_error = "raise" if decoder is not None else "null"
+        if decoder is not None:
+            global _WARNED_INJECTED_DEFAULT
+            if not _WARNED_INJECTED_DEFAULT:
+                _WARNED_INJECTED_DEFAULT = True
+                warnings.warn(
+                    "decode_media: the on_error default for injected "
+                    "decoders changed from 'null' to 'raise' — corrupt "
+                    "payloads now fail the job unless on_error='null' "
+                    "is passed explicitly (warned once per process)",
+                    FutureWarning, stacklevel=2)
     if on_error not in ("null", "raise"):
         raise ValueError(f"unknown on_error: {on_error!r}")
     if real_decode and decoder is None:

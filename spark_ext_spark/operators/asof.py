@@ -67,10 +67,13 @@ from pyspark.sql.window import Window
 # residual collision probability across two 64-bit pairs is
 # negligible, and a collision's worst case is a suboptimal strategy
 # pick, corrected by passing strategy or hottest_key_count
-# explicitly): if the underlying files change under an identical plan
-# (a re-written parquet path), call clear_hot_key_cache(). FIFO-capped
-# so an unbounded stream of distinct table pairs can't grow the driver
-# dict for the session lifetime.
+# explicitly). The key also folds in a hash of the plan's input-file
+# listing (driver-side catalog call, no scan) so a parquet path
+# re-written under the same plan — new part-file names — re-sizes
+# automatically; an IN-PLACE overwrite that keeps identical file names
+# still needs clear_hot_key_cache(). FIFO-capped so an unbounded
+# stream of distinct table pairs can't grow the driver dict for the
+# session lifetime.
 _HOTKEY_CACHE: dict[tuple, int] = {}
 _HOTKEY_CACHE_MAX = 1024
 _sizing_runs = 0  # test seam: counts actual sizing jobs executed
@@ -84,12 +87,18 @@ def clear_hot_key_cache() -> None:
 
 def _key_plan_hash(df: DataFrame, col: str) -> tuple | None:
     """Stable-within-session identity of the key projection: analyzed
-    plan semanticHash widened with the column name and type; None when
-    the API is unavailable (e.g. Spark Connect)."""
+    plan semanticHash widened with the column name, type, and a hash
+    of the plan's input-file listing (so rewritten paths — which get
+    fresh part-file names — invalidate naturally); None when the API
+    is unavailable (e.g. Spark Connect)."""
     try:
         proj = df.select(F.col(col))
+        try:
+            files = hash(tuple(sorted(df.inputFiles())))
+        except Exception:  # noqa: BLE001 — listing is best-effort
+            files = None
         return (int(proj.semanticHash()), col,
-                proj.schema[0].dataType.simpleString())
+                proj.schema[0].dataType.simpleString(), files)
     except Exception:  # noqa: BLE001 — cache is best-effort
         return None
 

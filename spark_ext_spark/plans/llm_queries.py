@@ -11,6 +11,8 @@ decode) replayed in exact integer/hex SQL. Rows-only remainders
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -703,9 +705,26 @@ ASOF LEFT JOIN o
 # the chunked plan's persisted intermediate must outlive the returned
 # lazy DataFrame (the pid→carry map is only valid for that
 # materialization — operators/asof.py), so the query fn can't
-# unpersist before the caller's action. Bound residency to ONE copy
-# instead: each invocation releases the previous invocation's frames.
-_CHUNKED_ASOF_HELD: list = []
+# unpersist before the caller's action. Residency is keyed PER
+# RETURNED DataFrame: each entry is (weakref to the returned DF, its
+# persisted frames); a later invocation only releases frames whose
+# result object has been garbage-collected, so holding two results
+# concurrently is safe (the round-7 single-slot design unpersisted
+# result #1's frames as soon as result #2 was requested).
+_CHUNKED_ASOF_HELD: list = []  # [(weakref.ref(result_df), [frames])]
+
+
+def _sweep_chunked_holds() -> None:
+    """Unpersist the chunked intermediates of results that are no
+    longer referenced; keep live results' frames persisted."""
+    alive = []
+    for ref, frames in _CHUNKED_ASOF_HELD:
+        if ref() is None:
+            for fr in frames:
+                fr.unpersist()
+        else:
+            alive.append((ref, frames))
+    _CHUNKED_ASOF_HELD[:] = alive
 
 
 def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,12 +734,20 @@ def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key-proof plan — including its boundary-carry propagation —
     gets driver hash evidence against the identical oracle, not just
     the local differential tests. Same oracle SQL as asof_join_orders
-    by construction (the two strategies are output-identical)."""
+    by construction (the two strategies are output-identical).
+
+    Lifetime contract: the chunked intermediate stays persisted while
+    the RETURNED DataFrame object is referenced (weakref-keyed holder
+    above). Keep a reference to the returned DF until every action on
+    it — or on plans derived from it — has run; once it is
+    garbage-collected, a later invocation releases the frames and a
+    recompute of a still-live DERIVED plan would re-run range
+    sampling and could silently mis-carry (operators/asof.py
+    RECOMPUTE HAZARD)."""
     from spark_ext_spark.operators.asof import asof_join
 
-    for fr in _CHUNKED_ASOF_HELD:
-        fr.unpersist()
-    _CHUNKED_ASOF_HELD.clear()
+    _sweep_chunked_holds()
+    frames: list = []
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = (load(spark, sf_dir, "orders")
               .groupBy("o_custkey", "o_orderdate")
@@ -728,10 +755,12 @@ def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(ev, orders, on="user_id", left_ts="ts",
                        right_ts="o_orderdate", right_on="o_custkey",
                        value_cols=["o_totalprice"], strategy="chunked",
-                       persisted_out=_CHUNKED_ASOF_HELD)
-    return joined.select("event_id", "user_id",
-                         F.round("o_totalprice_asof", 4)
-                         .alias("last_order_price"))
+                       persisted_out=frames)
+    out = joined.select("event_id", "user_id",
+                        F.round("o_totalprice_asof", 4)
+                        .alias("last_order_price"))
+    _CHUNKED_ASOF_HELD.append((weakref.ref(out), frames))
+    return out
 
 
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -346,3 +346,68 @@ def test_asof_null_keys_follow_predicate_semantics(spark):
                         right_ts="rts", strategy=strat)
         got = sorted((r["lid"], r["v_asof"]) for r in out.collect())
         assert got == expected, strat
+
+
+def test_asof_auto_sizing_cache_invalidates_on_rewritten_path(spark,
+                                                              tmp_path):
+    """Rewriting the parquet under a previously-sized path produces
+    new part-file names, and the cache key folds in the input-file
+    listing — so the second auto call re-sizes instead of trusting a
+    stale hottest-key count (round-7 ADVICE: mutating tables under
+    long-lived sessions shouldn't need manual clear_hot_key_cache)."""
+    from spark_ext_spark.operators import asof as asof_mod
+    p = str(tmp_path / "right_pq")
+    spark.createDataFrame([(0, t, float(t)) for t in range(10)],
+                          "k long, rts long, price double") \
+         .coalesce(1).write.mode("overwrite").parquet(p)
+    left = spark.createDataFrame([(0, t, t) for t in range(5)],
+                                 "k long, ts long, lid long")
+    kw = dict(on="k", left_ts="ts", right_ts="rts", value_cols=["price"])
+    asof_mod.clear_hot_key_cache()
+    runs0 = asof_mod._sizing_runs
+    assert asof_join(left, spark.read.parquet(p), strategy="auto",
+                     **kw).count() == 5
+    assert asof_mod._sizing_runs == runs0 + 1
+    # overwrite IN PLACE: same path, same schema, fresh part files
+    spark.createDataFrame([(0, t, float(t)) for t in range(30)],
+                          "k long, rts long, price double") \
+         .coalesce(1).write.mode("overwrite").parquet(p)
+    assert asof_join(left, spark.read.parquet(p), strategy="auto",
+                     **kw).count() == 5
+    assert asof_mod._sizing_runs == runs0 + 2, (
+        "rewritten path must invalidate the sizing cache")
+    asof_mod.clear_hot_key_cache()
+
+
+def test_chunked_query_holds_frames_per_live_result(spark):
+    """plans.llm_queries keys the chunked intermediates on a weakref
+    to each RETURNED DataFrame: requesting a second result while the
+    first is still referenced must NOT unpersist the first's frames
+    (the round-7 single-slot holder did, triggering the documented
+    recompute hazard); dropping a result lets the next invocation
+    sweep its frames."""
+    import gc
+
+    from spark_ext_spark.plans import llm_queries as lq
+    sf = "/root/testdata/sf0.001"
+    lq._sweep_chunked_holds()
+    a = lq.asof_join_orders_chunked(spark, sf)
+    assert len(lq._CHUNKED_ASOF_HELD) == 1
+    frames_a = lq._CHUNKED_ASOF_HELD[-1][1]
+    b = lq.asof_join_orders_chunked(spark, sf)
+    # both results live → both intermediates still persisted
+    assert len(lq._CHUNKED_ASOF_HELD) == 2
+    assert all(fr.is_cached for fr in frames_a), (
+        "second invocation released a live result's frames")
+    assert a.count() == b.count() > 0
+    del a
+    gc.collect()
+    c = lq.asof_join_orders_chunked(spark, sf)
+    assert c.count() > 0
+    # a's frames swept, b's and c's remain
+    assert len(lq._CHUNKED_ASOF_HELD) == 2
+    assert not any(fr.is_cached for fr in frames_a)
+    del b, c
+    gc.collect()
+    lq._sweep_chunked_holds()
+    assert lq._CHUNKED_ASOF_HELD == []
