@@ -43,50 +43,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compare fails on equal values. Wrap integer aggregates in
     ``CAST(... AS BIGINT)``; enforced by tests/test_oracle_types.py."""
     return {
-        # --- 1-13: reference §2A surface --------------------------------
-        # (window rotated in round 7: always-green §2A/dedup/text
-        # redundancy — encoder top_allother/index, string_indexer,
-        # downsampling, gains/roc/precision curves, ngram_jaccard,
-        # simhash, winnow, tfidf, doc_quality, theta rollup — moved
-        # past position 50, making room for the validation, gap-fill,
-        # heavy-report, SQL-surface, and join-complex TPC-H families
-        # the driver had never hash-checked, plus the chunked as-of
-        # scale path. Every rotated-out name stays covered by the
-        # committed 3-config local sweeps and the bench.)
+        # --- Round-8 window (entries 1-50 = driver hash-checked) ----
+        # Rotation history: r7 swapped in the validation/gap-fill/
+        # heavy-report/SQL-surface families (rotated out 12 §2A/dedup
+        # redundancy rows: encoder top_allother/index, downsampling,
+        # gains/roc/precision curves, ngram_jaccard, simhash_pairs,
+        # winnow_pairs, tfidf_top_terms, doc_quality, theta_user_rollup
+        # — string_indexer stayed IN that window, at position 9).
+        # r8 (this round) rotates in the 8 join-heaviest never-checked
+        # TPC-H shapes (q5 q7 q8 q9 q13 q17 q18 q20) plus 6 never-
+        # checked report/OLAP rows (hourly_interpolate,
+        # value_robust_stats, mixture_report, language_mix_report,
+        # doc_gopher_rules, daily_active_users); out go 14 rows that
+        # are driver-green in CORRECTNESS_r07 and redundant within
+        # their families (gather_encoder_top, binning, roc_curve_binned,
+        # s2_cells, string_indexer, exact_dedup, text_stats,
+        # source_capped_corpus, doc_sample_k, train_test_split,
+        # cosine_topk, embedding_quantize, media_sniff_formats,
+        # asof_join_orders — the chunked variant keeps the SAME oracle
+        # in-window). Every rotated-out name keeps running in the
+        # bench and the committed 3-config local sweeps.
+        #
+        # ROUND-9 WINDOW (pinned now so nothing silently stays
+        # unchecked — tests/test_oracle_parity.py documents the same
+        # plan): the 27 oracle-checkable queries still without driver
+        # contact after r8 — source_temperature_mix, pii_redaction,
+        # embedding_norms, score_thresholds, doc_repetition,
+        # top_orders_per_customer, user_value_deltas, acctbal_deciles,
+        # above_class_avg, tpch_q14_promo, tpch_q22_idle_rich,
+        # tpch_q4_late_priority, tpch_q10_returned_items,
+        # tpch_q12_priority_counts, tpch_q15_top_supplier,
+        # tpch_q19_discounted, tpch_q11_important_parts,
+        # tpch_q16_parts_suppliers, cheapest_order_per_customer,
+        # doc_sentences, stratified_sample_events, value_statistics,
+        # corpus_dedup_stats, length_batches, lineitem_measure_stats,
+        # hilbert_event_keys, quality_top_fraction — plus the 2
+        # never-contacted rows-only queries (approx_user_stats,
+        # sketch_user_rollup; driver records the weaker rows-only
+        # check) and 21 core re-checks to fill 50. After r9, every
+        # declared query has driver contact.
+        # --- core §2A/§2B + dedup/text flagships -------------------
         "collect_array": rel.user_event_types,
         "gather": gq.gather_user_events,
-        "gather_encoder_top": fq.gather_encoder_top,
-        "binning": fq.binning_quantity,
-        "roc_curve_binned": eq.roc_curve_binned,
         "auc_metrics": eq.auc_metrics,
-        "s2_cells": mq.s2_cells,
         # A12 LR family, deterministic variant: 2 unrolled IRLS steps
         # whose SQL text both engines execute verbatim (hash-exact).
         # The converged-FISTA variant (local_lr_model, rows-only) sits
         # past the 50-query window; its values are pinned by R-glmnet
         # goldens in tests/test_classification.py.
         "lr_newton_steps": mq.lr_newton_steps,
-        "string_indexer": fq.string_indexer,
-        # --- LLM dedup + text analysis ----------------------------------
-        "exact_dedup": lq.exact_dedup,
         "minhash_lsh": lq.minhash_lsh,
         "dup_clusters": lq.dup_clusters,
-        "text_stats": lq.doc_text_stats,
         "language_id": lq.doc_language_id,
-        "source_capped_corpus": lq.source_capped_corpus,
-        "doc_sample_k": lq.doc_sample_k,
-        "train_test_split": lq.train_test_split,
         "sequence_packing": lq.sequence_packing,
-        # --- similarity search + multimodal -----------------------------
-        "cosine_topk": lq.cosine_topk_bruteforce,
+        # --- similarity search + multimodal ------------------------
         "ann_lsh_topk": lq.ann_lsh_topk,
         "embedding_near_dups": lq.embedding_near_dup_pairs,
         "ann_ivf_topk": lq.ann_ivf_topk,
-        "embedding_quantize": lq.embedding_quantize,
-        "media_sniff_formats": lq.media_sniff_formats,
         "media_pipeline": lq.media_pipeline,
-        # --- one representative per beyond-§2B family -------------------
-        "asof_join_orders": lq.asof_join_orders,
+        # --- one representative per beyond-§2B family --------------
         "range_join_windows": rel.events_in_order_windows,
         "salted_user_totals": rel.salted_user_totals,
         "top_event_per_user": rel.top_event_per_user,
@@ -94,17 +109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": rel.event_sessions,
         "zorder_events": rel.zorder_event_keys,
         "moving_avg_7d": rel.moving_avg_7d,
-        # --- round-6 rotation survivors ---------------------------------
         "kmv_user_stats": rel.kmv_user_stats,
         "ngram_containment": lq.ngram_containment,
         "repeated_ngrams": lq.repeated_ngrams,
         "benchmark_contamination": lq.benchmark_contamination,
         "tpch_q6_forecast": tpch.forecast_revenue_change,
-        # --- 39-50: round-7 rotation — families with zero driver
-        # history (validation, gap-fill family, heavy dedup reports,
-        # SQL grouping sets / JSON extraction, the two most
-        # join-complex TPC-H shapes) plus the chunked as-of scale
-        # path, which shares ASOF_JOIN_ORDERS_SQL verbatim ------------
+        # --- round-7 rotation survivors (2nd driver round) ----------
         "asof_join_orders_chunked": lq.asof_join_orders_chunked,
         "table_profile": rel.table_profile,
         "lineitem_expectations": rel.lineitem_expectations,
@@ -117,11 +127,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
         "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
         "pricing_summary": rel.pricing_summary,
-        # --- 51+: §2B dataflow surface (bench coverage; all green via
-        # tests/test_oracle_parity.py at sf0.001). pricing_summary
+        # --- 37-50: round-8 rotation — first driver contact ---------
+        "tpch_q5_local_supplier": tpch.local_supplier_volume,
+        "tpch_q7_volume_shipping": tpch.volume_shipping,
+        "tpch_q8_market_share": tpch.market_share,
+        "tpch_q9_product_profit": tpch.product_type_profit,
+        "tpch_q13_order_histogram": tpch.customer_order_histogram,
+        "tpch_q17_small_qty": tpch.small_quantity_revenue,
+        "tpch_q18_large_orders": tpch.large_volume_orders,
+        "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
+        "hourly_interpolate": rel.hourly_interpolate,
+        "value_robust_stats": rel.value_robust_stats,
+        "mixture_report": lq.mixture_report,
+        "language_mix_report": lq.language_mix_report,
+        "doc_gopher_rules": lq.doc_gopher_rules,
+        "daily_active_users": rel.daily_active_users,
+        # --- 51+: bench/local-sweep coverage only (all green via
+        # tests/test_oracle_parity.py at sf0.001). daily_active_users
         # above is entry #50, the last driver-hash-checked position —
         # count before moving this boundary;
-        # test_driver_window_composition pins the exact set. ------------
+        # test_driver_window_composition pins the exact set. ----------
+        "gather_encoder_top": fq.gather_encoder_top,
+        "binning": fq.binning_quantity,
+        "roc_curve_binned": eq.roc_curve_binned,
+        "s2_cells": mq.s2_cells,
+        "string_indexer": fq.string_indexer,
+        "exact_dedup": lq.exact_dedup,
+        "text_stats": lq.doc_text_stats,
+        "source_capped_corpus": lq.source_capped_corpus,
+        "doc_sample_k": lq.doc_sample_k,
+        "train_test_split": lq.train_test_split,
+        "cosine_topk": lq.cosine_topk_bruteforce,
+        "embedding_quantize": lq.embedding_quantize,
+        "media_sniff_formats": lq.media_sniff_formats,
+        "asof_join_orders": lq.asof_join_orders,
         "gather_encoder_top_allother": fq.gather_encoder_top_allother,
         "gather_encoder_index": fq.gather_encoder_index,
         "downsampling_hash": fq.downsampling_hash,
@@ -164,7 +203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": rel.cube_order_stats,
         "price_percentiles": rel.price_percentiles,
         "hourly_rollup": rel.hourly_rollup,
-        "hourly_interpolate": rel.hourly_interpolate,
         "shipping_priority": rel.shipping_priority,
         "intersect_buyers": rel.intersect_high_value_buyers,
         "except_non_urgent": rel.except_low_priority_only,
@@ -173,40 +211,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_deltas": rel.user_value_deltas,
         "acctbal_deciles": rel.acctbal_deciles,
         "above_class_avg": rel.above_class_average_orders,
-        "tpch_q5_local_supplier": tpch.local_supplier_volume,
         "tpch_q14_promo": tpch.promo_revenue_share,
-        "tpch_q18_large_orders": tpch.large_volume_orders,
-        "tpch_q13_order_histogram": tpch.customer_order_histogram,
         "tpch_q22_idle_rich": tpch.idle_rich_customers,
         "tpch_q4_late_priority": tpch.late_order_priority,
-        "tpch_q7_volume_shipping": tpch.volume_shipping,
-        "tpch_q8_market_share": tpch.market_share,
-        "tpch_q9_product_profit": tpch.product_type_profit,
         "tpch_q10_returned_items": tpch.returned_item_customers,
         "tpch_q12_priority_counts": tpch.linestatus_priority_counts,
         "tpch_q15_top_supplier": tpch.top_supplier,
-        "tpch_q17_small_qty": tpch.small_quantity_revenue,
         "tpch_q19_discounted": tpch.discounted_revenue,
-        "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
         "tpch_q11_important_parts": tpch.important_parts,
         "tpch_q16_parts_suppliers": tpch.parts_supplier_counts,
-        "daily_active_users": rel.daily_active_users,
         "cheapest_order_per_customer": rel.cheapest_order_per_customer,
         "approx_user_stats": rel.approx_user_stats,  # rows-only (sketch)
         "doc_sentences": rel.doc_sentences,
         "stratified_sample_events": rel.stratified_sample_events,
         "value_statistics": rel.value_statistics,
-        "value_robust_stats": rel.value_robust_stats,
         "corpus_dedup_stats": lq.corpus_dedup_stats,
-        "mixture_report": lq.mixture_report,
         "length_batches": lq.length_batches,
         "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
         "lineitem_measure_stats": rel.lineitem_measure_stats,
-        "doc_gopher_rules": lq.doc_gopher_rules,
         "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
         "hilbert_event_keys": rel.hilbert_event_keys,
         "quality_top_fraction": lq.quality_top_fraction,
-        "language_mix_report": lq.language_mix_report,
     }
 
 

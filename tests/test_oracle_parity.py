@@ -69,31 +69,38 @@ def test_semantic_clusters_exact_variant(spark, duck):
 
 
 # The driver hash-checks exactly these 50 entries (dict order). Round
-# 7 rotated out always-green redundancy (encoder variants, the
-# gains/roc/precision curves, downsampling, ngram_jaccard, simhash,
-# winnowing, tfidf, doc_quality, theta rollup) for the families with
-# zero driver history: validation (table_profile, lineitem_
-# expectations), the gap-fill family, the heaviest dedup reports
-# (semantic_clusters, dedup_reduction_report), SQL grouping sets /
-# JSON extraction, the two most join-complex TPC-H shapes, and the
-# chunked as-of scale path (same oracle text as asof_join_orders).
+# 8 rotated in the 8 join-heaviest never-checked TPC-H shapes
+# (q5 q7 q8 q9 q13 q17 q18 q20) plus 6 never-checked report/OLAP rows
+# (hourly_interpolate, value_robust_stats, mixture_report,
+# language_mix_report, doc_gopher_rules, daily_active_users); rotated
+# out 14 CORRECTNESS_r07-green rows redundant within their families
+# (gather_encoder_top, binning, roc_curve_binned, s2_cells,
+# string_indexer, exact_dedup, text_stats, source_capped_corpus,
+# doc_sample_k, train_test_split, cosine_topk, embedding_quantize,
+# media_sniff_formats, asof_join_orders). ROUND-9 plan (pinned in the
+# __spark_entry__.queries() docstring comment): the 27 remaining
+# never-checked oracle queries + the 2 never-contacted rows-only
+# queries + 21 core re-checks — after which every declared query has
+# driver contact.
 DRIVER_WINDOW = [
-    "collect_array", "gather", "gather_encoder_top", "binning",
-    "roc_curve_binned", "auc_metrics", "s2_cells", "lr_newton_steps",
-    "string_indexer", "exact_dedup", "minhash_lsh", "dup_clusters",
-    "text_stats", "language_id", "source_capped_corpus", "doc_sample_k",
-    "train_test_split", "sequence_packing", "cosine_topk", "ann_lsh_topk",
-    "embedding_near_dups", "ann_ivf_topk", "embedding_quantize",
-    "media_sniff_formats", "media_pipeline", "asof_join_orders",
-    "range_join_windows", "salted_user_totals", "top_event_per_user",
-    "props_variant_extract", "event_sessions", "zorder_events",
-    "moving_avg_7d", "kmv_user_stats", "ngram_containment",
-    "repeated_ngrams", "benchmark_contamination", "tpch_q6_forecast",
-    "asof_join_orders_chunked", "table_profile", "lineitem_expectations",
-    "hourly_gapfill", "hourly_zscores", "semantic_clusters",
-    "dedup_reduction_report", "sql_grouping_sets", "props_json_extract",
-    "tpch_q21_waiting_suppliers", "tpch_q2_min_cost_supplier",
-    "pricing_summary",
+    "collect_array", "gather", "auc_metrics", "lr_newton_steps",
+    "minhash_lsh", "dup_clusters", "language_id", "sequence_packing",
+    "ann_lsh_topk", "embedding_near_dups", "ann_ivf_topk",
+    "media_pipeline", "range_join_windows", "salted_user_totals",
+    "top_event_per_user", "props_variant_extract", "event_sessions",
+    "zorder_events", "moving_avg_7d", "kmv_user_stats",
+    "ngram_containment", "repeated_ngrams", "benchmark_contamination",
+    "tpch_q6_forecast", "asof_join_orders_chunked", "table_profile",
+    "lineitem_expectations", "hourly_gapfill", "hourly_zscores",
+    "semantic_clusters", "dedup_reduction_report", "sql_grouping_sets",
+    "props_json_extract", "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier", "pricing_summary",
+    "tpch_q5_local_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q13_order_histogram", "tpch_q17_small_qty",
+    "tpch_q18_large_orders", "tpch_q20_promo_suppliers",
+    "hourly_interpolate", "value_robust_stats", "mixture_report",
+    "language_mix_report", "doc_gopher_rules", "daily_active_users",
 ]
 
 
