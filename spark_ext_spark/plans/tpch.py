@@ -658,7 +658,15 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers total credit that supplier's late lines. One lineitem
     shuffle on orderkey replaces two correlated self-joins; the oracle
     keeps the textbook EXISTS form, so the rewrite is verified
-    equivalent."""
+    equivalent.
+
+    Null contract (hostile-TPC-H sweep, round 8): a late line with a
+    NULL l_suppkey neither disqualifies the sole late supplier (NULL
+    <> k is three-valued false in the oracle's NOT EXISTS) nor counts
+    toward their numwait — the late-line count filters to non-null
+    suppkeys, because with exactly one non-null late supplier every
+    COUNTED late line must be theirs. The original sum(late) counted
+    the unknown-supplier lines too and silently inflated numwait."""
     orders = (load(spark, sf_dir, "orders")
               .filter(F.col("o_orderstatus") == "F")
               .select("o_orderkey", "o_orderdate"))
@@ -675,7 +683,11 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.collect_set(F.when(F.col("late"),
                                            F.col("l_suppkey")))
                       .alias("late_supps"),
-                      F.sum(F.when(F.col("late"), 1).otherwise(0))
+                      # non-null suppkey only: an unknown-supplier late
+                      # line must not credit the sole late supplier
+                      F.sum(F.when(F.col("late")
+                                   & F.col("l_suppkey").isNotNull(), 1)
+                            .otherwise(0))
                       .alias("n_late_lines")))
     qual = (per_order
             .filter((F.size("late_supps") == 1) & (F.col("n_supp") >= 2))
