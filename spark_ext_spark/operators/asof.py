@@ -11,18 +11,22 @@ cost as a plain equi-join — and skew behaves like any keyed window.
 
 Hot keys: a per-key window funnels each key through ONE task, so a
 pathological key (a billion-tick instrument) caps the windowed plan.
-``strategy="chunked"`` removes that ceiling with a two-phase carry —
-range-partition on the FULL sort order (key, ts, side, tiebreak) so a
-hot key spreads over many partitions, LOCF locally within each
-(partition, key) slice, then propagate one boundary carry per
-partition from a bounded (#partitions-row) driver collect — the same
-offsets technique as ``operators/prefix.py`` and the reference's own
-scanLeft trick (BinaryModelMetrics.scala:198-216), with "last
-non-null right row" as the monoid instead of "+". Both strategies
-produce identical output for any input (differential-tested,
-including an engineered single hot key and the non-orderable-struct
-tiebreak); ``strategy="auto"`` measures max per-key rows once and
-picks.
+``strategy="chunked"`` removes that ceiling with a two-phase carry:
+split the timeline into chunks at approximate __ts quantiles
+(collected once and baked into the plan as LITERALS, so a row's chunk
+is a pure function of its timestamp), LOCF locally within each
+(chunk, key) slice, then fill each slice's leading rows from a
+per-key carry computed by a window over the ≤ #chunks slice
+summaries — the same offsets technique as ``operators/prefix.py``
+and the reference's own scanLeft trick
+(BinaryModelMetrics.scala:198-216), with "last non-null right row"
+as the monoid instead of "+", but entirely inside the plan: no
+driver-collected partition map, so ANY recompute (cache eviction,
+executor loss, a released intermediate) reproduces the identical
+answer. Both strategies produce identical output for any input
+(differential-tested, including an engineered single hot key and the
+non-orderable-struct tiebreak); ``strategy="auto"`` measures max
+per-key rows once and picks.
 
 Carrying one struct (not one window per value column) is load-bearing
 for semantics, not just cost: all values come from the SAME right row,
@@ -127,6 +131,50 @@ def _tiebreak(struct_col: Column, struct_t: DataType) -> Column:
     return F.xxhash64(F.to_json(struct_col))
 
 
+def _ts_boundaries(tagged: DataFrame, n: int) -> list[float]:
+    """``n - 1`` approximate ``__ts`` quantiles of the tagged union as
+    plain Python floats (epoch seconds for temporal types). Collected
+    ONCE (one eager pass, same cost class as the range-partitioner
+    sampling it replaces) and baked into the plan as literals, so the
+    chunk a row lands in is a pure function of its VALUES — nothing
+    about the chunking depends on a particular materialization.
+    Non-castable ``__ts`` types (or an all-null column) yield no
+    boundaries: one chunk, i.e. the keyed-window plan's per-key
+    ceiling — still correct, just not hot-key-proof."""
+    if n <= 1:
+        return []
+    col = F.col("__ts")
+    if tagged.schema["__ts"].dataType.simpleString() == "date":
+        col = col.cast("timestamp")
+    try:
+        num = tagged.select(col.cast("double").alias("__tsd"))
+        bounds = num.approxQuantile(
+            "__tsd", [i / n for i in range(1, n)],
+            max(1e-4, 1.0 / (4 * n)))
+    except Exception:  # noqa: BLE001 — unsupported cast: degrade, don't fail
+        return []
+    # dedupe (heavy ties collapse adjacent quantiles) and drop NaN
+    return sorted({b for b in bounds if b is not None and b == b})
+
+
+def _bucket_expr(ts_num: Column, bounds: list[float]) -> Column:
+    """Chunk id = number of boundaries <= the (cast-to-double)
+    timestamp, evaluated as a balanced CASE tree: ⌈log2 n⌉ comparisons
+    per row, expression size O(n). NULL timestamps fail every
+    comparison and land in chunk 0 — consistent with nulls-first sort
+    order (they precede every real row, and their carry is the same
+    null the windowed plan produces); NaN compares greater than
+    everything in Spark and lands in the last chunk, where it sorts."""
+    def rec(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        # chunk > mid  iff  at least mid+1 boundaries <= value
+        return (F.when(ts_num >= F.lit(bounds[mid]), rec(mid + 1, hi))
+                .otherwise(rec(lo, mid)))
+    return rec(0, len(bounds))
+
+
 def _carried_chunked(unioned: DataFrame, tiebreak: Column,
                      r_struct_t: DataType,
                      num_partitions: int | None = None,
@@ -134,107 +182,98 @@ def _carried_chunked(unioned: DataFrame, tiebreak: Column,
                      storage_level: StorageLevel | None = None,
                      checkpoint: bool = False) -> DataFrame:
     """Two-phase last-observation-carried-forward with NO per-key task
-    ceiling: range-partition the tagged union on the full sort order
-    (a hot key spans many partitions), LOCF within each (partition,
-    key) slice, then fill each partition's leading slice of its first
-    key from a per-partition boundary carry computed by a driver
-    scanLeft over ONE summary row per partition (the key open at the
-    partition's end + its last non-null right struct). Exact — "last
-    non-null" is associative, no floating point involved — so output
-    is identical to the single-window plan for any input.
+    ceiling and no materialization-dependent state:
 
-    Cost: one range shuffle (plus its sampling pass) and a
-    #partitions-row collect, vs the windowed plan's one hash shuffle —
-    buy the extra shuffle only when a key can exceed a task
+    1. Bake ``n - 1`` approximate ``__ts`` quantiles into the plan as
+       literals (:func:`_ts_boundaries`); every row's chunk id is a
+       pure function of its timestamp (:func:`_bucket_expr`).
+    2. LOCF within each (chunk, key) slice — a hot key spans many
+       chunks, so no task sees more than ~1/n of it.
+    3. Summarize each slice to one row (its last non-null right
+       struct) and compute the carry ENTERING each slice with a
+       per-key window over chunk ids — ≤ n tiny rows per key, all
+       inside the plan (no driver scanLeft, no collected map).
+    4. Left-join the carry back on (key <=>, chunk) — AQE broadcasts
+       the summary-sized side when small — and fill each slice's
+       leading nulls.
+
+    Exact: "last non-null" is associative, and chunk order respects
+    timestamp order (weakly monotone double cast: ties share a chunk,
+    order across chunks is strict), so output is identical to the
+    single-window plan for any input (differential-tested). Because
+    every stage is a deterministic function of row VALUES — chunk
+    boundaries are literals, not sampled partition ids — ANY
+    recompute (cache eviction, executor loss, a derived plan
+    re-executed after its intermediate was released) reproduces the
+    identical result. The previous design's recompute hazard (a
+    driver-collected pid→carry map invalidated by
+    ``repartitionByRange`` re-sampling) is gone by construction, not
+    mitigated.
+
+    Cost: one eager quantile pass + one hash shuffle on (chunk, key)
+    + a summary-sized carry join, vs the windowed plan's single hash
+    shuffle — buy the extra passes only when a key can exceed a task
     (``asof_join(strategy=...)`` chooses).
 
-    RECOMPUTE HAZARD: the driver-collected pid→carry map is only valid
-    for the materialization it was computed from. If persisted
-    partitions are evicted or lost (executor failure) the recompute
-    re-runs ``repartitionByRange``'s sampling, which can assign
-    different partition ids than the collected summary and silently
-    mis-carry. Defaults are safe on a single-JVM/local run (persist is
-    deser MEMORY_AND_DISK — eviction spills, it doesn't drop); for
-    long multi-hour cluster runs pass ``storage_level=StorageLevel.
-    MEMORY_AND_DISK_2`` (replica survives one executor loss) or
-    ``checkpoint=True`` (reliable checkpoint to the configured
-    ``setCheckpointDir``, immune to any executor loss — the same seam
-    as the connected-components iterate in ``llm/clusters.py``).
-    Checkpoint files are NOT auto-deleted: they must outlive the
-    returned lazy DataFrame, and Spark only reclaims them under the
-    non-default ``spark.cleaner.referenceTracking.cleanCheckpoints``
-    — budget the checkpoint volume (one materialized union per call)
-    and clean the directory when the run ends."""
+    ``persisted_out`` / ``storage_level`` / ``checkpoint`` are purely
+    PERFORMANCE seams: the persisted intermediate keeps the heavy
+    slice window from running twice (output + summary branches share
+    the shuffle exchange either way; only the window on top would
+    re-run). Releasing it early — or losing it — costs a recompute,
+    never a wrong answer."""
     spark = unioned.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = (unioned.withColumn("__tb", tiebreak)
-              .repartitionByRange(n, "__key", "__ts", "__side", "__tb")
-              .withColumn("__pid", F.spark_partition_id()))
-    w_local = (Window.partitionBy("__pid", "__key")
-               .orderBy("__ts", "__side", "__tb")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    # persisted AFTER the window so (a) the summary pass and the
-    # output pass see the same sampled range boundaries/partition ids
-    # (same reason as operators/prefix.py) and (b) the per-(pid,key)
-    # sort+window — the heaviest stage — runs once, not once per pass
-    local = ranged.withColumn(
-        "__c_loc", F.last("__r", ignorenulls=True).over(w_local))
+    tagged = unioned.withColumn("__tb", tiebreak)
+    bounds = _ts_boundaries(tagged, n)
+    ts_num = (F.col("__ts").cast("timestamp")
+              if tagged.schema["__ts"].dataType.simpleString() == "date"
+              else F.col("__ts")).cast("double")
+    local = (tagged.withColumn("__bkt", _bucket_expr(ts_num, bounds))
+             .withColumn("__c_loc", F.last("__r", ignorenulls=True).over(
+                 Window.partitionBy("__bkt", "__key")
+                 .orderBy("__ts", "__side", "__tb")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
     if checkpoint:
-        # reliable materialization: partition ids are frozen on disk,
-        # so the pid→carry map below stays valid through ANY executor
-        # loss (requires spark.sparkContext.setCheckpointDir)
+        # reliable materialization: still useful to truncate lineage
+        # on long pipelines (requires setCheckpointDir); no longer a
+        # correctness requirement
         local = local.checkpoint(eager=True)
     else:
         local = local.persist(storage_level
                               or StorageLevel.MEMORY_AND_DISK_DESER)
         if persisted_out is not None:
             persisted_out.append(local)
-    # one row per partition: (key open at the end, its local carry).
-    # max_by MUST order by the FULL range-sort tuple with __key
-    # LEADING — the partition's globally-last row is the one with the
-    # greatest (key, ts, side, tb), not the greatest (ts, side, tb):
-    # a partition holding the tail of an earlier key with LARGE
-    # timestamps plus the head of the next key with small ones would
-    # otherwise summarize the wrong key and null out the next
-    # partition's leading carry (regression-tested).
-    summary = (local.groupBy("__pid")
-               .agg(F.max_by(
-                   F.struct(F.col("__key").alias("k"),
-                            F.col("__c_loc").alias("v")),
-                   F.struct(F.col("__key"), F.col("__ts"),
-                            F.col("__side"), F.col("__tb"))).alias("s"))
-               .select("__pid", "s.k", "s.v")
-               .collect())
-    by_pid = {r["__pid"]: (r["k"], r["v"]) for r in summary}
-    # driver scanLeft over ≤ n rows: the carry entering partition p is
-    # the latest right struct of the key still open at p's boundary;
-    # a partition whose last key saw no right rows passes the incoming
-    # carry through iff it is the SAME key, else opens a fresh key
-    rows: list[tuple] = []
-    cur_k, cur_v = None, None
-    for p in range(n):
-        rows.append((p, cur_k, cur_v))
-        if p in by_pid:
-            k, v = by_pid[p]
-            if v is not None:
-                cur_k, cur_v = k, v
-            elif k != cur_k:
-                cur_k, cur_v = k, None
-    from pyspark.sql.types import IntegerType, StructField, StructType
-    carry_schema = StructType([
-        StructField("__pid", IntegerType(), False),
-        StructField("__carry_k", ranged.schema["__key"].dataType, True),
-        StructField("__carry_v", r_struct_t, True)])
-    carry = spark.createDataFrame(rows, carry_schema)
-    # a row still null after local LOCF belongs to its partition's
-    # leading slice — fill from the boundary carry when the keys match
-    # (eqNullSafe: a null key group carries like any other key)
-    return (local.join(F.broadcast(carry), "__pid", "left")
-            .withColumn("__c", F.coalesce(
-                F.col("__c_loc"),
-                F.when(F.col("__key").eqNullSafe(F.col("__carry_k")),
-                       F.col("__carry_v")))))
+    # one row per (chunk, key) slice: the slice's last row's running
+    # carry IS its last non-null right struct (null when it saw no
+    # right rows). Ties on the full sort tuple can only be rows whose
+    # __c_loc already agrees (tied right rows share the struct that
+    # broke the tie; tied left rows share the running carry), so the
+    # max_by pick is deterministic.
+    summary = (local.groupBy("__key", "__bkt")
+               .agg(F.max_by("__c_loc",
+                             F.struct("__ts", "__side", "__tb"))
+                    .alias("__s_r")))
+    carry = (summary
+             .withColumn("__carry_v",
+                         F.last("__s_r", ignorenulls=True).over(
+                             Window.partitionBy("__key").orderBy("__bkt")
+                             .rowsBetween(Window.unboundedPreceding, -1)))
+             .select(F.col("__key").alias("__ck"),
+                     F.col("__bkt").alias("__cb"),
+                     "__carry_v"))
+    # a row still null after local LOCF belongs to its slice's leading
+    # run — fill from the carry entering the slice (eqNullSafe: a null
+    # key group carries like any other key; its carry is always null
+    # because null-key right rows were filtered at the source)
+    return (local.join(carry,
+                       F.col("__key").eqNullSafe(F.col("__ck"))
+                       & (F.col("__bkt") == F.col("__cb")),
+                       "left")
+            .withColumn("__c", F.coalesce("__c_loc", "__carry_v")))
+
+
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -272,9 +311,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     plan's single hot task hits spill/OOM long before it stops being
     fast on a 128 GB box. ``persisted_out`` receives the chunked plan's
     persisted intermediate for explicit release (else it lives until
-    cache eviction); ``storage_level``/``checkpoint`` harden that
-    intermediate against executor loss on long cluster runs (see
-    :func:`_carried_chunked`'s recompute-hazard note)."""
+    cache eviction); ``storage_level``/``checkpoint`` tune how that
+    intermediate is materialized. All three are performance seams
+    only — the chunked plan is a deterministic function of row values,
+    so releasing or losing the intermediate costs a recompute, never a
+    wrong answer (see :func:`_carried_chunked`)."""
     right_key = right_on or on
     if value_cols is None:
         value_cols = [c for c in right.columns

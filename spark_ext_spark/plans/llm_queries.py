@@ -11,8 +11,6 @@ decode) replayed in exact integer/hex SQL. Rows-only remainders
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -702,52 +700,44 @@ ASOF LEFT JOIN o
 """
 
 
-# the chunked plan's persisted intermediate must outlive the returned
-# lazy DataFrame (the pid→carry map is only valid for that
-# materialization — operators/asof.py), so the query fn can't
-# unpersist before the caller's action. Residency is keyed PER
-# RETURNED DataFrame: each entry is (weakref to the returned DF, its
-# persisted frames); a later invocation only releases frames whose
-# result object has been garbage-collected, so holding two results
-# concurrently is safe (the round-7 single-slot design unpersisted
-# result #1's frames as soon as result #2 was requested).
-_CHUNKED_ASOF_HELD: list = []  # [(weakref.ref(result_df), [frames])]
+# The chunked plan's persisted intermediate is a pure PERFORMANCE
+# artifact since the value-deterministic rewrite (operators/asof.py
+# _carried_chunked): releasing it while a result — or any plan derived
+# from it — is still live costs a recompute of the slice window, never
+# a wrong answer. One slot bounds the session to a single cached copy:
+# each invocation releases everything registered before it. The frames
+# list is registered BEFORE the join is built, so an invocation that
+# fails mid-construction still has its partial persists swept by the
+# next call (nothing is orphaned in the cache).
+_CHUNKED_ASOF_HELD: list = []  # [[persisted frames], ...]
 
 
 def _sweep_chunked_holds() -> None:
-    """Unpersist the chunked intermediates of results that are no
-    longer referenced; keep live results' frames persisted."""
-    alive = []
-    for ref, frames in _CHUNKED_ASOF_HELD:
-        if ref() is None:
-            for fr in frames:
-                fr.unpersist()
-        else:
-            alive.append((ref, frames))
-    _CHUNKED_ASOF_HELD[:] = alive
+    """Unpersist every chunked intermediate registered so far."""
+    while _CHUNKED_ASOF_HELD:
+        for fr in _CHUNKED_ASOF_HELD.pop():
+            fr.unpersist()
 
 
 def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of join forced onto the SCALE path
-    (``strategy="chunked"``: range partition → per-(pid,key) LOCF →
-    driver scanLeft boundary carry, operators/asof.py) so the
-    hot-key-proof plan — including its boundary-carry propagation —
-    gets driver hash evidence against the identical oracle, not just
-    the local differential tests. Same oracle SQL as asof_join_orders
-    by construction (the two strategies are output-identical).
+    (``strategy="chunked"``: literal ts-quantile chunks → per-(chunk,
+    key) LOCF → in-plan per-key carry window, operators/asof.py) so
+    the hot-key-proof plan — including its carry propagation — gets
+    driver hash evidence against the identical oracle, not just the
+    local differential tests. Same oracle SQL as asof_join_orders by
+    construction (the two strategies are output-identical).
 
-    Lifetime contract: the chunked intermediate stays persisted while
-    the RETURNED DataFrame object is referenced (weakref-keyed holder
-    above). Keep a reference to the returned DF until every action on
-    it — or on plans derived from it — has run; once it is
-    garbage-collected, a later invocation releases the frames and a
-    recompute of a still-live DERIVED plan would re-run range
-    sampling and could silently mis-carry (operators/asof.py
-    RECOMPUTE HAZARD)."""
+    The persisted slice intermediate only avoids re-running the heavy
+    window for the plan's summary branch; the chunked plan is a
+    deterministic function of row values, so results stay correct
+    even after the one-slot holder above releases the frames (a live
+    older result just recomputes — regression-tested)."""
     from spark_ext_spark.operators.asof import asof_join
 
     _sweep_chunked_holds()
     frames: list = []
+    _CHUNKED_ASOF_HELD.append(frames)
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = (load(spark, sf_dir, "orders")
               .groupBy("o_custkey", "o_orderdate")
@@ -756,11 +746,9 @@ def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                        right_ts="o_orderdate", right_on="o_custkey",
                        value_cols=["o_totalprice"], strategy="chunked",
                        persisted_out=frames)
-    out = joined.select("event_id", "user_id",
-                        F.round("o_totalprice_asof", 4)
-                        .alias("last_order_price"))
-    _CHUNKED_ASOF_HELD.append((weakref.ref(out), frames))
-    return out
+    return joined.select("event_id", "user_id",
+                         F.round("o_totalprice_asof", 4)
+                         .alias("last_order_price"))
 
 
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

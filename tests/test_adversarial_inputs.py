@@ -512,8 +512,10 @@ def test_randomized_hostile_tpch_join_parity(spark, tmp_path_factory,
     """The join-heavy TPC-H family swept over seeded hostile inputs —
     the fixed-parquet fixtures never exercise null join keys,
     duplicated order keys, or empty scan partitions through these
-    5 join-densest shapes (q5 q7 q8 q9 q21). Deterministic seeds:
-    a failure reproduces exactly."""
+    join-densest shapes (q5 q7 q8 q9 q21, plus the round-8 window's
+    q13 q17 q18 q20 — outer-join histogram, correlated avg, HAVING
+    over a join, and nested-EXISTS pruning respectively).
+    Deterministic seeds: a failure reproduces exactly."""
     from spark_ext_spark.plans import tpch
     d = _hostile_tpch_fixture(tmp_path_factory, seed)
     con = duckdb.connect()
@@ -530,6 +532,12 @@ def test_randomized_hostile_tpch_join_parity(spark, tmp_path_factory,
             (tpch.market_share, tpch.MARKET_SHARE_SQL),
             (tpch.product_type_profit, tpch.PRODUCT_TYPE_PROFIT_SQL),
             (tpch.waiting_suppliers, tpch.WAITING_SUPPLIERS_SQL),
+            (tpch.customer_order_histogram,
+             tpch.CUSTOMER_ORDER_HISTOGRAM_SQL),
+            (tpch.small_quantity_revenue,
+             tpch.SMALL_QUANTITY_REVENUE_SQL),
+            (tpch.large_volume_orders, tpch.LARGE_VOLUME_ORDERS_SQL),
+            (tpch.promotion_suppliers, tpch.PROMOTION_SUPPLIERS_SQL),
         ]:
             compare_to_oracle(query(spark, d), con, sql)
     finally:

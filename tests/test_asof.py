@@ -198,14 +198,14 @@ def test_asof_unknown_strategy_raises(spark):
 
 
 def test_asof_chunked_boundary_summary_orders_by_key_first(spark):
-    """Regression (round-6 review): the per-partition boundary summary
-    must pick the partition's globally-last row by the FULL range-sort
-    tuple (key, ts, side, tb). Ordering by (ts, side, tb) alone let a
-    partition holding the tail of an earlier key with LARGE timestamps
-    (key 0, ts 1000..1999) plus the head of the next key with small
-    ones (key 1, rts 5) summarize key 0 as 'open' at the boundary —
-    and every key-1 left row in the next partition got a spurious null
-    instead of the carried 555.0."""
+    """Round-6 regression scenario, retained as a differential: one
+    key's tail with LARGE timestamps (key 0, ts 1000..1999) overlaps
+    another key's head with small ones (key 1, rts 5), so the carry
+    for key 1 must cross every chunk boundary untouched by key 0's
+    rows. (The original bug — a per-PARTITION summary mixing two keys'
+    extremes — can't recur in the quantile-chunk design, whose
+    summaries are grouped per (key, chunk); the scenario still pins
+    the carry-across-boundary semantics.)"""
     right = spark.range(1000).select(
         F.lit(0).alias("k"), (F.col("id") + 1000).alias("rts"),
         F.col("id").cast("double").alias("price"))
@@ -379,35 +379,57 @@ def test_asof_auto_sizing_cache_invalidates_on_rewritten_path(spark,
     asof_mod.clear_hot_key_cache()
 
 
-def test_chunked_query_holds_frames_per_live_result(spark):
-    """plans.llm_queries keys the chunked intermediates on a weakref
-    to each RETURNED DataFrame: requesting a second result while the
-    first is still referenced must NOT unpersist the first's frames
-    (the round-7 single-slot holder did, triggering the documented
-    recompute hazard); dropping a result lets the next invocation
-    sweep its frames."""
-    import gc
-
+def test_chunked_query_result_survives_frame_release(spark):
+    """THE regression the value-deterministic rewrite exists for: a
+    result (or a plan derived from it, held without any reference to
+    the original wrapper — the fluent-chaining pattern) must stay
+    CORRECT after a later invocation's one-slot holder releases its
+    persisted frames and the plan recomputes from scratch. The
+    pid-keyed design recomputed through repartitionByRange re-sampling
+    and could silently mis-carry here."""
     from spark_ext_spark.plans import llm_queries as lq
     sf = "/root/testdata/sf0.001"
     lq._sweep_chunked_holds()
-    a = lq.asof_join_orders_chunked(spark, sf)
+    # fluent chaining: only a DERIVED plan survives; the returned
+    # wrapper is garbage immediately
+    derived = lq.asof_join_orders_chunked(spark, sf).filter(
+        F.col("last_order_price").isNotNull())
+    expected = _norm_rows(derived)
     assert len(lq._CHUNKED_ASOF_HELD) == 1
-    frames_a = lq._CHUNKED_ASOF_HELD[-1][1]
+    frames_a = lq._CHUNKED_ASOF_HELD[-1]
     b = lq.asof_join_orders_chunked(spark, sf)
-    # both results live → both intermediates still persisted
-    assert len(lq._CHUNKED_ASOF_HELD) == 2
-    assert all(fr.is_cached for fr in frames_a), (
-        "second invocation released a live result's frames")
-    assert a.count() == b.count() > 0
-    del a
-    gc.collect()
-    c = lq.asof_join_orders_chunked(spark, sf)
-    assert c.count() > 0
-    # a's frames swept, b's and c's remain
-    assert len(lq._CHUNKED_ASOF_HELD) == 2
+    # one-slot holder: the new invocation released the old frames
+    assert len(lq._CHUNKED_ASOF_HELD) == 1
     assert not any(fr.is_cached for fr in frames_a)
-    del b, c
-    gc.collect()
+    assert b.count() > 0
+    # the derived plan recomputes (frames gone) — and must match
+    assert _norm_rows(derived) == expected
+    # windowed strategy agrees with the recomputed chunked result
+    win = lq.asof_join_orders(spark, sf).filter(
+        F.col("last_order_price").isNotNull())
+    assert _norm_rows(win) == expected
     lq._sweep_chunked_holds()
     assert lq._CHUNKED_ASOF_HELD == []
+
+
+def test_chunked_recompute_identical_after_unpersist(spark):
+    """Operator-level recompute determinism: collect a chunked join,
+    unpersist its intermediate mid-flight, collect the SAME lazy plan
+    again (full recompute through the quantile-literal chunking) —
+    byte-identical rows. Under the pid-keyed design this recompute
+    path was the documented silent-mis-carry hazard."""
+    right = spark.range(4000).select(
+        F.pmod("id", F.lit(3)).alias("k"),
+        F.pmod(F.col("id") * 13, F.lit(997)).alias("rts"),
+        F.col("id").cast("double").alias("price"))
+    left = spark.range(4000).select(
+        F.pmod("id", F.lit(3)).alias("k"),
+        F.pmod(F.col("id") * 17, F.lit(1009)).alias("ts"))
+    held: list = []
+    chk = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    value_cols=["price"], strategy="chunked",
+                    num_partitions=9, persisted_out=held)
+    first = _norm_rows(chk)
+    for fr in held:
+        fr.unpersist(blocking=True)
+    assert _norm_rows(chk) == first

@@ -53,36 +53,60 @@ def main() -> None:
     print("| method | setting | recall@10 | wall s |")
     print("|---|---|---|---|")
 
+    # the IVF quantizer is fit ONCE and shared across the probe sweep
+    # (the library's intended usage) — timed separately and reported
+    # on its own row so the per-query wall columns stay comparable:
+    # every timed row below measures index-build + search EXCLUDING
+    # this shared fit, for LSH (whose projection build is cheap and
+    # inside each run) and IVF alike via the amortization note.
+    t0 = time.time()
     centroids = similarity.fit_ivf_centroids(emb, n_centroids=16)
+    t_fit = time.time() - t0
+    print(f"| ivf | shared kmeans fit, 16 cells (once per corpus) | "
+          f"- | {t_fit:.1f} |")
     for label, build in [
         ("lsh n_planes=8 multiprobe=off",
-         lambda: similarity.lsh_topk(emb, k=K, n_planes=8,
-                                     multiprobe=False)),
+         lambda held: similarity.lsh_topk(emb, k=K, n_planes=8,
+                                          multiprobe=False,
+                                          persisted_out=held)),
         ("lsh n_planes=8 multiprobe=on",
-         lambda: similarity.lsh_topk(emb, k=K, n_planes=8,
-                                     multiprobe=True)),
+         lambda held: similarity.lsh_topk(emb, k=K, n_planes=8,
+                                          multiprobe=True,
+                                          persisted_out=held)),
         ("lsh n_planes=6 multiprobe=on",
-         lambda: similarity.lsh_topk(emb, k=K, n_planes=6,
-                                     multiprobe=True)),
+         lambda held: similarity.lsh_topk(emb, k=K, n_planes=6,
+                                          multiprobe=True,
+                                          persisted_out=held)),
         ("lsh n_planes=4 multiprobe=on",
-         lambda: similarity.lsh_topk(emb, k=K, n_planes=4,
-                                     multiprobe=True)),
+         lambda held: similarity.lsh_topk(emb, k=K, n_planes=4,
+                                          multiprobe=True,
+                                          persisted_out=held)),
         ("ivf 16 cells n_probes=1",
-         lambda: similarity.ivf_topk(emb, k=K, n_centroids=16,
-                                     n_probes=1, centroids=centroids)),
+         lambda held: similarity.ivf_topk(emb, k=K, n_centroids=16,
+                                          n_probes=1, centroids=centroids,
+                                          persisted_out=held)),
         ("ivf 16 cells n_probes=3",
-         lambda: similarity.ivf_topk(emb, k=K, n_centroids=16,
-                                     n_probes=3, centroids=centroids)),
+         lambda held: similarity.ivf_topk(emb, k=K, n_centroids=16,
+                                          n_probes=3, centroids=centroids,
+                                          persisted_out=held)),
         ("ivf 16 cells n_probes=5",
-         lambda: similarity.ivf_topk(emb, k=K, n_centroids=16,
-                                     n_probes=5, centroids=centroids)),
+         lambda held: similarity.ivf_topk(emb, k=K, n_centroids=16,
+                                          n_probes=5, centroids=centroids,
+                                          persisted_out=held)),
         ("ivf 16 cells n_probes=8",
-         lambda: similarity.ivf_topk(emb, k=K, n_centroids=16,
-                                     n_probes=8, centroids=centroids)),
+         lambda held: similarity.ivf_topk(emb, k=K, n_centroids=16,
+                                          n_probes=8, centroids=centroids,
+                                          persisted_out=held)),
     ]:
+        held: list = []
         t0 = time.time()
-        approx = _topk_sets(build())
+        approx = _topk_sets(build(held))
         dt = time.time() - t0
+        # release each run's cached index artifact OUTSIDE the timed
+        # region — 8 accumulated artifacts would skew the later rows
+        # under memory pressure on larger corpora
+        for fr in held:
+            fr.unpersist()
         method, setting = label.split(" ", 1)
         print(f"| {method} | {setting} | "
               f"{recall_at_k(approx, exact):.3f} | {dt:.1f} |")
