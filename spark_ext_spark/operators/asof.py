@@ -144,7 +144,10 @@ def _ts_boundaries(tagged: DataFrame, n: int) -> list[float]:
     if n <= 1:
         return []
     col = F.col("__ts")
-    if tagged.schema["__ts"].dataType.simpleString() == "date":
+    if tagged.schema["__ts"].dataType.simpleString() in (
+            "date", "timestamp_ntz"):
+        # neither casts to double directly; both cast losslessly to
+        # session-tz timestamp, which does
         col = col.cast("timestamp")
     try:
         num = tagged.select(col.cast("double").alias("__tsd"))
@@ -227,7 +230,8 @@ def _carried_chunked(unioned: DataFrame, tiebreak: Column,
     tagged = unioned.withColumn("__tb", tiebreak)
     bounds = _ts_boundaries(tagged, n)
     ts_num = (F.col("__ts").cast("timestamp")
-              if tagged.schema["__ts"].dataType.simpleString() == "date"
+              if tagged.schema["__ts"].dataType.simpleString()
+              in ("date", "timestamp_ntz")
               else F.col("__ts")).cast("double")
     local = (tagged.withColumn("__bkt", _bucket_expr(ts_num, bounds))
              .withColumn("__c_loc", F.last("__r", ignorenulls=True).over(

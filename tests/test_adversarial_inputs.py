@@ -542,3 +542,81 @@ def test_randomized_hostile_tpch_join_parity(spark, tmp_path_factory,
             compare_to_oracle(query(spark, d), con, sql)
     finally:
         con.close()
+
+
+@pytest.mark.parametrize("seed,ts_type", [(7, "long"),
+                                          (23, "timestamp_ntz")],
+                         ids=["seed7_long_ts", "seed23_timestamp_ts"])
+def test_randomized_asof_parity_both_strategies(spark, tmp_path_factory,
+                                                seed, ts_type):
+    """Seeded random tick/quote tables — null keys and timestamps on
+    BOTH sides, heavy (key, ts) ties, duplicated right rows, keys with
+    only one side populated — swept through both as-of strategies
+    against an ANSI correlated-subquery oracle that spells out the
+    operator's contract directly (latest right row with rts <= ts per
+    EQUAL non-null key; greatest price breaks (key, ts) ties; NULL
+    key/ts left rows get NULL). Unlike the fixed differential
+    fixtures, every seed exercises a fresh random chunk layout through
+    the value-deterministic chunked carry, on both the numeric and the
+    temporal quantile-boundary paths."""
+    import random
+
+    from spark_ext_spark.operators.asof import asof_join
+    rng = random.Random(seed)
+
+    def ts_of(i):
+        if ts_type == "long":
+            return i
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            minutes=17 * i)
+
+    def n(v, p=0.08):
+        return None if rng.random() < p else v
+
+    left_rows, right_rows = [], []
+    for i in range(300):
+        k = n(rng.randrange(8))
+        t = n(ts_of(rng.randrange(60)))          # heavy ties
+        left_rows.append((i, k, t))
+    for i in range(300):
+        k = n(rng.choice([0, 1, 2, 3, 4, 9]))    # 9: right-only key
+        t = n(ts_of(rng.randrange(60)))
+        price = n(float(rng.randrange(50)))      # duplicates + null values
+        right_rows.append((k, t, price))
+        if rng.random() < 0.1:
+            right_rows.append((k, t, price))     # verbatim duplicate row
+
+    d = str(tmp_path_factory.mktemp(f"asof{seed}"))
+    ldf = spark.createDataFrame(left_rows, f"lid long, k long, ts {ts_type}")
+    rdf = spark.createDataFrame(
+        right_rows, f"k long, rts {ts_type}, price double")
+    ldf.coalesce(2).write.parquet(f"{d}/lt.parquet")
+    rdf.coalesce(3).write.parquet(f"{d}/rt.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lt AS SELECT * FROM '{d}/lt.parquet/*.parquet'")
+    con.execute(
+        f"CREATE VIEW rt AS SELECT * FROM '{d}/rt.parquet/*.parquet'")
+    oracle = """
+        SELECT l.lid, l.k, l.ts,
+               (SELECT r.price FROM rt r
+                WHERE r.k = l.k AND r.rts <= l.ts
+                ORDER BY r.rts DESC, r.price DESC NULLS LAST
+                LIMIT 1) AS price_asof
+        FROM lt l
+    """
+    lt = spark.read.parquet(f"{d}/lt.parquet")
+    rt = spark.read.parquet(f"{d}/rt.parquet")
+    kw = dict(on="k", left_ts="ts", right_ts="rts", value_cols=["price"])
+    try:
+        compare_to_oracle(asof_join(lt, rt, **kw), con, oracle)
+        for n_parts in (3, 11):
+            held: list = []
+            chk = asof_join(lt, rt, strategy="chunked",
+                            num_partitions=n_parts,
+                            persisted_out=held, **kw)
+            compare_to_oracle(chk, con, oracle)
+            for fr in held:
+                fr.unpersist()
+    finally:
+        con.close()

@@ -433,3 +433,30 @@ def test_chunked_recompute_identical_after_unpersist(spark):
     for fr in held:
         fr.unpersist(blocking=True)
     assert _norm_rows(chk) == first
+
+
+def test_chunked_ts_boundaries_type_coverage(spark):
+    """The quantile-literal chunking only splits hot keys if __ts casts
+    to double: numeric, timestamp, timestamp_ntz, and date must yield
+    real boundaries (the scale path), while a non-castable type
+    degrades to a single chunk (correct, documented ceiling) instead
+    of failing."""
+    from spark_ext_spark.operators.asof import _ts_boundaries
+    n = 4
+    base = spark.range(100)
+    cases = {
+        "long": F.col("id"),
+        "timestamp": F.timestamp_seconds(F.col("id") * 3600),
+        "timestamp_ntz": F.to_timestamp_ntz(
+            F.timestamp_seconds(F.col("id") * 3600)),
+        "date": F.date_add(F.lit("2024-01-01").cast("date"),
+                           F.col("id").cast("int")),
+    }
+    for name, expr in cases.items():
+        tagged = base.select(expr.alias("__ts"))
+        bounds = _ts_boundaries(tagged, n)
+        assert len(bounds) == n - 1, (name, bounds)
+        assert bounds == sorted(bounds), name
+    # a string __ts cannot chunk — but must not fail
+    s = base.select(F.concat(F.lit("t"), F.col("id")).alias("__ts"))
+    assert _ts_boundaries(s, n) == []
