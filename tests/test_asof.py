@@ -460,3 +460,25 @@ def test_chunked_ts_boundaries_type_coverage(spark):
     # a string __ts cannot chunk — but must not fail
     s = base.select(F.concat(F.lit("t"), F.col("id")).alias("__ts"))
     assert _ts_boundaries(s, n) == []
+
+
+def test_chunked_survives_double_precision_collapse(spark):
+    """Chunk ids derive from a double cast of __ts; int64 timestamps
+    past 2^53 lose precision there, so DISTINCT timestamps can share a
+    boundary bucket. That must only coarsen the chunking — within-slice
+    ordering uses the exact original __ts — never the result. Also
+    covers negative timestamps (pre-epoch) straddling zero."""
+    base = 1 << 55                      # double ulp = 8 at this scale
+    rows_r = [(0, base + i, float(i)) for i in range(0, 400, 1)]
+    rows_l = [(0, base + i, i) for i in range(1, 400, 3)]
+    # a second key entirely in negative timestamp space
+    rows_r += [(1, -base - i, float(1000 + i)) for i in range(0, 50, 2)]
+    rows_l += [(1, -base - i, 1000 + i) for i in range(50)]
+    right = spark.createDataFrame(rows_r, "k long, rts long, price double")
+    left = spark.createDataFrame(rows_l, "k long, ts long, lid long")
+    kw = dict(on="k", left_ts="ts", right_ts="rts", value_cols=["price"])
+    win = _norm_rows(asof_join(left, right, **kw))
+    for n_parts in (2, 13, 64):
+        chk = asof_join(left, right, strategy="chunked",
+                        num_partitions=n_parts, **kw)
+        assert _norm_rows(chk) == win, n_parts
