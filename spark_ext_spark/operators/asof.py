@@ -131,26 +131,50 @@ def _tiebreak(struct_col: Column, struct_t: DataType) -> Column:
     return F.xxhash64(F.to_json(struct_col))
 
 
+def _ts_numeric(dt: DataType) -> Column:
+    """The numeric image of ``__ts`` used for BOTH boundary collection
+    and chunk assignment (one definition, so the two phases cannot
+    diverge into different numeric domains). Must be WEAKLY monotone
+    in ``__ts`` order and independent of any session state: ties may
+    share a chunk (harmless coarsening — within-slice ordering uses
+    the exact ``__ts``), but an inversion would let the carry run
+    backwards and fill from FUTURE right rows.
+
+    That rules out casting ``timestamp_ntz`` through the session-tz
+    timestamp: across a DST spring-forward gap the cast is
+    non-monotone (under America/Los_Angeles, wall 02:30 on the gap day
+    maps to a LATER epoch than wall 03:00) and depends on
+    ``spark.sql.session.timeZone``. Wall-clock types are linearized
+    from their own fields instead: days since epoch (dates), or
+    days·86400 + seconds-of-day (NTZ — sub-second ties coarsen, which
+    is fine). Session-tz timestamps cast to absolute epoch seconds;
+    numerics cast directly."""
+    col = F.col("__ts")
+    s = dt.simpleString()
+    if s == "date":
+        return F.unix_date(col).cast("double")
+    if s == "timestamp_ntz":
+        return (F.unix_date(col.cast("date")) * 86400
+                + F.hour(col) * 3600 + F.minute(col) * 60
+                + F.second(col)).cast("double")
+    return col.cast("double")
+
+
 def _ts_boundaries(tagged: DataFrame, n: int) -> list[float]:
-    """``n - 1`` approximate ``__ts`` quantiles of the tagged union as
-    plain Python floats (epoch seconds for temporal types). Collected
-    ONCE (one eager pass, same cost class as the range-partitioner
-    sampling it replaces) and baked into the plan as literals, so the
-    chunk a row lands in is a pure function of its VALUES — nothing
-    about the chunking depends on a particular materialization.
-    Non-castable ``__ts`` types (or an all-null column) yield no
-    boundaries: one chunk, i.e. the keyed-window plan's per-key
-    ceiling — still correct, just not hot-key-proof."""
+    """``n - 1`` approximate quantiles of ``_ts_numeric(__ts)`` as
+    plain Python floats. Collected ONCE (one eager pass, same cost
+    class as the range-partitioner sampling it replaces) and baked
+    into the plan as literals, so the chunk a row lands in is a pure
+    function of its VALUES — nothing about the chunking depends on a
+    particular materialization. Non-castable ``__ts`` types (or an
+    all-null column) yield no boundaries: one chunk, i.e. the
+    keyed-window plan's per-key ceiling — still correct, just not
+    hot-key-proof."""
     if n <= 1:
         return []
-    col = F.col("__ts")
-    if tagged.schema["__ts"].dataType.simpleString() in (
-            "date", "timestamp_ntz"):
-        # neither casts to double directly; both cast losslessly to
-        # session-tz timestamp, which does
-        col = col.cast("timestamp")
     try:
-        num = tagged.select(col.cast("double").alias("__tsd"))
+        num = tagged.select(
+            _ts_numeric(tagged.schema["__ts"].dataType).alias("__tsd"))
         bounds = num.approxQuantile(
             "__tsd", [i / n for i in range(1, n)],
             max(1e-4, 1.0 / (4 * n)))
@@ -229,10 +253,7 @@ def _carried_chunked(unioned: DataFrame, tiebreak: Column,
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
     tagged = unioned.withColumn("__tb", tiebreak)
     bounds = _ts_boundaries(tagged, n)
-    ts_num = (F.col("__ts").cast("timestamp")
-              if tagged.schema["__ts"].dataType.simpleString()
-              in ("date", "timestamp_ntz")
-              else F.col("__ts")).cast("double")
+    ts_num = _ts_numeric(tagged.schema["__ts"].dataType)
     local = (tagged.withColumn("__bkt", _bucket_expr(ts_num, bounds))
              .withColumn("__c_loc", F.last("__r", ignorenulls=True).over(
                  Window.partitionBy("__bkt", "__key")

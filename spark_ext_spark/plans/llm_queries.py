@@ -1614,9 +1614,14 @@ rates AS (
   SELECT source, least(1.0, 200.0 * pow(n, 0.5) / z / n) AS rate
   FROM counts CROSS JOIN z
 )
+-- IS NOT DISTINCT FROM, not '=': the operator treats a NULL source as
+-- a group like any other (llm/splits.py temperature_mix_sample joins
+-- its rates null-safely); a bare equi-join here silently dropped every
+-- null-source doc from the oracle — caught by the randomized assembly
+-- sweep (round 8), invisible on the null-free synthetic corpus
 SELECT doc_id, d.source
 FROM documents d
-JOIN rates r ON d.source = r.source
+JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
 WHERE ('0x' || substring(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
       / 1152921504606846976.0 < r.rate
 """

@@ -620,3 +620,88 @@ def test_randomized_asof_parity_both_strategies(spark, tmp_path_factory,
                 fr.unpersist()
     finally:
         con.close()
+
+
+@pytest.mark.parametrize("seed", [17, 41], ids=["seed17", "seed41"])
+def test_randomized_scores_evaluation_parity(spark, tmp_path_factory,
+                                             seed):
+    """The evaluation-curve family's hostile fixtures are hand-built
+    (single-class, low-cardinality); this seeded sweep adds volume:
+    NULL scores, NULL labels, negative scores, and heavy score ties
+    (one-decimal grid) through the full curve battery. Curve math is
+    cumulative — one mis-ordered null or tie-group split diverges
+    every later point, so the whole curve is the assertion."""
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for i in range(150):
+        value = (None if rng.random() < 0.1
+                 else round(rng.uniform(-3, 3), 1))   # heavy ties
+        etype = (None if rng.random() < 0.1
+                 else rng.choice(["click", "view", "purchase"]))
+        rows.append((i, _T, rng.randrange(10), etype, value, None))
+    d, con = _events_fixture(spark, tmp_path_factory,
+                             f"randscores{seed}", rows)
+    for query, sql in [
+        (eq.gains_curve, eq.GAINS_CURVE_SQL),
+        (eq.roc_curve, eq.ROC_CURVE_SQL),
+        (eq.lift_curve, eq.LIFT_CURVE_SQL),
+        (eq.auc_metrics, eq.AUC_METRICS_SQL),
+        (eq.roc_curve_binned, eq.ROC_CURVE_BINNED_SQL),
+        (eq.precision_by_threshold, eq.PRECISION_BY_THRESHOLD_SQL),
+        (eq.recall_by_threshold, eq.RECALL_BY_THRESHOLD_SQL),
+        (eq.f_measure_by_threshold, eq.F_MEASURE_BY_THRESHOLD_SQL),
+    ]:
+        compare_to_oracle(query(spark, d), con, sql)
+
+
+@pytest.mark.parametrize("seed", [19, 53], ids=["seed19", "seed53"])
+def test_randomized_docs_assembly_parity(spark, tmp_path_factory, seed):
+    """The corpus-assembly family (hash splits, sequence packing,
+    source caps/temperature, top-fraction, per-source sampling, length
+    batches) over seeded hostile documents: NULL text/lang/source,
+    empty and 300-char-token texts, duplicated doc_ids, and one
+    single-doc source. The family's math is deterministic hashing and
+    prefix sums — exactly the kind that desyncs cross-engine on an
+    input class nobody hand-picked."""
+    import random
+    rng = random.Random(seed)
+    pieces = ["hello", "world", "the", "é", "漢字", "😀", "a" * 300, "",
+              "Mr. X", "3.14", "dogs!"]
+    rows = []
+    for i in range(90):
+        text = (None if rng.random() < 0.12 else
+                " ".join(rng.choice(pieces)
+                         for _ in range(rng.randrange(0, 25))))
+        src = (None if rng.random() < 0.1
+               else rng.choice(["web", "forum", "wiki"]))
+        lang = (None if rng.random() < 0.15
+                else rng.choice(["en", "de", "fr"]))
+        rows.append((i, text, lang, src,
+                     None if text is None else len(text)))
+        if rng.random() < 0.05:
+            rows.append(rows[-1])                 # duplicated doc_id
+    rows.append((9001, "lonely source", "en", "gopher", 13))
+    d = str(tmp_path_factory.mktemp(f"randasm{seed}"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    lq = _lq()
+    try:
+        for qname, sqlname in [
+            ("train_test_split", "TRAIN_TEST_SPLIT_SQL"),
+            ("sequence_packing", "SEQUENCE_PACKING_SQL"),
+            ("source_capped_corpus", "SOURCE_CAPPED_CORPUS_SQL"),
+            ("source_temperature_mix", "SOURCE_TEMPERATURE_MIX_SQL"),
+            ("quality_top_fraction", "QUALITY_TOP_FRACTION_SQL"),
+            ("doc_sample_k", "DOC_SAMPLE_K_SQL"),
+            ("length_batches", "LENGTH_BATCHES_SQL"),
+        ]:
+            compare_to_oracle(getattr(lq, qname)(spark, d), con,
+                              getattr(lq, sqlname))
+    finally:
+        con.close()

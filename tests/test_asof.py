@@ -482,3 +482,50 @@ def test_chunked_survives_double_precision_collapse(spark):
         chk = asof_join(left, right, strategy="chunked",
                         num_partitions=n_parts, **kw)
         assert _norm_rows(chk) == win, n_parts
+
+
+def test_chunked_ntz_monotone_across_dst_gap(spark):
+    """Regression (round-8 review, verified live): casting
+    timestamp_ntz through the SESSION-TZ timestamp is non-monotone
+    across a DST spring-forward gap — under America/Los_Angeles, wall
+    02:30 on 2024-03-10 maps to a LATER epoch than wall 03:00 — so a
+    quantile boundary landing in the inverted region put later right
+    rows in EARLIER chunks and the carry filled left rows from the
+    future. The numeric image must come from the NTZ value's own
+    fields (tz-independent); the windowed strategy, which orders by
+    __ts directly, is the truth to match."""
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/Los_Angeles")
+        # dense left rows (every minute) across the 2024-03-10
+        # 01:00-04:00 wall-clock window (02:00-03:00 does not exist in
+        # LA local time), SPARSE right rows — so most slices' leading
+        # left rows depend on the cross-chunk carry, the code path the
+        # inversion corrupts (a dense right side would mask the bug
+        # with same-slice fills)
+        base = "2024-03-10 01:00:00"
+        right = spark.createDataFrame(
+            [(0, m, float(m)) for m in (0, 45, 90, 135, 170)],
+            "k long, m long, price double").select(
+            "k",
+            (F.lit(base).cast("timestamp_ntz")
+             + F.make_interval(mins=F.col("m").cast("int"))).alias("rts"),
+            "price")
+        left = spark.range(0, 180, 1).select(
+            F.lit(0).alias("k"),
+            (F.lit(base).cast("timestamp_ntz")
+             + F.make_interval(mins=F.col("id").cast("int"))).alias("ts"),
+            F.col("id").alias("lid"))
+        kw = dict(on="k", left_ts="ts", right_ts="rts",
+                  value_cols=["price"])
+        win = _norm_rows(asof_join(left, right, **kw))
+        for n_parts in (8, 31):
+            chk = asof_join(left, right, strategy="chunked",
+                            num_partitions=n_parts, **kw)
+            assert _norm_rows(chk) == win, n_parts
+        # and the exact contract: price never comes from the future
+        for r in asof_join(left, right, **kw).collect():
+            assert r["price_asof"] <= r["lid"]
+    finally:
+        spark.conf.set(tz_key, old_tz)
