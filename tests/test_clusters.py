@@ -113,3 +113,50 @@ def test_reliable_checkpoints_cleaned_per_round(spark, tmp_path):
     # and the survivor is exactly what the result reads from
     got = {r["node"]: r["comp"] for r in labels.collect()}
     assert got == {i: 0 for i in range(17)}
+
+
+@pytest.mark.parametrize("seed", [5, 31], ids=["seed5", "seed31"])
+def test_randomized_components_match_union_find(spark, seed):
+    """Seeded random graphs (sparse and near-critical densities,
+    self-loops, duplicate and reversed edges, a far-flung id range)
+    differentially checked against a driver-side union-find. The
+    engineered shapes (chain/triangle/pair) pin convergence behavior;
+    random volume pins the labeling itself — every node must get the
+    MINIMUM id of its component, whatever the pointer-jumping
+    round count."""
+    import random
+    rng = random.Random(seed)
+    for n_nodes, n_edges in [(40, 20), (60, 60), (30, 90)]:
+        ids = rng.sample(range(1, 10_000_000), n_nodes)
+        pairs = []
+        for _ in range(n_edges):
+            a, b = rng.choice(ids), rng.choice(ids)
+            pairs.append((a, b))              # self-loops allowed
+            if rng.random() < 0.2:
+                pairs.append((b, a))          # reversed duplicate
+        # reference union-find over the same edge list
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id per component
+        comp_min = {}
+        for x in list(parent):
+            comp_min.setdefault(find(x), set()).add(x)
+        expected = {}
+        for root, members in comp_min.items():
+            label = min(members)
+            for m in members:
+                expected[m] = label
+        got = {r["node"]: r["comp"] for r in connected_components(
+            _edges(spark, pairs), "a", "b").collect()}
+        assert got == expected, (seed, n_nodes, n_edges)
