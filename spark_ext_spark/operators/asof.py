@@ -154,9 +154,14 @@ def _ts_numeric(dt: DataType) -> Column:
     if s == "date":
         return F.unix_date(col).cast("double")
     if s == "timestamp_ntz":
-        return (F.unix_date(col.cast("date")) * 86400
+        # unix_date returns int32: widen BEFORE the multiply, or dates
+        # past 2038-01-19 (or before 1901-12-13) overflow — silently
+        # wrapping into a huge inversion with ANSI off, or throwing
+        # into the except-degrade path with ANSI on (one chunk, hot-key
+        # ceiling back). A 9999-12-31 sentinel expiry must not do either.
+        return (F.unix_date(col.cast("date")).cast("double") * 86400.0
                 + F.hour(col) * 3600 + F.minute(col) * 60
-                + F.second(col)).cast("double")
+                + F.second(col))
     return col.cast("double")
 
 

@@ -642,17 +642,20 @@ def test_randomized_scores_evaluation_parity(spark, tmp_path_factory,
         rows.append((i, _T, rng.randrange(10), etype, value, None))
     d, con = _events_fixture(spark, tmp_path_factory,
                              f"randscores{seed}", rows)
-    for query, sql in [
-        (eq.gains_curve, eq.GAINS_CURVE_SQL),
-        (eq.roc_curve, eq.ROC_CURVE_SQL),
-        (eq.lift_curve, eq.LIFT_CURVE_SQL),
-        (eq.auc_metrics, eq.AUC_METRICS_SQL),
-        (eq.roc_curve_binned, eq.ROC_CURVE_BINNED_SQL),
-        (eq.precision_by_threshold, eq.PRECISION_BY_THRESHOLD_SQL),
-        (eq.recall_by_threshold, eq.RECALL_BY_THRESHOLD_SQL),
-        (eq.f_measure_by_threshold, eq.F_MEASURE_BY_THRESHOLD_SQL),
-    ]:
-        compare_to_oracle(query(spark, d), con, sql)
+    try:
+        for query, sql in [
+            (eq.gains_curve, eq.GAINS_CURVE_SQL),
+            (eq.roc_curve, eq.ROC_CURVE_SQL),
+            (eq.lift_curve, eq.LIFT_CURVE_SQL),
+            (eq.auc_metrics, eq.AUC_METRICS_SQL),
+            (eq.roc_curve_binned, eq.ROC_CURVE_BINNED_SQL),
+            (eq.precision_by_threshold, eq.PRECISION_BY_THRESHOLD_SQL),
+            (eq.recall_by_threshold, eq.RECALL_BY_THRESHOLD_SQL),
+            (eq.f_measure_by_threshold, eq.F_MEASURE_BY_THRESHOLD_SQL),
+        ]:
+            compare_to_oracle(query(spark, d), con, sql)
+    finally:
+        con.close()
 
 
 @pytest.mark.parametrize("seed", [19, 53], ids=["seed19", "seed53"])

@@ -529,3 +529,31 @@ def test_chunked_ntz_monotone_across_dst_gap(spark):
             assert r["price_asof"] <= r["lid"]
     finally:
         spark.conf.set(tz_key, old_tz)
+
+
+def test_ntz_numeric_monotone_beyond_int32_epoch_range(spark):
+    """Regression (round-8 review, verified live): unix_date is int32,
+    so `unix_date * 86400` overflowed for NTZ values past 2038-01-19
+    (or before 1901-12-13) — wrapping into a massive inversion with
+    ANSI off, or throwing into the boundaries' except-degrade path
+    with ANSI on (single chunk, hot-key ceiling back). The numeric
+    image must be strictly increasing across the full NTZ range a
+    corpus can hold, sentinel expiries included."""
+    from spark_ext_spark.operators.asof import _ts_numeric
+    stamps = ["1890-06-01 12:00:00", "1901-12-12 23:59:59",
+              "1901-12-14 00:00:01", "2000-01-01 00:00:00",
+              "2038-01-19 03:14:07", "2038-01-21 00:00:00",
+              "2100-06-15 08:30:00", "9999-12-31 23:59:59"]
+    df = spark.createDataFrame([(s,) for s in stamps], "s string") \
+        .select(F.col("s").cast("timestamp_ntz").alias("__ts"))
+    vals = [r["n"] for r in df.select(
+        _ts_numeric(df.schema["__ts"].dataType).alias("n"),
+        "__ts").orderBy("__ts").collect()]
+    assert all(a < b for a, b in zip(vals, vals[1:])), vals
+    # and the chunking actually engages across the sentinel range
+    from spark_ext_spark.operators.asof import _ts_boundaries
+    wide = spark.range(200).select(
+        (F.lit("2000-01-01").cast("timestamp_ntz")
+         + F.make_interval(years=F.pmod(F.col("id"), F.lit(150))
+                           .cast("int"))).alias("__ts"))
+    assert len(_ts_boundaries(wide, 8)) == 7
