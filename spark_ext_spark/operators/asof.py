@@ -57,6 +57,8 @@ the same output; DuckDB itself leaves this case undefined.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -89,20 +91,43 @@ def clear_hot_key_cache() -> None:
     _HOTKEY_CACHE.clear()
 
 
+# Per-DataFrame memo of the input-file-listing hash: a DataFrame's
+# FileIndex is frozen at creation, so the listing cannot change for a
+# given df object — but df.inputFiles() re-ships every path through
+# py4j on each call, which a pipeline composing N auto-strategy as-of
+# joins over one wide table (100k part files) would otherwise pay per
+# join just to build a cache key. Weak keys: the memo never extends a
+# DataFrame's lifetime.
+_FILES_HASH_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _files_hash(df: DataFrame) -> int | None:
+    try:
+        return _FILES_HASH_MEMO[df]
+    except (KeyError, TypeError):
+        pass
+    try:
+        h = hash(tuple(sorted(df.inputFiles())))
+    except Exception:  # noqa: BLE001 — listing is best-effort
+        h = None
+    try:
+        _FILES_HASH_MEMO[df] = h
+    except TypeError:  # un-weakref-able subclass: skip the memo
+        pass
+    return h
+
+
 def _key_plan_hash(df: DataFrame, col: str) -> tuple | None:
     """Stable-within-session identity of the key projection: analyzed
     plan semanticHash widened with the column name, type, and a hash
     of the plan's input-file listing (so rewritten paths — which get
-    fresh part-file names — invalidate naturally); None when the API
-    is unavailable (e.g. Spark Connect)."""
+    fresh part-file names — invalidate naturally; memoized per df
+    object, whose frozen FileIndex makes the listing immutable); None
+    when the API is unavailable (e.g. Spark Connect)."""
     try:
         proj = df.select(F.col(col))
-        try:
-            files = hash(tuple(sorted(df.inputFiles())))
-        except Exception:  # noqa: BLE001 — listing is best-effort
-            files = None
         return (int(proj.semanticHash()), col,
-                proj.schema[0].dataType.simpleString(), files)
+                proj.schema[0].dataType.simpleString(), _files_hash(df))
     except Exception:  # noqa: BLE001 — cache is best-effort
         return None
 
@@ -258,8 +283,14 @@ def _carried_chunked(unioned: DataFrame, tiebreak: Column,
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
     tagged = unioned.withColumn("__tb", tiebreak)
     bounds = _ts_boundaries(tagged, n)
+    # project the linearization ONCE: the CASE tree references a plain
+    # column, not n-1 inlined copies of the unix_date/hour/minute
+    # formula (whose expression count would otherwise grow with the
+    # chunk count and bloat codegen)
     ts_num = _ts_numeric(tagged.schema["__ts"].dataType)
-    local = (tagged.withColumn("__bkt", _bucket_expr(ts_num, bounds))
+    local = (tagged.withColumn("__tsn", ts_num)
+             .withColumn("__bkt", _bucket_expr(F.col("__tsn"), bounds))
+             .drop("__tsn")
              .withColumn("__c_loc", F.last("__r", ignorenulls=True).over(
                  Window.partitionBy("__bkt", "__key")
                  .orderBy("__ts", "__side", "__tb")
@@ -325,8 +356,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``strategy``: ``"window"`` (default) carries forward with one
     per-key window — one hash shuffle, right up to the point where a
     single hot key outgrows one task. ``"chunked"`` removes that
-    ceiling (two-phase carry, see :func:`_carried_chunked`) at the
-    cost of a range shuffle; identical output. ``"auto"`` runs one
+    ceiling (two-phase carry over quantile-literal time chunks, see
+    :func:`_carried_chunked`) at the cost of one eager quantile pass
+    plus a summary-sized carry join; ``num_partitions`` sets the CHUNK
+    count — the number of quantile slices a hot key is spread over
+    (default: ``spark.sql.shuffle.partitions``), not the shuffle's
+    task count, which stays governed by the session setting. Identical
+    output for any input. ``"auto"`` runs one
     counting aggregate over the tagged union and picks ``"chunked"``
     iff the hottest key exceeds ``hot_key_threshold`` rows — an eager
     job at call time, amortized two ways: the result is cached per

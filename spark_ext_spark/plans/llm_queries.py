@@ -713,10 +713,16 @@ _CHUNKED_ASOF_HELD: list = []  # [[persisted frames], ...]
 
 
 def _sweep_chunked_holds() -> None:
-    """Unpersist every chunked intermediate registered so far."""
+    """Unpersist every chunked intermediate registered so far. Frames
+    are only popped AFTER their unpersist succeeds — if one raises
+    (stopped session, py4j hiccup) the remainder stays registered for
+    the next sweep instead of being orphaned in the cache."""
     while _CHUNKED_ASOF_HELD:
-        for fr in _CHUNKED_ASOF_HELD.pop():
-            fr.unpersist()
+        frames = _CHUNKED_ASOF_HELD[-1]
+        while frames:
+            frames[-1].unpersist()
+            frames.pop()
+        _CHUNKED_ASOF_HELD.pop()
 
 
 def asof_join_orders_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
