@@ -627,16 +627,24 @@ def test_randomized_scores_evaluation_parity(spark, tmp_path_factory,
                                              seed):
     """The evaluation-curve family's hostile fixtures are hand-built
     (single-class, low-cardinality); this seeded sweep adds volume:
-    NULL scores, NULL labels, negative scores, and heavy score ties
-    (one-decimal grid) through the full curve battery. Curve math is
-    cumulative — one mis-ordered null or tie-group split diverges
-    every later point, so the whole curve is the assertion."""
+    NULL scores, NULL labels, negative scores, heavy score ties
+    (one-decimal grid), and non-finite scores (NaN sorts above +inf on
+    BOTH engines; each forms its own distinct-score group) through the
+    full curve battery. Curve math is cumulative — one mis-ordered
+    null or tie-group split diverges every later point, so the whole
+    curve is the assertion."""
     import random
     rng = random.Random(seed)
     rows = []
     for i in range(150):
-        value = (None if rng.random() < 0.1
-                 else round(rng.uniform(-3, 3), 1))   # heavy ties
+        r = rng.random()
+        if r < 0.1:
+            value = None
+        elif r < 0.16:
+            value = rng.choice([float("nan"), float("inf"),
+                                float("-inf")])
+        else:
+            value = round(rng.uniform(-3, 3), 1)      # heavy ties
         etype = (None if rng.random() < 0.1
                  else rng.choice(["click", "view", "purchase"]))
         rows.append((i, _T, rng.randrange(10), etype, value, None))
@@ -652,6 +660,38 @@ def test_randomized_scores_evaluation_parity(spark, tmp_path_factory,
             (eq.precision_by_threshold, eq.PRECISION_BY_THRESHOLD_SQL),
             (eq.recall_by_threshold, eq.RECALL_BY_THRESHOLD_SQL),
             (eq.f_measure_by_threshold, eq.F_MEASURE_BY_THRESHOLD_SQL),
+        ]:
+            compare_to_oracle(query(spark, d), con, sql)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("rows", [
+    [(1, _T, 1, "click", None, None),
+     (2, _T, 2, "purchase", None, None)],
+    [(1, _T, 1, "purchase", 3.0, None)],
+], ids=["all_null_scores", "single_row"])
+def test_degenerate_score_tables_stay_cross_engine_green(
+        spark, tmp_path_factory, rows):
+    """Two curve-collapse extremes the seeded sweep can't reliably hit:
+    every score NULL (the compacted table is one NULL-keyed group —
+    the curve is that single point plus synthetic endpoints) and a
+    single positive row (tot_neg = 0 exercises every x/0 convention at
+    once). Both engines must agree on the whole battery, including the
+    AUC trapezoids over near-empty curves."""
+    d, con = _events_fixture(spark, tmp_path_factory, "degen_scores",
+                             rows)
+    try:
+        for query, sql in [
+            (eq.gains_curve, eq.GAINS_CURVE_SQL),
+            (eq.roc_curve, eq.ROC_CURVE_SQL),
+            (eq.lift_curve, eq.LIFT_CURVE_SQL),
+            (eq.auc_metrics, eq.AUC_METRICS_SQL),
+            (eq.roc_curve_binned, eq.ROC_CURVE_BINNED_SQL),
+            (eq.precision_by_threshold, eq.PRECISION_BY_THRESHOLD_SQL),
+            (eq.recall_by_threshold, eq.RECALL_BY_THRESHOLD_SQL),
+            (eq.f_measure_by_threshold, eq.F_MEASURE_BY_THRESHOLD_SQL),
+            (eq.score_thresholds, eq.SCORE_THRESHOLDS_SQL),
         ]:
             compare_to_oracle(query(spark, d), con, sql)
     finally:
