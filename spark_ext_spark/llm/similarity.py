@@ -180,11 +180,29 @@ def _role_split_gemm(pdf: pd.DataFrame, round_to: int | None):
     split rows by role, L2-normalize, one queries × members matmul.
     Returns (qs, cs, sims) or None when either side is empty.
     Zero-norm vectors are guarded (norm 1 ⇒ sim 0 everywhere) instead
-    of poisoning their row/column with NaN."""
+    of poisoning their row/column with NaN.
+
+    Ids must be UNIQUE within each search side: self-exclusion, the
+    rank tie-break, and the shard-merge dedup all key on the id, so a
+    duplicated id (usually an upstream join fanout) silently corrupts
+    rankings instead of erroring. Shards and sub-shards hash on the
+    id, so duplicates always co-locate in one pandas group — this
+    local check is globally complete for the exact GEMM paths (for
+    LSH/IVF it is best-effort: a same-id row pair with different
+    vectors can land in disjoint buckets). Named here, like the
+    mixed-dimensionality check below, instead of surfacing as a
+    row-count-dependent wrong answer."""
     qs = pdf[pdf["role"] == "q"]
     cs = pdf[pdf["role"] == "c"]
     if qs.empty or cs.empty:
         return None
+    for side in (qs, cs):
+        dup = side["vec_id"].duplicated()
+        if dup.any():
+            raise ValueError(
+                f"duplicate embedding id {side['vec_id'][dup].iloc[0]!r} "
+                "within one search side; similarity search requires "
+                "unique ids per side — dedupe the corpus upstream")
     try:
         qm = np.array(qs["vec"].tolist(), dtype=np.float64)
         cm = np.array(cs["vec"].tolist(), dtype=np.float64)

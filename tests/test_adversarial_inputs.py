@@ -296,6 +296,68 @@ def test_hostile_embeddings_stay_cross_engine_green(spark, hostile_emb_sf,
                       hostile_emb_duck, getattr(lq, sqlname))
 
 
+@pytest.mark.parametrize("seed", [3, 31], ids=["seed3", "seed31"])
+def test_randomized_tied_embeddings_parity(spark, tmp_path_factory, seed):
+    """Seeded embeddings drawn from only 6 base directions with random
+    positive/negative scales — scaled copies have IDENTICAL cosine, so
+    nearly every ranking decision is a tie broken by neighbor_id, and
+    negated copies pin the sim = -1 extreme. Plus zero vectors and
+    NULLs. The hand fixture has one duplicate pair; this makes the
+    tie-break contract (sim desc, neighbor_id asc, post-rounding) the
+    dominant code path on both engines."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    bases = [rng.standard_normal(64) for _ in range(6)]
+    rows = []
+    for i in range(1, 31):
+        r = rng.random()
+        if r < 0.08:
+            v = None
+        elif r < 0.14:
+            v = [0.0] * 64
+        else:
+            b = bases[rng.integers(6)]
+            scale = (float(rng.uniform(0.5, 3.0))
+                     * (1 if rng.random() < 0.8 else -1))
+            v = (scale * b).tolist()
+        rows.append((i, v, f"s{i % 3}"))
+    d = str(tmp_path_factory.mktemp(f"tiedemb{seed}"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, source string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{d}/embeddings.parquet/*.parquet'")
+    lq = _lq()
+    try:
+        for qname, sqlname in [
+            ("cosine_topk_bruteforce", "COSINE_TOPK_SQL"),
+            ("ann_lsh_topk", "ANN_LSH_TOPK_SQL"),
+            ("ann_ivf_topk", "ANN_IVF_TOPK_SQL"),
+            ("embedding_near_dup_pairs", "EMBEDDING_NEAR_DUPS_SQL"),
+            ("semantic_clusters", "SEMANTIC_CLUSTERS_SQL"),
+        ]:
+            compare_to_oracle(getattr(lq, qname)(spark, d), con,
+                              getattr(lq, sqlname))
+    finally:
+        con.close()
+
+
+def test_duplicate_embedding_ids_raise_named_error(spark):
+    """A duplicated vec_id (upstream join fanout) makes every id-keyed
+    step — self-exclusion, tie-break, shard-merge dedup — silently
+    engine-dependent, so the GEMM names the defect instead. Shards
+    hash on the id, so duplicates always co-locate in one pandas group
+    and the local check is globally complete for the exact paths."""
+    from spark_ext_spark.llm.similarity import cosine_topk
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, 0.1]), (2, [3.0, 1.0]),
+         (3, [0.2, 0.9])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="duplicate embedding id"):
+        cosine_topk(df, df, k=2).collect()
+
+
 def test_mixed_dim_embeddings_raise_named_error(spark):
     """Ragged dimensionality is a pipeline defect: the GEMM names it
     (with the dims seen) instead of dying in numpy's opaque
