@@ -840,15 +840,30 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape (adapted): distinct-supplier counts per (brand, type,
     size) part class, excluding one brand and suppliers with negative
     balances (the NOT IN subquery → a broadcast LEFT ANTI join on the
-    tiny excluded-supplier set)."""
-    lineitem = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey")
+    tiny excluded-supplier set).
+
+    NULL contract, pinned EXPLICITLY on both engines because LEFT ANTI
+    and SQL ``NOT IN`` disagree on every null pattern: a NULL
+    l_suppkey row passes an anti join (null matches nothing → kept,
+    minting a phantom zero-count group) but fails ``NOT IN`` (NULL
+    comparison → not true → filtered); and one NULL key in the
+    exclusion subquery EMPTIES a ``NOT IN`` entirely while the anti
+    join ignores it. Unknown-supplier lines can't be attributed, so
+    both sides drop null l_suppkey rows and null exclusion keys —
+    after which the two formulations are equivalent by construction
+    (regression: tests/test_adversarial_inputs.py
+    test_null_suppkey_not_in_contract)."""
+    lineitem = (load(spark, sf_dir, "lineitem")
+                .filter(F.col("l_suppkey").isNotNull())
+                .select("l_partkey", "l_suppkey"))
     part = (load(spark, sf_dir, "part")
             .filter((F.col("p_brand") != "Brand#1")
                     & F.col("p_size").isin(1, 5, 9, 14, 20))
             .select("p_partkey", "p_brand", "p_type", "p_size"))
     bad = (load(spark, sf_dir, "supplier")
-           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+           .filter((F.col("s_acctbal") < 0)
+                   & F.col("s_suppkey").isNotNull())
+           .select("s_suppkey"))
     return (lineitem
             .join(F.broadcast(bad),
                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
@@ -865,7 +880,12 @@ FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#1'
   AND p_size IN (1, 5, 9, 14, 20)
+  -- null contract pinned on both engines (see parts_supplier_counts):
+  -- unattributable lines and null exclusion keys are dropped, which
+  -- makes NOT IN and the Spark LEFT ANTI equivalent by construction
+  AND l_suppkey IS NOT NULL
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                        WHERE s_acctbal < 0)
+                        WHERE s_acctbal < 0
+                          AND s_suppkey IS NOT NULL)
 GROUP BY p_brand, p_type, p_size
 """

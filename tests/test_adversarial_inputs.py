@@ -600,8 +600,58 @@ def test_randomized_hostile_tpch_join_parity(spark, tmp_path_factory,
              tpch.SMALL_QUANTITY_REVENUE_SQL),
             (tpch.large_volume_orders, tpch.LARGE_VOLUME_ORDERS_SQL),
             (tpch.promotion_suppliers, tpch.PROMOTION_SUPPLIERS_SQL),
+            # the round-9 rotation's shapes, swept BEFORE their first
+            # driver contact (this sweep found the q16 NOT IN split)
+            (tpch.min_cost_supplier, tpch.MIN_COST_SUPPLIER_SQL),
+            (tpch.late_order_priority, tpch.LATE_ORDER_PRIORITY_SQL),
+            (tpch.returned_item_customers,
+             tpch.RETURNED_ITEM_CUSTOMERS_SQL),
+            (tpch.important_parts, tpch.IMPORTANT_PARTS_SQL),
+            (tpch.linestatus_priority_counts,
+             tpch.LINESTATUS_PRIORITY_COUNTS_SQL),
+            (tpch.promo_revenue_share, tpch.PROMO_REVENUE_SHARE_SQL),
+            (tpch.top_supplier, tpch.TOP_SUPPLIER_SQL),
+            (tpch.parts_supplier_counts,
+             tpch.PARTS_SUPPLIER_COUNTS_SQL),
+            (tpch.discounted_revenue, tpch.DISCOUNTED_REVENUE_SQL),
+            (tpch.idle_rich_customers, tpch.IDLE_RICH_CUSTOMERS_SQL),
         ]:
             compare_to_oracle(query(spark, d), con, sql)
+    finally:
+        con.close()
+
+
+def test_null_suppkey_not_in_contract(spark, tmp_path_factory):
+    """Minimal deterministic repro of the q16 LEFT ANTI vs NOT IN
+    split the randomized sweep can miss (it needs a part class whose
+    EVERY line has a null supplier): part X's only line is
+    unattributable. Before the pinned contract, Spark emitted a
+    phantom ('Brand#2','X',5, cnt=0) group that DuckDB's NOT IN (NULL
+    comparison → not true) filtered out. Both engines must now drop
+    unattributable lines."""
+    from spark_ext_spark.plans import tpch
+    d = str(tmp_path_factory.mktemp("q16null"))
+    li = spark.createDataFrame(
+        [(1, None, 1), (2, 10, 2), (2, None, 3)],
+        "l_partkey long, l_suppkey long, l_orderkey long")
+    pt = spark.createDataFrame(
+        [(1, "Brand#2", "X", 5), (2, "Brand#2", "Y", 5)],
+        "p_partkey long, p_brand string, p_type string, p_size int")
+    sup = spark.createDataFrame(
+        [(99, -5.0), (None, -7.0)],     # null exclusion key: one NULL
+        "s_suppkey long, s_acctbal double")  # empties a naive NOT IN
+    for name, df in [("lineitem", li), ("part", pt), ("supplier", sup)]:
+        df.coalesce(1).write.parquet(f"{d}/{name}.parquet")
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{d}/{t}.parquet/*.parquet'")
+    try:
+        compare_to_oracle(tpch.parts_supplier_counts(spark, d), con,
+                          tpch.PARTS_SUPPLIER_COUNTS_SQL)
+        rows = {tuple(r) for r in
+                tpch.parts_supplier_counts(spark, d).collect()}
+        assert rows == {("Brand#2", "Y", 5, 1)}
     finally:
         con.close()
 
