@@ -784,8 +784,16 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated per decile. The global window is a single-partition
     sort — fine for dimension-sized inputs; for a fact-sized column use
     approx_percentile cutpoints + a bucket join instead (see SCALE.md).
-    """
-    customer = load(spark, sf_dir, "customer")
+
+    NULL balances are excluded from the ranking on BOTH engines: a
+    decile of an unknown value is meaningless, and the engines default
+    to opposite NULL sort positions (Spark ASC = NULLS FIRST, DuckDB
+    NULLS LAST), which silently shifts every decile boundary — same
+    contract as hourly_zscores dropping unknown-time events. Equal
+    balances with a NULL tiebreak stay safe: fungible rows can't
+    change any per-decile aggregate."""
+    customer = (load(spark, sf_dir, "customer")
+                .filter(F.col("c_acctbal").isNotNull()))
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (customer
             .select("c_acctbal", F.ntile(10).over(w).alias("decile"))
@@ -803,7 +811,11 @@ SELECT decile, count(*) AS n,
        {_lattice_avg_4dp_sql('c_acctbal')} AS mean
 FROM (SELECT c_acctbal,
              ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
-      FROM customer) t
+      FROM customer
+      -- NULL-balance rows excluded on both engines (see
+      -- acctbal_deciles: the engines' opposite NULL sort defaults
+      -- would shift every decile boundary)
+      WHERE c_acctbal IS NOT NULL) t
 GROUP BY decile
 """
 

@@ -511,8 +511,11 @@ def test_randomized_unicode_docs_parity(spark, tmp_path_factory, seed):
 
 def _hostile_tpch_fixture(tmp_path_factory, seed: int) -> str:
     """Seeded hostile variants of the REAL sf0.001 join tables: null
-    join keys on both fact and dim sides, duplicated primary keys
-    (orders/lineitem rows repeated verbatim), a whole ship-year
+    join keys on both fact and dim sides, null VALUE and DIMENSION
+    columns (balances, prices, quantities, discounts, priorities,
+    statuses, flags, part attributes — the classes that expose
+    null-ordering and CASE/filter contract splits), duplicated primary
+    keys (orders/lineitem rows repeated verbatim), a whole ship-year
     dropped from lineitem (empty groups downstream), and lineitem
     written as a multi-file directory containing one ZERO-ROW part
     file (a genuinely empty scan partition on both engines). Physical
@@ -541,19 +544,25 @@ def _hostile_tpch_fixture(tmp_path_factory, seed: int) -> str:
                 out.append(dict(r))  # duplicated primary key
         return pa.Table.from_pylist(out, schema=t.schema), t.schema
 
-    cust, _ = mutate("customer", {"c_nationkey": 0.05, "c_custkey": 0.02})
+    cust, _ = mutate("customer", {"c_nationkey": 0.05, "c_custkey": 0.02,
+                                  "c_acctbal": 0.08, "c_mktsegment": 0.05})
     pq.write_table(cust, f"{d}/customer.parquet")
-    orders, _ = mutate("orders", {"o_custkey": 0.05, "o_orderdate": 0.02},
+    orders, _ = mutate("orders", {"o_custkey": 0.05, "o_orderdate": 0.02,
+                                  "o_orderpriority": 0.06,
+                                  "o_orderstatus": 0.06,
+                                  "o_totalprice": 0.05},
                        dup_rate=0.04)
     pq.write_table(orders, f"{d}/orders.parquet")
-    supp, _ = mutate("supplier", {"s_nationkey": 0.2})
+    supp, _ = mutate("supplier", {"s_nationkey": 0.2, "s_acctbal": 0.1})
     pq.write_table(supp, f"{d}/supplier.parquet")
     # drop one whole ship-year with probability 1/2 per seed: entire
     # per-year groups vanish and some join branches go empty
     drop_year = rng.choice([None, 1995])
     li, li_schema = mutate(
         "lineitem",
-        {"l_suppkey": 0.03, "l_orderkey": 0.02, "l_partkey": 0.03},
+        {"l_suppkey": 0.03, "l_orderkey": 0.02, "l_partkey": 0.03,
+         "l_returnflag": 0.04, "l_linestatus": 0.04, "l_quantity": 0.03,
+         "l_extendedprice": 0.03, "l_discount": 0.03, "l_shipdate": 0.03},
         dup_rate=0.03,
         drop_pred=(None if drop_year is None else
                    (lambda r: r["l_shipdate"] is not None
@@ -562,7 +571,10 @@ def _hostile_tpch_fixture(tmp_path_factory, seed: int) -> str:
     pq.write_table(li, f"{d}/lineitem.parquet/part-0.parquet")
     pq.write_table(pa.Table.from_pylist([], schema=li_schema),
                    f"{d}/lineitem.parquet/part-1.parquet")  # empty split
-    for t in ("nation", "region", "part"):
+    part, _ = mutate("part", {"p_type": 0.05, "p_brand": 0.05,
+                              "p_size": 0.05, "p_retailprice": 0.05})
+    pq.write_table(part, f"{d}/part.parquet")
+    for t in ("nation", "region"):
         pq.write_table(pq.read_table(f"{src}/{t}.parquet"),
                        f"{d}/{t}.parquet")
     return d
@@ -615,6 +627,59 @@ def test_randomized_hostile_tpch_join_parity(spark, tmp_path_factory,
              tpch.PARTS_SUPPLIER_COUNTS_SQL),
             (tpch.discounted_revenue, tpch.DISCOUNTED_REVENUE_SQL),
             (tpch.idle_rich_customers, tpch.IDLE_RICH_CUSTOMERS_SQL),
+        ]:
+            compare_to_oracle(query(spark, d), con, sql)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("seed", [5, 43], ids=["seed5", "seed43"])
+def test_randomized_hostile_olap_parity(spark, tmp_path_factory, seed):
+    """The relational OLAP family (set ops, rollup/cube/pivot, window
+    ranks, deciles, min-per-group, stats/profile reports) over the
+    same seeded hostile TPC-H tables — these queries had only ever
+    seen the clean fixed parquet. First run caught acctbal_deciles
+    ranking NULL balances: Spark ASC sorts them FIRST, DuckDB LAST, so
+    every decile boundary silently shifted (now both engines exclude
+    unknown balances from the ranking)."""
+    d = _hostile_tpch_fixture(tmp_path_factory, seed)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "supplier", "nation", "region",
+              "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{d}/{t}.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{d}/lineitem.parquet/*.parquet'")
+    try:
+        for query, sql in [
+            (rel.pricing_summary, rel.PRICING_SUMMARY_SQL),
+            (rel.revenue_by_nation, rel.REVENUE_BY_NATION_SQL),
+            (rel.left_join_order_counts, rel.LEFT_JOIN_ORDER_COUNTS_SQL),
+            (rel.semi_join_active_customers,
+             rel.SEMI_JOIN_ACTIVE_CUSTOMERS_SQL),
+            (rel.anti_join_inactive_customers,
+             rel.ANTI_JOIN_INACTIVE_CUSTOMERS_SQL),
+            (rel.rollup_order_revenue, rel.ROLLUP_ORDER_REVENUE_SQL),
+            (rel.cube_order_stats, rel.CUBE_ORDER_STATS_SQL),
+            (rel.price_percentiles, rel.PRICE_PERCENTILES_SQL),
+            (rel.shipping_priority, rel.SHIPPING_PRIORITY_SQL),
+            (rel.intersect_high_value_buyers,
+             rel.INTERSECT_HIGH_VALUE_BUYERS_SQL),
+            (rel.except_low_priority_only,
+             rel.EXCEPT_LOW_PRIORITY_ONLY_SQL),
+            (rel.priority_pivot, rel.PRIORITY_PIVOT_SQL),
+            (rel.top_orders_per_customer,
+             rel.TOP_ORDERS_PER_CUSTOMER_SQL),
+            (rel.acctbal_deciles, rel.ACCTBAL_DECILES_SQL),
+            (rel.above_class_average_orders,
+             rel.ABOVE_CLASS_AVERAGE_ORDERS_SQL),
+            (rel.cheapest_order_per_customer,
+             rel.CHEAPEST_ORDER_PER_CUSTOMER_SQL),
+            (rel.sql_grouping_sets, rel.SQL_GROUPING_SETS_SQL),
+            (rel.table_profile, rel.TABLE_PROFILE_SQL),
+            (rel.lineitem_expectations, rel.LINEITEM_EXPECTATIONS_SQL),
+            (rel.lineitem_measure_stats,
+             rel.LINEITEM_MEASURE_STATS_SQL),
         ]:
             compare_to_oracle(query(spark, d), con, sql)
     finally:
