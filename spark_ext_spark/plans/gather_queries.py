@@ -31,12 +31,23 @@ def gather_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged); the query serializes each element to ``key:%.4f`` and
     '|'-joins the sorted list, because the driver's canonicalizer cannot
     hash list/struct cells (r1/r2 err rows). Decimal formatting is
-    pinned to 4 places on BOTH engines so float ULP noise cancels."""
+    pinned to 4 places on BOTH engines so float ULP noise cancels.
+
+    A key whose aggregate is NULL (every contributing value null)
+    encodes as ``key:null`` EXPLICITLY on both engines: Spark's
+    format_string renders Java's "null" string where DuckDB's printf
+    null-propagates and the whole element silently vanishes from the
+    join — the flat view keeps such groups, so the string encoding
+    must too. NULL keys themselves drop out of the string identically
+    on both engines (concat/|| null-propagate the element; the flat
+    view is the lossless form)."""
     out = _gather_events(spark, sf_dir, "sum")
     strs = F.transform(
         "gathered",
-        lambda x: F.concat(x["event_type"], F.lit(":"),
-                           F.format_string("%.4f", F.round(x["value"], 4))))
+        lambda x: F.concat(
+            x["event_type"], F.lit(":"),
+            F.when(x["value"].isNull(), F.lit("null"))
+            .otherwise(F.format_string("%.4f", F.round(x["value"], 4)))))
     return out.select("user_id",
                       F.array_join(F.sort_array(strs), "|").alias("gathered"))
 
@@ -44,7 +55,8 @@ def gather_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 GATHER_USER_EVENTS_SQL = """
 SELECT user_id,
        array_to_string(
-         list_sort(list(event_type || ':' || printf('%.4f', value))), '|')
+         list_sort(list(event_type || ':'
+                        || coalesce(printf('%.4f', value), 'null'))), '|')
          AS gathered
 FROM (
   SELECT user_id, event_type, round(sum(value), 4) AS value

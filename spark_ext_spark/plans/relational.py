@@ -1245,29 +1245,106 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family per event type: sample stddev/
     variance of value, correlation and sample covariance between value
     and the props.k payload. All are single-pass mergeable moment
-    aggregates — partial+final like any sum, nothing extra at scale."""
+    aggregates — partial+final like any sum, nothing extra at scale.
+
+    Determinism: the second moments are computed from EXACT 1e-6
+    lattice integer sums (the _lattice_avg_4dp discipline extended to
+    Σx², Σxy), then one identical IEEE double chain on both engines —
+    a bare round(covar_samp(...), 4) is an order-dependent float sum
+    whose true value can land on the .00005 half-grid, where reorder
+    ULP noise flips the rounding (caught by the seed-11 nullish-events
+    sweep). The naive Σxx−(Σx)²/n form is numerically worse than a
+    streaming co-moment but is the SAME bits on both engines, which is
+    what the hash gate needs; inputs here are small-magnitude. n<2 and
+    zero-variance corr pin to NULL on both sides."""
     ev = load(spark, sf_dir, "events")
     k = F.from_json("props", "k bigint")["k"].cast("double")
     base = ev.select("event_type", "value", k.alias("k"))
-    return (base.groupBy("event_type")
-            .agg(F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-                 F.round(F.var_samp("value"), 4).alias("var_value"),
-                 F.round(F.corr("value", "k"), 4).alias("corr_vk"),
-                 F.round(F.covar_samp("value", "k"), 4).alias("covar_vk")))
+    vq = F.floor(F.col("value") * F.lit(1e6) + F.lit(5e-1)) \
+          .cast("decimal(38,0)")
+    kq = F.floor(F.col("k") * F.lit(1e6) + F.lit(5e-1)) \
+          .cast("decimal(38,0)")
+    pair = F.col("value").isNotNull() & F.col("k").isNotNull()
+    agg = base.groupBy("event_type").agg(
+        F.count("value").alias("n1"),
+        F.sum(vq).cast("double").alias("sv"),
+        F.sum(vq * vq).cast("double").alias("svv"),
+        F.count(F.when(pair, F.lit(1))).alias("n2"),
+        F.sum(F.when(pair, vq)).cast("double").alias("pv"),
+        F.sum(F.when(pair, kq)).cast("double").alias("pk"),
+        F.sum(F.when(pair, vq * kq)).cast("double").alias("pvk"),
+        F.sum(F.when(pair, vq * vq)).cast("double").alias("pvv"),
+        F.sum(F.when(pair, kq * kq)).cast("double").alias("pkk"))
+
+    def q4(x):  # floor-quantize at 4dp — the identical chain in SQL
+        return F.floor(x * F.lit(1e4) + F.lit(5e-1)) / F.lit(1e4)
+
+    var = ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n1"))
+           / (F.col("n1") - 1) / F.lit(1e12))
+    cov = ((F.col("pvk") - F.col("pv") * F.col("pk") / F.col("n2"))
+           / (F.col("n2") - 1) / F.lit(1e12))
+    vden = F.col("pvv") - F.col("pv") * F.col("pv") / F.col("n2")
+    kden = F.col("pkk") - F.col("pk") * F.col("pk") / F.col("n2")
+    cnum = F.col("pvk") - F.col("pv") * F.col("pk") / F.col("n2")
+    corr = cnum / F.sqrt(vden * kden)
+    return agg.select(
+        "event_type",
+        F.when(F.col("n1") < 2, F.lit(None).cast("double"))
+         .otherwise(q4(F.sqrt(var))).alias("sd_value"),
+        F.when(F.col("n1") < 2, F.lit(None).cast("double"))
+         .otherwise(q4(var)).alias("var_value"),
+        F.when((F.col("n2") < 2) | (vden * kden <= 0),
+               F.lit(None).cast("double"))
+         .otherwise(q4(corr)).alias("corr_vk"),
+        F.when(F.col("n2") < 2, F.lit(None).cast("double"))
+         .otherwise(q4(cov)).alias("covar_vk"))
 
 
 VALUE_STATISTICS_SQL = """
+WITH moments AS (
+  SELECT event_type,
+         count(value) AS n1,
+         CAST(sum(CAST(vq AS HUGEINT)) AS DOUBLE) AS sv,
+         CAST(sum(CAST(vq AS HUGEINT) * vq) AS DOUBLE) AS svv,
+         count(CASE WHEN value IS NOT NULL AND k IS NOT NULL
+               THEN 1 END) AS n2,
+         CAST(sum(CASE WHEN k IS NOT NULL
+                  THEN CAST(vq AS HUGEINT) END) AS DOUBLE) AS pv,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(kq AS HUGEINT) END) AS DOUBLE) AS pk,
+         CAST(sum(CAST(vq AS HUGEINT) * kq) AS DOUBLE) AS pvk,
+         CAST(sum(CASE WHEN k IS NOT NULL
+                  THEN CAST(vq AS HUGEINT) * vq END) AS DOUBLE) AS pvv,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(kq AS HUGEINT) * kq END) AS DOUBLE) AS pkk
+  FROM (SELECT event_type, value,
+               CAST(floor(value * 1e6 + 5e-1) AS BIGINT) AS vq,
+               k,
+               CAST(floor(k * 1e6 + 5e-1) AS BIGINT) AS kq
+        FROM (SELECT event_type, value,
+                     CAST(CAST(json_extract(
+                         CASE WHEN json_valid(props) THEN props END,
+                         '$.k') AS BIGINT) AS DOUBLE) AS k
+              FROM events))
+  GROUP BY event_type
+)
 SELECT event_type,
-       round(stddev_samp(value), 4) AS sd_value,
-       round(var_samp(value), 4) AS var_value,
-       round(corr(value, k), 4) AS corr_vk,
-       round(covar_samp(value, k), 4) AS covar_vk
-FROM (SELECT event_type, value,
-             CAST(CAST(json_extract(
-                 CASE WHEN json_valid(props) THEN props END,
-                 '$.k') AS BIGINT) AS DOUBLE) AS k
-      FROM events)
-GROUP BY event_type
+       CASE WHEN n1 < 2 THEN NULL ELSE
+         floor(sqrt((svv - sv * sv / n1) / (n1 - 1) / 1e12) * 1e4
+               + 5e-1) / 1e4 END AS sd_value,
+       CASE WHEN n1 < 2 THEN NULL ELSE
+         floor((svv - sv * sv / n1) / (n1 - 1) / 1e12 * 1e4
+               + 5e-1) / 1e4 END AS var_value,
+       CASE WHEN n2 < 2
+              OR (pvv - pv * pv / n2) * (pkk - pk * pk / n2) <= 0
+            THEN NULL ELSE
+         floor((pvk - pv * pk / n2)
+               / sqrt((pvv - pv * pv / n2) * (pkk - pk * pk / n2))
+               * 1e4 + 5e-1) / 1e4 END AS corr_vk,
+       CASE WHEN n2 < 2 THEN NULL ELSE
+         floor((pvk - pv * pk / n2) / (n2 - 1) / 1e12 * 1e4
+               + 5e-1) / 1e4 END AS covar_vk
+FROM moments
 """
 
 

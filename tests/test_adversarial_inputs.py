@@ -441,9 +441,11 @@ def test_randomized_nullish_events_parity(spark, tmp_path_factory, seed):
         rows.append((n(i) if rng.random() < 0.05 else i, ts,
                      n(rng.randrange(6)),
                      n(rng.choice(["click", "view", "purchase"])),
-                     n(round(rng.uniform(-5, 5), 2)), None))
+                     n(round(rng.uniform(-5, 5), 2)),
+                     n('{"k": %d}' % rng.randrange(100))))
     d, con = _events_fixture(spark, tmp_path_factory,
                              f"randnull{seed}", rows)
+    from spark_ext_spark.plans import gather_queries as gq
     for query, sql in [
         (rel.user_event_types, rel.USER_EVENT_TYPES_SQL),
         (rel.event_sessions, rel.EVENT_SESSIONS_SQL),
@@ -456,6 +458,27 @@ def test_randomized_nullish_events_parity(spark, tmp_path_factory, seed):
         (fq.gather_encoder_top_allother,
          fq.GATHER_ENCODER_TOP_ALLOTHER_SQL),
         (fq.string_indexer, fq.STRING_INDEXER_SQL),
+        # gap batch (first sweep caught gather's key:null encoding
+        # split and value_statistics' half-grid covariance rounding)
+        (gq.gather_user_events, gq.GATHER_USER_EVENTS_SQL),
+        (gq.gather_user_events_flat, gq.GATHER_USER_EVENTS_FLAT_SQL),
+        (gq.gather_user_event_counts, gq.GATHER_USER_EVENT_COUNTS_SQL),
+        (rel.value_statistics, rel.VALUE_STATISTICS_SQL),
+        (rel.value_robust_stats, rel.VALUE_ROBUST_STATS_SQL),
+        (rel.global_agg, rel.GLOBAL_AGG_SQL),
+        (rel.top_users_by_value, rel.TOP_USERS_BY_VALUE_SQL),
+        (rel.distinct_user_event_pairs,
+         rel.DISTINCT_USER_EVENT_PAIRS_SQL),
+        (rel.stratified_sample_events,
+         rel.STRATIFIED_SAMPLE_EVENTS_SQL),
+        (rel.zorder_event_keys, rel.ZORDER_EVENT_KEYS_SQL),
+        (rel.events_in_order_windows, rel.EVENTS_IN_ORDER_WINDOWS_SQL),
+        (rel.moving_avg_7d, rel.MOVING_AVG_7D_SQL),
+        (rel.hourly_rollup, rel.HOURLY_ROLLUP_SQL),
+        (rel.hourly_gapfill, rel.HOURLY_GAPFILL_SQL),
+        (rel.hourly_interpolate, rel.HOURLY_INTERPOLATE_SQL),
+        (rel.props_json_extract, rel.PROPS_JSON_EXTRACT_SQL),
+        (rel.props_variant_extract, rel.PROPS_VARIANT_EXTRACT_SQL),
     ]:
         compare_to_oracle(query(spark, d), con, sql)
 
@@ -627,6 +650,8 @@ def test_randomized_hostile_tpch_join_parity(spark, tmp_path_factory,
              tpch.PARTS_SUPPLIER_COUNTS_SQL),
             (tpch.discounted_revenue, tpch.DISCOUNTED_REVENUE_SQL),
             (tpch.idle_rich_customers, tpch.IDLE_RICH_CUSTOMERS_SQL),
+            (tpch.forecast_revenue_change,
+             tpch.FORECAST_REVENUE_CHANGE_SQL),
         ]:
             compare_to_oracle(query(spark, d), con, sql)
     finally:
@@ -667,6 +692,7 @@ def test_randomized_hostile_olap_parity(spark, tmp_path_factory, seed):
              rel.INTERSECT_HIGH_VALUE_BUYERS_SQL),
             (rel.except_low_priority_only,
              rel.EXCEPT_LOW_PRIORITY_ONLY_SQL),
+            (rel.union_all_keys, rel.UNION_ALL_KEYS_SQL),
             (rel.priority_pivot, rel.PRIORITY_PIVOT_SQL),
             (rel.top_orders_per_customer,
              rel.TOP_ORDERS_PER_CUSTOMER_SQL),
