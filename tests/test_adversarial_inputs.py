@@ -448,6 +448,8 @@ def test_randomized_nullish_events_parity(spark, tmp_path_factory, seed):
     from spark_ext_spark.plans import gather_queries as gq
     for query, sql in [
         (rel.user_event_types, rel.USER_EVENT_TYPES_SQL),
+        (rel.user_distinct_event_types,
+         rel.USER_DISTINCT_EVENT_TYPES_SQL),
         (rel.event_sessions, rel.EVENT_SESSIONS_SQL),
         (rel.cumulative_user_value, rel.CUMULATIVE_USER_VALUE_SQL),
         (rel.top_event_per_user, rel.TOP_EVENT_PER_USER_SQL),
@@ -504,11 +506,16 @@ def test_randomized_unicode_docs_parity(spark, tmp_path_factory, seed):
         else:
             text = " ".join(rng.choice(pieces)
                             for _ in range(rng.randrange(0, 30)))
-        rows.append((i, rng.choice(["web", "forum", "wiki"]), text,
+        rows.append((i, text,
+                     None if rng.random() < 0.15
+                     else rng.choice(["en", "de", "fr"]),
+                     None if rng.random() < 0.1
+                     else rng.choice(["web", "forum", "wiki"]),
                      None if text is None else len(text)))
     d = str(tmp_path_factory.mktemp(f"randdocs{seed}"))
     df = spark.createDataFrame(
-        rows, "doc_id long, source string, text string, n_chars long")
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
@@ -527,9 +534,18 @@ def test_randomized_unicode_docs_parity(spark, tmp_path_factory, seed):
         ("exact_dedup", "EXACT_DEDUP_SQL"),
         ("winnow_pairs", "WINNOW_PAIRS_SQL"),
         ("corpus_dedup_stats", "CORPUS_DEDUP_STATS_SQL"),
+        # report/cluster gap batch (null lang/source mixtures, CC over
+        # hostile-doc dup pairs) — all green on first sweep
+        ("mixture_report", "MIXTURE_REPORT_SQL"),
+        ("language_mix_report", "LANGUAGE_MIX_REPORT_SQL"),
+        ("tfidf_top_terms", "TFIDF_TOP_TERMS_SQL"),
+        ("dup_clusters", "DUP_CLUSTERS_SQL"),
+        ("dedup_reduction_report", "DEDUP_REDUCTION_REPORT_SQL"),
     ]:
         compare_to_oracle(getattr(lq, qname)(spark, d), con,
                           getattr(lq, sqlname))
+    compare_to_oracle(rel.doc_sentences(spark, d), con,
+                      rel.DOC_SENTENCES_SQL)
 
 
 def _hostile_tpch_fixture(tmp_path_factory, seed: int) -> str:
