@@ -1256,25 +1256,33 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep). The naive Σxx−(Σx)²/n form is numerically worse than a
     streaming co-moment but is the SAME bits on both engines, which is
     what the hash gate needs; inputs here are small-magnitude. n<2 and
-    zero-variance corr pin to NULL on both sides."""
+    zero-variance corr pin to NULL on both sides.
+
+    Per-row lattice math stays in LONG (codegen-fast; an all-decimal
+    variant A/B'd 1.4× slower) — exact while per-row products stay
+    under 2^63, i.e. |value| and |k| up to ~3e3 at the 1e6 lattice;
+    ANSI mode fails loudly beyond. Only the unbounded group SUM is
+    decimal(38,0), per-row-cast like _lattice_avg_4dp."""
     ev = load(spark, sf_dir, "events")
     k = F.from_json("props", "k bigint")["k"].cast("double")
     base = ev.select("event_type", "value", k.alias("k"))
-    vq = F.floor(F.col("value") * F.lit(1e6) + F.lit(5e-1)) \
-          .cast("decimal(38,0)")
-    kq = F.floor(F.col("k") * F.lit(1e6) + F.lit(5e-1)) \
-          .cast("decimal(38,0)")
+    vq = F.floor(F.col("value") * F.lit(1e6) + F.lit(5e-1)).cast("long")
+    kq = F.floor(F.col("k") * F.lit(1e6) + F.lit(5e-1)).cast("long")
     pair = F.col("value").isNotNull() & F.col("k").isNotNull()
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
     agg = base.groupBy("event_type").agg(
         F.count("value").alias("n1"),
-        F.sum(vq).cast("double").alias("sv"),
-        F.sum(vq * vq).cast("double").alias("svv"),
+        dsum(vq).alias("sv"),
+        dsum(vq * vq).alias("svv"),
         F.count(F.when(pair, F.lit(1))).alias("n2"),
-        F.sum(F.when(pair, vq)).cast("double").alias("pv"),
-        F.sum(F.when(pair, kq)).cast("double").alias("pk"),
-        F.sum(F.when(pair, vq * kq)).cast("double").alias("pvk"),
-        F.sum(F.when(pair, vq * vq)).cast("double").alias("pvv"),
-        F.sum(F.when(pair, kq * kq)).cast("double").alias("pkk"))
+        dsum(F.when(pair, vq)).alias("pv"),
+        dsum(F.when(pair, kq)).alias("pk"),
+        dsum(F.when(pair, vq * kq)).alias("pvk"),
+        dsum(F.when(pair, vq * vq)).alias("pvv"),
+        dsum(F.when(pair, kq * kq)).alias("pkk"))
 
     def q4(x):  # floor-quantize at 4dp — the identical chain in SQL
         return F.floor(x * F.lit(1e4) + F.lit(5e-1)) / F.lit(1e4)
