@@ -188,7 +188,11 @@ def cumulative_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUMULATIVE_USER_VALUE_SQL = """
 SELECT user_id, event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+       -- both keys pinned NULLS FIRST (Spark ASC default): an
+       -- unpinned NULL event_id tie-break reordered a tied-ts pair
+       -- (caught by the seed-202 nullish sweep)
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+             event_id NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
 FROM events
 """
@@ -775,7 +779,10 @@ SELECT user_id, event_id,
 FROM events
 -- NULLS FIRST: Spark ascending window order puts null ts first,
   -- DuckDB defaults to NULLS LAST — the contract follows Spark
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+  -- event_id pinned too: a NULL tie-break key splits the engines
+  -- (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST; seed-202 sweep)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+               event_id NULLS FIRST)
 """
 
 
@@ -929,11 +936,15 @@ WITH flagged AS (
   FROM events
   -- NULLS FIRST: Spark ascending window order puts null ts first,
   -- DuckDB defaults to NULLS LAST — the contract follows Spark
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+  -- event_id pinned too: a NULL tie-break key splits the engines
+  -- (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST; seed-202 sweep)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+               event_id NULLS FIRST)
 ),
 sess AS (
   SELECT user_id, us,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY us NULLS FIRST, event_id
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us NULLS FIRST,
+                           event_id NULLS FIRST
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
@@ -1147,10 +1158,15 @@ def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_EVENT_PER_USER_SQL = """
 WITH ranked AS (
   SELECT user_id, event_type, value,
+         -- tie-break null order pinned to Spark's struct compare:
+         -- a NULL field ranks FIRST ascending, so min_by prefers a
+         -- NULL event_id on value ties (ASC NULLS FIRST) and max_by
+         -- prefers non-null ids (DESC NULLS LAST, DuckDB's default,
+         -- pinned explicitly)
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY value DESC, event_id DESC) AS rt,
+                            ORDER BY value DESC, event_id DESC NULLS LAST) AS rt,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY value ASC, event_id ASC) AS rb
+                            ORDER BY value ASC, event_id ASC NULLS FIRST) AS rb
   FROM events WHERE value IS NOT NULL
 ),
 -- null-value rows can win neither argmax nor argmin (see the Spark

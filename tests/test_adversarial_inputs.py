@@ -422,14 +422,19 @@ def test_nullish_events_stay_cross_engine_green(spark, nullish_sf,
     compare_to_oracle(query(spark, d), con, sql)
 
 
-@pytest.mark.parametrize("seed", [11, 29], ids=["seed11", "seed29"])
+@pytest.mark.parametrize("seed", [11, 29, 202],
+                         ids=["seed11", "seed29", "seed202"])
 def test_randomized_nullish_events_parity(spark, tmp_path_factory, seed):
     """Generalizes the hand-built nullish fixture: a seeded random
     events table where EVERY column is null with probability ~1/6 and
     timestamps collide heavily, swept against the window/argmax/
     sessionize/sketch battery. Catches null-interaction classes no
     hand-picked fixture thought of (deterministic seeds — failures
-    reproduce)."""
+    reproduce). Seed 202 is the regression seed for the unpinned NULL
+    event_id window TIE-BREAK: the oracles pinned ts NULLS FIRST but
+    left event_id on DuckDB's NULLS LAST default, so a null event_id
+    tying on (user_id, ts) reordered the cumulative sum and lag/lead
+    series."""
     import random
     rng = random.Random(seed)
     rows = []
@@ -881,6 +886,37 @@ def test_randomized_scores_evaluation_parity(spark, tmp_path_factory,
             (eq.f_measure_by_threshold, eq.F_MEASURE_BY_THRESHOLD_SQL),
         ]:
             compare_to_oracle(query(spark, d), con, sql)
+    finally:
+        con.close()
+
+
+def test_argmax_null_id_tie_break_contract(spark, tmp_path_factory):
+    """Deterministic repro of the argmax/argmin tie-break null order:
+    on a VALUE tie, Spark's struct(value, event_id) comparison ranks a
+    NULL event_id field FIRST ascending — so min_by prefers the
+    null-id row and max_by the non-null one. The oracle pins the
+    matching ASC NULLS FIRST / DESC NULLS LAST explicitly (DuckDB
+    defaults NULLS LAST for both directions)."""
+    d = str(tmp_path_factory.mktemp("minbytie"))
+    rows = [
+        (None, None, 1, "a", -2.0, None),
+        (5,    None, 1, "b", -2.0, None),   # min tie: null id wins
+        (None, None, 1, "c",  9.0, None),
+        (7,    None, 1, "d",  9.0, None),   # max tie: non-null id wins
+        (8,    None, 1, "e",  3.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet/*.parquet'")
+    try:
+        compare_to_oracle(rel.top_event_per_user(spark, d), con,
+                          rel.TOP_EVENT_PER_USER_SQL)
+        row = rel.top_event_per_user(spark, d).collect()[0]
+        assert (row["top_type"], row["bottom_type"]) == ("d", "a")
     finally:
         con.close()
 
