@@ -430,8 +430,14 @@ class GatherEncoderModel(Model, _GatherEncoderParams,
         all_other = self.getOrDefault(self.allOther)
         n_keys = len(self.keys)
 
+        # explicit schema (key type from the input element struct):
+        # an EMPTY dictionary — every key null/filtered at fit — must
+        # produce an empty known side, not a schema-inference crash
+        elem = dataset.schema[in_col].dataType.elementType
+        ktype = elem[key].dataType.simpleString()
         dict_df = spark.createDataFrame(
-            [(k, i) for i, k in enumerate(self.keys)], ["key", "slot"])
+            [(k, i) for i, k in enumerate(self.keys)],
+            schema=f"key {ktype}, slot long")
         exploded = (dataset
                     .select(*pk_cols, F.posexplode(in_col).alias("pos", "kv"))
                     .select(*pk_cols, "pos",

@@ -54,10 +54,13 @@ def gather_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GATHER_USER_EVENTS_SQL = """
 SELECT user_id,
-       array_to_string(
+       -- outer coalesce: a group whose EVERY element is a NULL key
+       -- serializes to '' on Spark (array_join skips null elements)
+       -- but NULL here (array_to_string of an all-NULL list)
+       coalesce(array_to_string(
          list_sort(list(event_type || ':'
-                        || coalesce(printf('%.4f', value), 'null'))), '|')
-         AS gathered
+                        || coalesce(printf('%.4f', value), 'null'))), '|'),
+         '') AS gathered
 FROM (
   SELECT user_id, event_type, round(sum(value), 4) AS value
   FROM events GROUP BY user_id, event_type

@@ -890,6 +890,58 @@ def test_randomized_scores_evaluation_parity(spark, tmp_path_factory,
         con.close()
 
 
+_EXTREME_EVENTS = {
+    # every ts null: the whole time axis is unknown
+    "all_null_ts": [(i, None, i % 3, "click", float(i), None)
+                    for i in range(10)],
+    # one row, everything null but the id: every group is degenerate
+    # (caught gather's ''-vs-NULL all-null-key serialization AND the
+    # encoder's empty-dictionary schema-inference crash)
+    "one_row_nulls": [(1, None, None, None, None, None)],
+    # every user exactly one event, all at the same instant
+    "tied_ts": [(i, _T, i, "view", 1.0, None) for i in range(8)],
+}
+
+
+@pytest.mark.parametrize("fixture", sorted(_EXTREME_EVENTS),
+                         ids=sorted(_EXTREME_EVENTS))
+def test_extreme_degenerate_events_stay_cross_engine_green(
+        spark, tmp_path_factory, fixture):
+    """Degeneracy extremes the ~1/6-null randomized sweep essentially
+    never reaches: whole columns null at once. First run caught two
+    defects — a user whose every gathered element has a NULL key
+    serialized to '' on Spark (array_join skips nulls) but NULL on
+    DuckDB (array_to_string of an all-NULL list), and GatherEncoder's
+    exploded transform crashed on an EMPTY fitted dictionary
+    (schema-inference on zero rows) instead of encoding the all-other
+    slot."""
+    d, con = _events_fixture(spark, tmp_path_factory,
+                             f"extreme_{fixture}",
+                             _EXTREME_EVENTS[fixture])
+    from spark_ext_spark.plans import gather_queries as gq
+    try:
+        for query, sql in [
+            (rel.user_event_types, rel.USER_EVENT_TYPES_SQL),
+            (rel.event_sessions, rel.EVENT_SESSIONS_SQL),
+            (rel.cumulative_user_value, rel.CUMULATIVE_USER_VALUE_SQL),
+            (rel.top_event_per_user, rel.TOP_EVENT_PER_USER_SQL),
+            (rel.user_value_deltas, rel.USER_VALUE_DELTAS_SQL),
+            (rel.hourly_zscores, rel.HOURLY_ZSCORES_SQL),
+            (rel.hourly_gapfill, rel.HOURLY_GAPFILL_SQL),
+            (rel.hourly_interpolate, rel.HOURLY_INTERPOLATE_SQL),
+            (rel.moving_avg_7d, rel.MOVING_AVG_7D_SQL),
+            (gq.gather_user_events, gq.GATHER_USER_EVENTS_SQL),
+            (rel.value_statistics, rel.VALUE_STATISTICS_SQL),
+            (rel.daily_active_users, rel.DAILY_ACTIVE_USERS_SQL),
+            (fq.gather_encoder_top, fq.GATHER_ENCODER_TOP_SQL),
+            (rel.stratified_sample_events,
+             rel.STRATIFIED_SAMPLE_EVENTS_SQL),
+        ]:
+            compare_to_oracle(query(spark, d), con, sql)
+    finally:
+        con.close()
+
+
 def test_argmax_null_id_tie_break_contract(spark, tmp_path_factory):
     """Deterministic repro of the argmax/argmin tie-break null order:
     on a VALUE tie, Spark's struct(value, event_id) comparison ranks a
