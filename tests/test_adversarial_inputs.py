@@ -942,6 +942,65 @@ def test_extreme_degenerate_events_stay_cross_engine_green(
         con.close()
 
 
+def test_zero_row_tables_stay_cross_engine_green(spark,
+                                                 tmp_path_factory):
+    """Empty inputs are routine at scale (an empty date partition, a
+    filtered-out slice) — every family must produce the same empty or
+    scalar-degenerate result on both engines, not crash. Exercises the
+    scalar-aggregate attaches (global averages over zero rows), the
+    gapfill grid, curve endpoints, encoder fit, dedup pair producers,
+    and similarity search over an empty corpus."""
+    from spark_ext_spark.plans import evaluation_queries as eq2
+    from spark_ext_spark.plans import gather_queries as gq
+    lq = _lq()
+    d = str(tmp_path_factory.mktemp("zerorow"))
+    for name, ddl in [
+        ("events", "event_id long, ts timestamp_ntz, user_id long, "
+                   "event_type string, value double, props string"),
+        ("documents", "doc_id long, text string, lang string, "
+                      "source string, n_chars long"),
+        ("embeddings", "vec_id long, embedding array<double>, "
+                       "source string"),
+    ]:
+        spark.createDataFrame([], ddl).coalesce(1) \
+             .write.parquet(f"{d}/{name}.parquet")
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{d}/{t}.parquet/*.parquet'")
+    try:
+        for query, sql in [
+            (rel.user_event_types, rel.USER_EVENT_TYPES_SQL),
+            (rel.event_sessions, rel.EVENT_SESSIONS_SQL),
+            (rel.hourly_gapfill, rel.HOURLY_GAPFILL_SQL),
+            (rel.hourly_interpolate, rel.HOURLY_INTERPOLATE_SQL),
+            (rel.hourly_zscores, rel.HOURLY_ZSCORES_SQL),
+            (gq.gather_user_events, gq.GATHER_USER_EVENTS_SQL),
+            (rel.value_statistics, rel.VALUE_STATISTICS_SQL),
+            (rel.value_robust_stats, rel.VALUE_ROBUST_STATS_SQL),
+            (rel.global_agg, rel.GLOBAL_AGG_SQL),
+            (rel.kmv_user_stats, rel.KMV_USER_STATS_SQL),
+            (fq.gather_encoder_top, fq.GATHER_ENCODER_TOP_SQL),
+            (eq2.gains_curve, eq2.GAINS_CURVE_SQL),
+            (eq2.auc_metrics, eq2.AUC_METRICS_SQL),
+            (eq2.roc_curve_binned, eq2.ROC_CURVE_BINNED_SQL),
+            (lq.doc_text_stats, lq.DOC_TEXT_STATS_SQL),
+            (lq.exact_dedup, lq.EXACT_DEDUP_SQL),
+            (lq.minhash_lsh, lq.MINHASH_LSH_SQL),
+            (lq.dup_clusters, lq.DUP_CLUSTERS_SQL),
+            (lq.mixture_report, lq.MIXTURE_REPORT_SQL),
+            (lq.language_mix_report, lq.LANGUAGE_MIX_REPORT_SQL),
+            (lq.sequence_packing, lq.SEQUENCE_PACKING_SQL),
+            (lq.train_test_split, lq.TRAIN_TEST_SPLIT_SQL),
+            (lq.cosine_topk_bruteforce, lq.COSINE_TOPK_SQL),
+            (lq.embedding_quantize, lq.EMBEDDING_QUANTIZE_SQL),
+            (lq.embedding_norms, lq.EMBEDDING_NORMS_SQL),
+        ]:
+            compare_to_oracle(query(spark, d), con, sql)
+    finally:
+        con.close()
+
+
 def test_argmax_null_id_tie_break_contract(spark, tmp_path_factory):
     """Deterministic repro of the argmax/argmin tie-break null order:
     on a VALUE tie, Spark's struct(value, event_id) comparison ranks a
