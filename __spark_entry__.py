@@ -43,46 +43,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compare fails on equal values. Wrap integer aggregates in
     ``CAST(... AS BIGINT)``; enforced by tests/test_oracle_types.py."""
     return {
-        # --- Round-8 window (entries 1-50 = driver hash-checked) ----
-        # Rotation history: r7 swapped in the validation/gap-fill/
-        # heavy-report/SQL-surface families (rotated out 12 §2A/dedup
-        # redundancy rows: encoder top_allother/index, downsampling,
-        # gains/roc/precision curves, ngram_jaccard, simhash_pairs,
-        # winnow_pairs, tfidf_top_terms, doc_quality, theta_user_rollup
-        # — string_indexer stayed IN that window, at position 9).
-        # r8 (this round) rotates in the 8 join-heaviest never-checked
-        # TPC-H shapes (q5 q7 q8 q9 q13 q17 q18 q20) plus 6 never-
-        # checked report/OLAP rows (hourly_interpolate,
-        # value_robust_stats, mixture_report, language_mix_report,
-        # doc_gopher_rules, daily_active_users); out go 14 rows that
-        # are driver-green in CORRECTNESS_r07 and redundant within
-        # their families (gather_encoder_top, binning, roc_curve_binned,
-        # s2_cells, string_indexer, exact_dedup, text_stats,
-        # source_capped_corpus, doc_sample_k, train_test_split,
-        # cosine_topk, embedding_quantize, media_sniff_formats,
-        # asof_join_orders — the chunked variant keeps the SAME oracle
-        # in-window). Every rotated-out name keeps running in the
-        # bench and the committed 3-config local sweeps.
-        #
-        # ROUND-9 WINDOW (pinned now so nothing silently stays
-        # unchecked — tests/test_oracle_parity.py documents the same
-        # plan): the 27 oracle-checkable queries still without driver
-        # contact after r8 — source_temperature_mix, pii_redaction,
-        # embedding_norms, score_thresholds, doc_repetition,
-        # top_orders_per_customer, user_value_deltas, acctbal_deciles,
-        # above_class_avg, tpch_q14_promo, tpch_q22_idle_rich,
-        # tpch_q4_late_priority, tpch_q10_returned_items,
-        # tpch_q12_priority_counts, tpch_q15_top_supplier,
-        # tpch_q19_discounted, tpch_q11_important_parts,
-        # tpch_q16_parts_suppliers, cheapest_order_per_customer,
-        # doc_sentences, stratified_sample_events, value_statistics,
-        # corpus_dedup_stats, length_batches, lineitem_measure_stats,
-        # hilbert_event_keys, quality_top_fraction — plus the 2
-        # never-contacted rows-only queries (approx_user_stats,
-        # sketch_user_rollup; driver records the weaker rows-only
-        # check) and 21 core re-checks to fill 50. After r9, every
-        # declared query has driver contact.
-        # --- core §2A/§2B + dedup/text flagships -------------------
+        # --- Round-9 window (entries 1-50 = driver hash-checked) ----
+        # Rotation history: r7 brought validation/gap-fill/heavy-
+        # report/SQL-surface families; r8 the 8 join-heaviest TPC-H
+        # shapes (q5 q7 q8 q9 q13 q17 q18 q20) + 6 report/OLAP rows —
+        # all green in CORRECTNESS_r07/r08. r9 (this round) is the
+        # COMPLETION window, exactly as pinned last round: entries
+        # 22-50 are the 27 oracle-checkable queries that never had
+        # driver contact plus the 2 never-contacted rows-only queries
+        # (approx_user_stats, sketch_user_rollup — driver records the
+        # weaker rows-only check for those two); entries 1-21 are core
+        # re-checks keeping every operator family represented. After
+        # this round every declared query has driver evidence. Every
+        # rotated-out name keeps running in the bench and the
+        # committed 3-config local sweeps.
+        # --- 1-21: core re-checks, one per family -------------------
         "collect_array": rel.user_event_types,
         "gather": gq.gather_user_events,
         "auc_metrics": eq.auc_metrics,
@@ -96,38 +71,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": lq.dup_clusters,
         "language_id": lq.doc_language_id,
         "sequence_packing": lq.sequence_packing,
-        # --- similarity search + multimodal ------------------------
         "ann_lsh_topk": lq.ann_lsh_topk,
         "embedding_near_dups": lq.embedding_near_dup_pairs,
         "ann_ivf_topk": lq.ann_ivf_topk,
         "media_pipeline": lq.media_pipeline,
-        # --- one representative per beyond-§2B family --------------
+        "asof_join_orders_chunked": lq.asof_join_orders_chunked,
+        "table_profile": rel.table_profile,
+        "pricing_summary": rel.pricing_summary,
+        "tpch_q6_forecast": tpch.forecast_revenue_change,
+        "moving_avg_7d": rel.moving_avg_7d,
+        "kmv_user_stats": rel.kmv_user_stats,
+        "event_sessions": rel.event_sessions,
+        "hourly_gapfill": rel.hourly_gapfill,
+        "semantic_clusters": lq.semantic_clusters,
+        # --- 22-50: round-9 rotation — first driver contact ---------
+        "source_temperature_mix": lq.source_temperature_mix,
+        "pii_redaction": lq.pii_redaction,
+        "embedding_norms": lq.embedding_norms,
+        "score_thresholds": eq.score_thresholds,
+        "doc_repetition": lq.doc_repetition,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "user_value_deltas": rel.user_value_deltas,
+        "acctbal_deciles": rel.acctbal_deciles,
+        "above_class_avg": rel.above_class_average_orders,
+        "tpch_q4_late_priority": tpch.late_order_priority,
+        "tpch_q10_returned_items": tpch.returned_item_customers,
+        "tpch_q11_important_parts": tpch.important_parts,
+        "tpch_q12_priority_counts": tpch.linestatus_priority_counts,
+        "tpch_q14_promo": tpch.promo_revenue_share,
+        "tpch_q15_top_supplier": tpch.top_supplier,
+        "tpch_q16_parts_suppliers": tpch.parts_supplier_counts,
+        "tpch_q19_discounted": tpch.discounted_revenue,
+        "tpch_q22_idle_rich": tpch.idle_rich_customers,
+        "cheapest_order_per_customer": rel.cheapest_order_per_customer,
+        "doc_sentences": rel.doc_sentences,
+        "stratified_sample_events": rel.stratified_sample_events,
+        "value_statistics": rel.value_statistics,
+        "corpus_dedup_stats": lq.corpus_dedup_stats,
+        "length_batches": lq.length_batches,
+        "lineitem_measure_stats": rel.lineitem_measure_stats,
+        "hilbert_event_keys": rel.hilbert_event_keys,
+        "quality_top_fraction": lq.quality_top_fraction,
+        "approx_user_stats": rel.approx_user_stats,  # rows-only (sketch)
+        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
+        # --- 51+: bench/local-sweep coverage only (all green via
+        # tests/test_oracle_parity.py at sf0.001 and prior rounds'
+        # driver windows). sketch_user_rollup above is entry #50, the
+        # last driver-checked position — count before moving this
+        # boundary; test_driver_window_composition pins the exact set.
         "range_join_windows": rel.events_in_order_windows,
         "salted_user_totals": rel.salted_user_totals,
         "top_event_per_user": rel.top_event_per_user,
         "props_variant_extract": rel.props_variant_extract,
-        "event_sessions": rel.event_sessions,
         "zorder_events": rel.zorder_event_keys,
-        "moving_avg_7d": rel.moving_avg_7d,
-        "kmv_user_stats": rel.kmv_user_stats,
         "ngram_containment": lq.ngram_containment,
         "repeated_ngrams": lq.repeated_ngrams,
         "benchmark_contamination": lq.benchmark_contamination,
-        "tpch_q6_forecast": tpch.forecast_revenue_change,
-        # --- round-7 rotation survivors (2nd driver round) ----------
-        "asof_join_orders_chunked": lq.asof_join_orders_chunked,
-        "table_profile": rel.table_profile,
         "lineitem_expectations": rel.lineitem_expectations,
-        "hourly_gapfill": rel.hourly_gapfill,
         "hourly_zscores": rel.hourly_zscores,
-        "semantic_clusters": lq.semantic_clusters,
         "dedup_reduction_report": lq.dedup_reduction_report,
         "sql_grouping_sets": rel.sql_grouping_sets,
         "props_json_extract": rel.props_json_extract,
         "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
         "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
-        "pricing_summary": rel.pricing_summary,
-        # --- 37-50: round-8 rotation — first driver contact ---------
         "tpch_q5_local_supplier": tpch.local_supplier_volume,
         "tpch_q7_volume_shipping": tpch.volume_shipping,
         "tpch_q8_market_share": tpch.market_share,
@@ -142,11 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_mix_report": lq.language_mix_report,
         "doc_gopher_rules": lq.doc_gopher_rules,
         "daily_active_users": rel.daily_active_users,
-        # --- 51+: bench/local-sweep coverage only (all green via
-        # tests/test_oracle_parity.py at sf0.001). daily_active_users
-        # above is entry #50, the last driver-hash-checked position —
-        # count before moving this boundary;
-        # test_driver_window_composition pins the exact set. ----------
         "gather_encoder_top": fq.gather_encoder_top,
         "binning": fq.binning_quantity,
         "roc_curve_binned": eq.roc_curve_binned,
@@ -180,15 +181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_measure": eq.f_measure_by_threshold,
         "doc_lm_scores": lq.doc_lm_scores,
         "doc_chunks": lq.doc_chunks,
-        "source_temperature_mix": lq.source_temperature_mix,
         "gather_flat": gq.gather_user_events_flat,
         "gather_count": gq.gather_user_event_counts,
         "token_counts": lq.token_counts,
-        "pii_redaction": lq.pii_redaction,
-        "embedding_norms": lq.embedding_norms,
         "media_byte_stats": lq.media_byte_stats,
-        "score_thresholds": eq.score_thresholds,
-        "doc_repetition": lq.doc_repetition,
         "fingerprints": lq.doc_fingerprints,
         "global_agg": rel.global_agg,
         "join_revenue_by_nation": rel.revenue_by_nation,
@@ -207,31 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_buyers": rel.intersect_high_value_buyers,
         "except_non_urgent": rel.except_low_priority_only,
         "priority_pivot": rel.priority_pivot,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "user_value_deltas": rel.user_value_deltas,
-        "acctbal_deciles": rel.acctbal_deciles,
-        "above_class_avg": rel.above_class_average_orders,
-        "tpch_q14_promo": tpch.promo_revenue_share,
-        "tpch_q22_idle_rich": tpch.idle_rich_customers,
-        "tpch_q4_late_priority": tpch.late_order_priority,
-        "tpch_q10_returned_items": tpch.returned_item_customers,
-        "tpch_q12_priority_counts": tpch.linestatus_priority_counts,
-        "tpch_q15_top_supplier": tpch.top_supplier,
-        "tpch_q19_discounted": tpch.discounted_revenue,
-        "tpch_q11_important_parts": tpch.important_parts,
-        "tpch_q16_parts_suppliers": tpch.parts_supplier_counts,
-        "cheapest_order_per_customer": rel.cheapest_order_per_customer,
-        "approx_user_stats": rel.approx_user_stats,  # rows-only (sketch)
-        "doc_sentences": rel.doc_sentences,
-        "stratified_sample_events": rel.stratified_sample_events,
-        "value_statistics": rel.value_statistics,
-        "corpus_dedup_stats": lq.corpus_dedup_stats,
-        "length_batches": lq.length_batches,
-        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
-        "lineitem_measure_stats": rel.lineitem_measure_stats,
         "local_lr_model": mq.local_lr_model,    # rows-only (optimizer)
-        "hilbert_event_keys": rel.hilbert_event_keys,
-        "quality_top_fraction": lq.quality_top_fraction,
     }
 
 

@@ -83,7 +83,28 @@ def _calibrate(spark, queries, sf_dir) -> float | None:
         return None
 
 
+def _detail_path() -> str:
+    """Where the full per-query detail JSON lands. Default is
+    BENCH_local.json next to this file — which the DRIVER's per-round
+    run overwrites (it invokes bench.py with no args), so local
+    iteration runs should pass ``--out <file>`` to keep the committed
+    driver artifact intact, or ``git checkout BENCH_local.json``
+    afterwards (memory/bench-local-overwrite). The headline stdout
+    line is unaffected either way."""
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: bench.py [--out DETAIL_JSON_PATH]",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        return os.path.abspath(argv[i + 1])
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_local.json")
+
+
 def main() -> None:
+    detail_path = _detail_path()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # tolerate any directory name: 'sf' not followed by a number (e.g.
@@ -154,8 +175,7 @@ def main() -> None:
                               "loadavg_1m_post": load_post},
               "queries": timings, "best": best, "errors": errors}
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_local.json"), "w") as fh:
+        with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:

@@ -76,6 +76,29 @@ def _materialize_artifact(df: DataFrame, storage: str,
                      "(expected 'cache' or 'table')")
 
 
+def _assert_unique_ids(artifact: DataFrame, entry: str) -> None:
+    """Upfront unique-non-null-id assertion for the APPROXIMATE paths
+    (r8 advice): `_role_split_gemm`'s in-group duplicate check is
+    globally complete for the exact sharded GEMMs (duplicates co-locate
+    by id hash) but best-effort under LSH/IVF, where same-id rows with
+    different vectors can land in disjoint buckets and silently corrupt
+    self-exclusion, tie-break, and shard-merge dedup without ever
+    sharing a pandas group. One scalar aggregate over the materialized
+    bucket/cell artifact (Catalyst prunes it to the id column, and the
+    scan doubles as the cache warm-up) gives those paths the same named
+    failure. Nulls count as violations too: a null id defeats the
+    id-keyed self-exclusion and merge on every engine."""
+    row = artifact.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("vec_id").alias("d")).first()
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"{entry}: embedding ids must be unique and non-null "
+            f"({row['n']} rows, {row['d']} distinct non-null ids); "
+            "approximate search keys self-exclusion and candidate "
+            "merging on the id — dedupe the corpus upstream")
+
+
 def drop_artifact_table(spark, table_name: str) -> None:
     """Explicitly end a ``storage="table"`` artifact's lifecycle."""
     escaped = table_name.replace("`", "``")
@@ -187,9 +210,10 @@ def _role_split_gemm(pdf: pd.DataFrame, round_to: int | None):
     duplicated id (usually an upstream join fanout) silently corrupts
     rankings instead of erroring. Shards and sub-shards hash on the
     id, so duplicates always co-locate in one pandas group — this
-    local check is globally complete for the exact GEMM paths (for
-    LSH/IVF it is best-effort: a same-id row pair with different
-    vectors can land in disjoint buckets). Named here, like the
+    local check is globally complete for the exact GEMM paths; the
+    LSH/IVF entry points (where same-id rows with different vectors
+    can land in disjoint buckets) additionally assert global id
+    uniqueness upfront via _assert_unique_ids. Named here, like the
     mixed-dimensionality check below, instead of surfacing as a
     row-count-dependent wrong answer."""
     qs = pdf[pdf["role"] == "q"]
@@ -295,6 +319,7 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         b = _materialize_artifact(
             lsh_buckets(df, n_planes, seed, id_col, vec_col),
             storage, artifact_table, persisted_out)
+        _assert_unique_ids(b, "embedding_near_dups[lsh]")
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
                            for p in range(n_planes)])
@@ -447,6 +472,7 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     b = _materialize_artifact(
         lsh_buckets(df, n_planes, seed, id_col, vec_col),
         storage, artifact_table, persisted_out)
+    _assert_unique_ids(b, "lsh_topk")
     if multiprobe:
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
@@ -634,6 +660,7 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
     assigned = _materialize_artifact(
         emb.withColumn("__cbd", cells_by_dist),
         storage, artifact_table, persisted_out)
+    _assert_unique_ids(assigned, "ivf_topk")
     # nearest cell (= the member cell) is probes[0] — _explode_roles'
     # first-element contract; __cbd referenced exactly once
     probes = F.transform(F.slice("__cbd", 1, n_probes),
@@ -758,6 +785,7 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
     emb = _materialize_artifact(
         emb.withColumn("__cbd", cbd).drop("qv"),
         storage, artifact_table, persisted_out)
+    _assert_unique_ids(emb, "ivf_topk_deterministic")
     probes = F.transform(F.slice("__cbd", 1, n_probes), lambda s: s["cell"])
     both = _explode_roles(emb, probes, "cell")  # member cell = probes[0]
     return _grouped_candidate_topk(both, "cell", k,

@@ -1276,9 +1276,26 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-row lattice math stays in LONG (codegen-fast; an all-decimal
     variant A/B'd 1.4× slower) — exact while per-row products stay
-    under 2^63, i.e. |value| and |k| up to ~3e3 at the 1e6 lattice;
-    ANSI mode fails loudly beyond. Only the unbounded group SUM is
-    decimal(38,0), per-row-cast like _lattice_avg_4dp."""
+    under 2^63, i.e. |value| and |k| up to ~3e3 at the 1e6 lattice.
+    Non-ANSI Spark would silently WRAP past that (while the DuckDB
+    mirror computes exactly in HUGEINT), so the domain is asserted
+    explicitly: two max(abs) columns ride the same aggregate for free
+    and raise_error at result time when any input leaves the lattice
+    domain — loud on every Spark config, not just ANSI.
+
+    Buffer budget (r9 perf recovery): the LINEAR sums (Σv, Σv|pair,
+    Σk|pair) fit LONG — |q| < 2^31.5 and the guard caps group rows at
+    3e9, so Σ < 3e9·3.037e9 < 2^63 — only the four QUADRATIC sums
+    (where one row can reach 2^63 alone) pay decimal(38,0). Same
+    exact integers, so the double cast is bit-identical to the
+    all-decimal form. 9 decimal buffers → 4.
+
+    Zero-variance clamp (r8 advice): the cancellation form can go
+    epsilon-negative in doubles on a constant column (svv − sv²/n =
+    −32768.0 at value 2999.999999 ×25); Spark sqrt(neg) is NaN while
+    DuckDB sqrt(neg) RAISES — clamp greatest(var, 0) on BOTH engines
+    before the sqrt (and the 4dp quantize) so constant groups pin to
+    0.0 everywhere."""
     ev = load(spark, sf_dir, "events")
     k = F.from_json("props", "k bigint")["k"].cast("double")
     base = ev.select("event_type", "value", k.alias("k"))
@@ -1286,25 +1303,37 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     kq = F.floor(F.col("k") * F.lit(1e6) + F.lit(5e-1)).cast("long")
     pair = F.col("value").isNotNull() & F.col("k").isNotNull()
 
-    def dsum(col):
+    def dsum(col):  # quadratic sums: one row can near 2^63 — decimal
         return F.sum(col.cast("decimal(38,0)")).cast("double")
+
+    def lsum(col):  # linear sums: range-safe in LONG under the guard
+        return F.sum(col).cast("double")
 
     agg = base.groupBy("event_type").agg(
         F.count("value").alias("n1"),
-        dsum(vq).alias("sv"),
+        lsum(vq).alias("sv"),
         dsum(vq * vq).alias("svv"),
         F.count(F.when(pair, F.lit(1))).alias("n2"),
-        dsum(F.when(pair, vq)).alias("pv"),
-        dsum(F.when(pair, kq)).alias("pk"),
+        lsum(F.when(pair, vq)).alias("pv"),
+        lsum(F.when(pair, kq)).alias("pk"),
         dsum(F.when(pair, vq * kq)).alias("pvk"),
         dsum(F.when(pair, vq * vq)).alias("pvv"),
-        dsum(F.when(pair, kq * kq)).alias("pkk"))
+        dsum(F.when(pair, kq * kq)).alias("pkk"),
+        F.max(F.abs(vq)).alias("mv"),
+        F.max(F.abs(kq)).alias("mk"))
 
     def q4(x):  # floor-quantize at 4dp — the identical chain in SQL
         return F.floor(x * F.lit(1e4) + F.lit(5e-1)) / F.lit(1e4)
 
-    var = ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n1"))
-           / (F.col("n1") - 1) / F.lit(1e12))
+    # |q| ≥ floor(sqrt(2^63)) would wrap the per-row q*q LONG multiply
+    # (and > 3e9 rows/group could wrap a linear LONG sum) — fail loudly
+    LIM = 3_037_000_499
+    bad_domain = ((F.coalesce(F.col("mv"), F.lit(0)) >= F.lit(LIM))
+                  | (F.coalesce(F.col("mk"), F.lit(0)) >= F.lit(LIM))
+                  | (F.col("n1") > F.lit(3_000_000_000)))
+    var = F.greatest(
+        (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n1"))
+        / (F.col("n1") - 1) / F.lit(1e12), F.lit(0.0))
     cov = ((F.col("pvk") - F.col("pv") * F.col("pk") / F.col("n2"))
            / (F.col("n2") - 1) / F.lit(1e12))
     vden = F.col("pvv") - F.col("pv") * F.col("pv") / F.col("n2")
@@ -1313,7 +1342,12 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = cnum / F.sqrt(vden * kden)
     return agg.select(
         "event_type",
-        F.when(F.col("n1") < 2, F.lit(None).cast("double"))
+        F.when(bad_domain, F.raise_error(F.lit(
+            "value_statistics: |value| or |k| beyond the ~3e3 lattice "
+            "domain (or >3e9 rows in one group) — the exact LONG "
+            "moment lattice would overflow; rescale the lattice or "
+            "pre-filter")).cast("double"))
+         .when(F.col("n1") < 2, F.lit(None).cast("double"))
          .otherwise(q4(F.sqrt(var))).alias("sd_value"),
         F.when(F.col("n1") < 2, F.lit(None).cast("double"))
          .otherwise(q4(var)).alias("var_value"),
@@ -1354,10 +1388,12 @@ WITH moments AS (
 )
 SELECT event_type,
        CASE WHEN n1 < 2 THEN NULL ELSE
-         floor(sqrt((svv - sv * sv / n1) / (n1 - 1) / 1e12) * 1e4
+         floor(sqrt(greatest((svv - sv * sv / n1) / (n1 - 1) / 1e12,
+                             0)) * 1e4
                + 5e-1) / 1e4 END AS sd_value,
        CASE WHEN n1 < 2 THEN NULL ELSE
-         floor((svv - sv * sv / n1) / (n1 - 1) / 1e12 * 1e4
+         floor(greatest((svv - sv * sv / n1) / (n1 - 1) / 1e12, 0)
+               * 1e4
                + 5e-1) / 1e4 END AS var_value,
        CASE WHEN n2 < 2
               OR (pvv - pv * pv / n2) * (pkk - pk * pk / n2) <= 0

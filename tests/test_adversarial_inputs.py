@@ -358,6 +358,41 @@ def test_duplicate_embedding_ids_raise_named_error(spark):
         cosine_topk(df, df, k=2).collect()
 
 
+def test_duplicate_ids_raise_on_approximate_paths(spark):
+    """r8 advice: the in-group GEMM duplicate check is best-effort for
+    LSH/IVF — same-id rows with DIFFERENT vectors can land in disjoint
+    buckets and never share a pandas group, silently corrupting
+    self-exclusion and the shard-merge dedup. The approximate entry
+    points now assert global id uniqueness upfront (one scalar agg over
+    the materialized artifact), so every path fails by name. The two
+    duplicate vectors here are near-opposite, maximizing the odds of
+    disjoint buckets — the exact case the local check misses."""
+    from spark_ext_spark.llm.similarity import (embedding_near_dups,
+                                                ivf_topk, lsh_topk)
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, 0.1]), (2, [-0.5, -0.1]),
+         (3, [0.2, 0.9])],
+        "vec_id long, embedding array<double>")
+    for attempt in (
+        lambda: lsh_topk(df, k=2),
+        lambda: ivf_topk(df, k=2, centroids=[[1.0, 0.0], [-1.0, 0.0]]),
+        lambda: embedding_near_dups(df, threshold=0.5, method="lsh"),
+    ):
+        with pytest.raises(Exception, match="unique and non-null"):
+            attempt()
+
+
+def test_null_ids_raise_on_approximate_paths(spark):
+    """A NULL vec_id defeats id-keyed self-exclusion and merging just
+    like a duplicate — same upfront named failure."""
+    from spark_ext_spark.llm.similarity import lsh_topk
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (None, [0.5, 0.1]), (3, [0.2, 0.9])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="unique and non-null"):
+        lsh_topk(df, k=2)
+
+
 def test_mixed_dim_embeddings_raise_named_error(spark):
     """Ragged dimensionality is a pipeline defect: the GEMM names it
     (with the dims seen) instead of dying in numpy's opaque
@@ -1114,3 +1149,59 @@ def test_randomized_docs_assembly_parity(spark, tmp_path_factory, seed):
                               getattr(lq, sqlname))
     finally:
         con.close()
+
+
+@pytest.fixture(scope="module")
+def constant_value_sf(spark, tmp_path_factory):
+    """r8 advice scenario: a constant value of 2999.999999 (vq =
+    2999999999, inside the documented |value| ≤ ~3e3 lattice domain)
+    repeated 25× makes the cancellation form svv − sv²/n land at
+    −32768.0 in doubles — Spark sqrt(neg) returns NaN while DuckDB
+    sqrt(neg) RAISES, so an unclamped oracle hard-crashes where the
+    engine silently emits NaN."""
+    return _events_fixture(
+        spark, tmp_path_factory, "constval",
+        [(i, _T, i, "click", 2999.999999, '{"k": %d}' % (i % 3))
+         for i in range(1, 26)])
+
+
+def test_constant_value_sd_zero_cross_engine(spark, constant_value_sf):
+    """greatest(var, 0) before the sqrt on BOTH engines pins the
+    zero-variance group to sd=0.0/var=0.0 instead of NaN-vs-crash."""
+    d, con = constant_value_sf
+    try:
+        compare_to_oracle(rel.value_statistics(spark, d), con,
+                          rel.VALUE_STATISTICS_SQL)
+        row = rel.value_statistics(spark, d).collect()[0]
+        assert row["sd_value"] == 0.0
+        assert row["var_value"] == 0.0
+        assert row["corr_vk"] is None  # vden ≤ 0 pins corr to NULL
+    finally:
+        con.close()
+
+
+def test_lattice_domain_overflow_raises_named_error(spark,
+                                                    tmp_path_factory):
+    """|value| past ~3037.0005 would wrap the per-row vq*vq LONG
+    multiply under non-ANSI Spark (DuckDB computes exactly in HUGEINT
+    — a silent cross-engine divergence). The max-abs guard riding the
+    moment aggregate must fail loudly on every Spark config instead."""
+    d, con = _events_fixture(
+        spark, tmp_path_factory, "hugeval",
+        [(1, _T, 1, "click", 5000.0, None),
+         (2, _T, 2, "click", 5.0, None)])
+    con.close()
+    # ANSI sessions (the Spark 4 default) fail at the multiply itself —
+    # also loud, either error is acceptable there
+    with pytest.raises(Exception,
+                       match="lattice domain|ARITHMETIC_OVERFLOW"):
+        rel.value_statistics(spark, d).collect()
+    # non-ANSI (the Spark 3.x default) silently WRAPS the multiply —
+    # there the riding max-abs guard is the ONLY loud path
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="lattice domain"):
+            rel.value_statistics(spark, d).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

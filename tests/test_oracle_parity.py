@@ -68,54 +68,63 @@ def test_semantic_clusters_exact_variant(spark, duck):
     compare_to_oracle(df, duck, lq.SEMANTIC_CLUSTERS_EXACT_SQL)
 
 
-# The driver hash-checks exactly these 50 entries (dict order). Round
-# 8 rotated in the 8 join-heaviest never-checked TPC-H shapes
-# (q5 q7 q8 q9 q13 q17 q18 q20) plus 6 never-checked report/OLAP rows
-# (hourly_interpolate, value_robust_stats, mixture_report,
-# language_mix_report, doc_gopher_rules, daily_active_users); rotated
-# out 14 CORRECTNESS_r07-green rows redundant within their families
-# (gather_encoder_top, binning, roc_curve_binned, s2_cells,
-# string_indexer, exact_dedup, text_stats, source_capped_corpus,
-# doc_sample_k, train_test_split, cosine_topk, embedding_quantize,
-# media_sniff_formats, asof_join_orders). ROUND-9 plan (pinned in the
-# __spark_entry__.queries() docstring comment): the 27 remaining
-# never-checked oracle queries + the 2 never-contacted rows-only
-# queries + 21 core re-checks — after which every declared query has
-# driver contact.
+# The driver hash-checks exactly these 50 entries (dict order).
+# Round 9 is the COMPLETION window, executed exactly as r8 pinned it:
+# entries 22-50 are the 27 oracle-checkable queries that never had
+# driver contact (source_temperature_mix, pii_redaction,
+# embedding_norms, score_thresholds, doc_repetition,
+# top_orders_per_customer, user_value_deltas, acctbal_deciles,
+# above_class_avg, the 9 TPC-H stragglers q4/q10/q11/q12/q14/q15/q16/
+# q19/q22, cheapest_order_per_customer, doc_sentences,
+# stratified_sample_events, value_statistics, corpus_dedup_stats,
+# length_batches, lineitem_measure_stats, hilbert_event_keys,
+# quality_top_fraction) plus the 2 never-contacted rows-only queries
+# (approx_user_stats, sketch_user_rollup — the driver records the
+# weaker rows-only check for those two); entries 1-21 are core
+# re-checks keeping every operator family represented. After this
+# round every declared query has driver evidence (cumulative coverage
+# 135/135).
 DRIVER_WINDOW = [
     "collect_array", "gather", "auc_metrics", "lr_newton_steps",
     "minhash_lsh", "dup_clusters", "language_id", "sequence_packing",
     "ann_lsh_topk", "embedding_near_dups", "ann_ivf_topk",
-    "media_pipeline", "range_join_windows", "salted_user_totals",
-    "top_event_per_user", "props_variant_extract", "event_sessions",
-    "zorder_events", "moving_avg_7d", "kmv_user_stats",
-    "ngram_containment", "repeated_ngrams", "benchmark_contamination",
-    "tpch_q6_forecast", "asof_join_orders_chunked", "table_profile",
-    "lineitem_expectations", "hourly_gapfill", "hourly_zscores",
-    "semantic_clusters", "dedup_reduction_report", "sql_grouping_sets",
-    "props_json_extract", "tpch_q21_waiting_suppliers",
-    "tpch_q2_min_cost_supplier", "pricing_summary",
-    "tpch_q5_local_supplier", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q13_order_histogram", "tpch_q17_small_qty",
-    "tpch_q18_large_orders", "tpch_q20_promo_suppliers",
-    "hourly_interpolate", "value_robust_stats", "mixture_report",
-    "language_mix_report", "doc_gopher_rules", "daily_active_users",
+    "media_pipeline", "asof_join_orders_chunked", "table_profile",
+    "pricing_summary", "tpch_q6_forecast", "moving_avg_7d",
+    "kmv_user_stats", "event_sessions", "hourly_gapfill",
+    "semantic_clusters",
+    "source_temperature_mix", "pii_redaction", "embedding_norms",
+    "score_thresholds", "doc_repetition", "top_orders_per_customer",
+    "user_value_deltas", "acctbal_deciles", "above_class_avg",
+    "tpch_q4_late_priority", "tpch_q10_returned_items",
+    "tpch_q11_important_parts", "tpch_q12_priority_counts",
+    "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q16_parts_suppliers", "tpch_q19_discounted",
+    "tpch_q22_idle_rich", "cheapest_order_per_customer",
+    "doc_sentences", "stratified_sample_events", "value_statistics",
+    "corpus_dedup_stats", "length_batches", "lineitem_measure_stats",
+    "hilbert_event_keys", "quality_top_fraction",
+    "approx_user_stats", "sketch_user_rollup",
 ]
+
+# The two deliberately rows-only window rows — everything else in the
+# window must carry a DuckDB oracle.
+WINDOW_ROWS_ONLY = {"approx_user_stats", "sketch_user_rollup"}
 
 
 def test_driver_window_composition():
     """The driver hash-checks only the FIRST 50 queries() entries.
-    Pin the exact set AND order: every window row oracle-covered (the
-    A12 LR slot is the deterministic lr_newton_steps; the converged
-    local_lr_model sits past position 50), every operator family
-    represented. Reordering queries(), inserting an oracle-less query
-    before position 50, or accidentally shifting the boundary fails
-    here instead of silently costing a green row."""
+    Pin the exact set AND order: every window row oracle-covered
+    except the two pinned rows-only sketch queries (their driver
+    evidence is the weaker rows-only check — deliberate, recorded),
+    every operator family represented. Reordering queries(),
+    inserting an oracle-less query before position 50, or
+    accidentally shifting the boundary fails here instead of silently
+    costing a green row."""
     import __spark_entry__ as em
     first50 = list(em.queries())[:50]
     assert first50 == DRIVER_WINDOW
-    missing = [n for n in first50 if n not in em.oracle_sql()]
+    missing = [n for n in first50
+               if n not in em.oracle_sql() and n not in WINDOW_ROWS_ONLY]
     assert missing == [], missing
 
 
