@@ -224,3 +224,59 @@ def test_ann_block_grid_sizes_join_broadcasts(spark, sf_small):
     p = plan_of(lq.ann_lsh_topk(spark, sf_small))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_r9_tpch_straggler_pushdown_and_joins(spark, sf_small):
+    """The round-9 first-contact TPC-H shapes (q4 q10 q12 q14 q15 q16
+    q19 q22), plan-pinned: date/flag/balance predicates reach the
+    parquet scan as PushedFilters, every dim join stays broadcast
+    (sort-merge would shuffle the fact table to attach a dim), and the
+    q10 LIMIT plans as TakeOrderedAndProject (per-partition top-k,
+    never a global sort). q19's disjunctive three-alternative predicate
+    must keep BOTH per-side pushdowns: the OR-of-ranges on l_quantity
+    at the lineitem scan and on (p_brand, p_size) at the part scan —
+    losing either turns a pruned scan into a full read at 100 TB."""
+    from spark_ext_spark.plans import tpch
+    cases = {
+        "q4": (tpch.late_order_priority,
+               ["GreaterThanOrEqual(o_orderdate,1996-07-01",
+                "LessThan(o_orderdate,1996-10-01"]),
+        "q10": (tpch.returned_item_customers,
+                ["EqualTo(l_returnflag,R)",
+                 "GreaterThanOrEqual(o_orderdate,1996-10-01"]),
+        "q12": (tpch.linestatus_priority_counts,
+                ["GreaterThanOrEqual(l_shipdate,1997-01-01"]),
+        "q14": (tpch.promo_revenue_share,
+                ["GreaterThanOrEqual(l_shipdate,1997-03-01"]),
+        "q15": (tpch.top_supplier,
+                ["GreaterThanOrEqual(l_shipdate,1996-01-01"]),
+        "q16": (tpch.parts_supplier_counts,
+                ["Not(EqualTo(p_brand,Brand#1))", "In(p_size",
+                 "LessThan(s_acctbal,0.0)"]),
+        "q19": (tpch.discounted_revenue,
+                ["GreaterThanOrEqual(p_size,1)"]),
+        "q22": (tpch.idle_rich_customers,
+                ["EqualTo(o_orderpriority,1-URGENT)",
+                 "GreaterThan(c_acctbal,0.0)"]),
+    }
+    failures = {}
+    for name, (fn, pushed) in cases.items():
+        p = plan_of(fn(spark, sf_small))
+        probs = [f"missing pushdown {s!r}" for s in pushed if s not in p]
+        if "SortMergeJoin" in p:
+            probs.append("SortMergeJoin")
+        if "CartesianProduct" in p:
+            probs.append("CartesianProduct")
+        if probs:
+            failures[name] = probs
+    assert not failures, failures
+    p10 = plan_of(tpch.returned_item_customers(spark, sf_small))
+    assert "TakeOrderedAndProject" in p10
+    # q19's OR-of-ranges reaches BOTH scans (one Or(...l_quantity...)
+    # line for lineitem, one Or(...p_brand...) line for part)
+    p19 = plan_of(tpch.discounted_revenue(spark, sf_small))
+    pushed_lines = [l for l in p19.splitlines() if "PushedFilters: [" in l]
+    assert any("Or(" in l and "l_quantity" in l for l in pushed_lines), \
+        pushed_lines
+    assert any("Or(" in l and "p_brand" in l for l in pushed_lines), \
+        pushed_lines
