@@ -1205,3 +1205,81 @@ def test_lattice_domain_overflow_raises_named_error(spark,
             rel.value_statistics(spark, d).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+@pytest.mark.parametrize("seed", [17, 29], ids=["seed17", "seed29"])
+def test_randomized_unicode_event_keys_parity(spark, tmp_path_factory,
+                                              seed):
+    """Seeded events whose EVENT_TYPE keys are hostile strings — CJK,
+    emoji, combining accents, 300-char tokens, empty/whitespace, and
+    keys containing the gather oracle's own serialization delimiters
+    ('|' joins the array, ':' splits key from value) — plus NULL keys,
+    exact-duplicate and 1µs-apart timestamps, and NULL values. The
+    unicode-docs sweep covers text CONTENT; this covers GROUPING KEYS,
+    where the cross-engine contracts are different: array_sort vs
+    list_sort byte order on multi-byte strings, '%.4f' serialization
+    around delimiter-bearing keys, indexer dictionaries over
+     300-char labels, and tie-breaks at microsecond resolution."""
+    import random
+    rng = random.Random(seed)
+    # "purchase" stays in the pool: it is the downsampling fit's
+    # primary class (absent → the fit raises by contract, which is
+    # covered elsewhere — this sweep wants the unicode-secondary path)
+    types = ["click", "Click", "", " ", "é", "漢字", "😀",
+             "type|pipe", "type:colon", "a" * 300, "тест", "purchase",
+             None]
+    rows = []
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    for i in range(120):
+        ts = base + datetime.timedelta(
+            hours=rng.randrange(0, 200),
+            microseconds=rng.choice([0, 0, 1, 2]))
+        if rng.random() < 0.06:
+            ts = None
+        rows.append((
+            i, ts,
+            None if rng.random() < 0.08 else rng.randrange(0, 12),
+            rng.choice(types),
+            None if rng.random() < 0.1
+            else round(rng.uniform(-50, 50), 4),
+            None if rng.random() < 0.5 else '{"k": %d}' % i))
+        if rng.random() < 0.08:
+            rows.append(rows[-1])   # exact-duplicate row (ts tie)
+    d = str(tmp_path_factory.mktemp(f"uniev{seed}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet/*.parquet'")
+    from spark_ext_spark.plans import gather_queries as gq
+    try:
+        for query, sql in [
+            (gq.gather_user_events, gq.GATHER_USER_EVENTS_SQL),
+            (gq.gather_user_events_flat, gq.GATHER_USER_EVENTS_FLAT_SQL),
+            (gq.gather_user_event_counts,
+             gq.GATHER_USER_EVENT_COUNTS_SQL),
+            (rel.user_event_types, rel.USER_EVENT_TYPES_SQL),
+            (rel.user_distinct_event_types,
+             rel.USER_DISTINCT_EVENT_TYPES_SQL),
+            (fq.gather_encoder_top, fq.GATHER_ENCODER_TOP_SQL),
+            (fq.gather_encoder_index, fq.GATHER_ENCODER_INDEX_SQL),
+            (fq.string_indexer, fq.STRING_INDEXER_SQL),
+            (fq.downsampling_hash, fq.DOWNSAMPLING_HASH_SQL),
+            (rel.event_sessions, rel.EVENT_SESSIONS_SQL),
+            (rel.top_event_per_user, rel.TOP_EVENT_PER_USER_SQL),
+            (rel.daily_active_users, rel.DAILY_ACTIVE_USERS_SQL),
+            (rel.hourly_rollup, rel.HOURLY_ROLLUP_SQL),
+            (rel.moving_avg_7d, rel.MOVING_AVG_7D_SQL),
+            (rel.kmv_user_stats, rel.KMV_USER_STATS_SQL),
+            (rel.theta_user_rollup, rel.THETA_USER_ROLLUP_SQL),
+            (rel.stratified_sample_events,
+             rel.STRATIFIED_SAMPLE_EVENTS_SQL),
+            (rel.distinct_user_event_pairs,
+             rel.DISTINCT_USER_EVENT_PAIRS_SQL),
+            (rel.value_statistics, rel.VALUE_STATISTICS_SQL),
+        ]:
+            compare_to_oracle(query(spark, d), con, sql)
+    finally:
+        con.close()
