@@ -384,17 +384,38 @@ GROUP BY 1, 2
 """
 
 
-def _hourly_grid(ev: DataFrame) -> DataFrame:
+def _hourly_grid(ev: DataFrame, max_hours: int = 1_000_000) -> DataFrame:
     """Dense (hour × event_type) grid spanning the observed min/max
     hour — shared by hourly_gapfill and hourly_interpolate so a grid
     fix can never drift between them. Built from a broadcast
     single-row min/max aggregate exploded through sequence() and
     cross-joined with the distinct type table; cardinality is
-    hours × types, independent of the fact-table size."""
+    hours × types, independent of the fact-table size.
+
+    Grid-explosion guard (round 9): "independent of the fact-table
+    size" cuts both ways — ONE corrupt far-future timestamp (a
+    year-9999 row in a 100 TB refresh) would make sequence() build a
+    ~70M-element array in a single task and hand every LOCF window
+    partition tens of millions of synthetic rows. The span is checked
+    on the same single bounds row (free) and raises a NAMED error past
+    ``max_hours`` (default ~114 years) telling the operator to filter
+    or repair, instead of an unexplained executor OOM three stages
+    later. Empty input stays empty: a NULL lo short-circuits the guard
+    and sequence(NULL, NULL) explodes to no rows."""
     bounds = ev.agg(F.min(F.date_trunc("hour", "ts")).alias("lo"),
                     F.max(F.date_trunc("hour", "ts")).alias("hi"))
-    return (bounds.select(F.explode(F.sequence(
-        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    span_ok = (F.col("lo").isNull()
+               | (F.expr("timestampdiff(HOUR, lo, hi)")
+                  <= F.lit(max_hours)))
+    seq = F.when(span_ok,
+                 F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))) \
+          .otherwise(F.raise_error(F.lit(
+              "hourly grid would span more than "
+              f"{max_hours} hours — a stray far-past/far-future "
+              "timestamp would explode the gap-fill grid; filter or "
+              "repair the ts column (or raise max_hours)"))
+              .cast("array<timestamp>"))
+    return (bounds.select(F.explode(seq).alias("hour"))
         .crossJoin(ev.select("event_type").distinct()))
 
 

@@ -1283,3 +1283,22 @@ def test_randomized_unicode_event_keys_parity(spark, tmp_path_factory,
             compare_to_oracle(query(spark, d), con, sql)
     finally:
         con.close()
+
+
+def test_hourly_grid_explosion_raises_named_error(spark,
+                                                  tmp_path_factory):
+    """One corrupt far-future timestamp must not silently hand the
+    gap-fill family a multi-decade dense grid (70M synthetic rows per
+    window partition from a single year-9999 row at 100 TB) — the
+    shared grid builder checks the span on its single bounds row and
+    fails by name. In-domain spans and empty inputs are untouched
+    (the zero-row sweep pins the empty contract)."""
+    d, con = _events_fixture(
+        spark, tmp_path_factory, "farfuture",
+        [(1, _T, 1, "click", 1.0, None),
+         (2, datetime.datetime(2299, 12, 31, 23, 0), 2, "view", 2.0,
+          None)])
+    con.close()
+    for q in (rel.hourly_gapfill, rel.hourly_interpolate):
+        with pytest.raises(Exception, match="hourly grid would span"):
+            q(spark, d).collect()
