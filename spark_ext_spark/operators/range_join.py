@@ -22,9 +22,21 @@ from pyspark.sql import functions as F
 def range_join(left: DataFrame, right: DataFrame,
                left_ts: str, right_start: str, right_end: str,
                on: str | None = None, right_on: str | None = None,
-               bucket_width_seconds: int = 86400) -> DataFrame:
+               bucket_width_seconds: int = 86400,
+               max_buckets_per_interval: int = 100_000) -> DataFrame:
     """Inner join of left rows to the right intervals containing them;
-    all columns from both sides are kept."""
+    all columns from both sides are kept.
+
+    Fan-out guard (round 9, same discipline as the gap-fill grid): one
+    corrupt interval — a year-9999 ``right_end`` in a 100 TB refresh —
+    would explode into millions of bucket rows on a single task. The
+    per-row bucket count is checked before the explode (a codegen
+    branch, free next to the explode itself) and raises a NAMED error
+    past ``max_buckets_per_interval``; legitimate wide intervals can
+    raise the cap or widen ``bucket_width_seconds`` (which is also the
+    fan-out-correct response). Intervals with a NULL endpoint match
+    nothing (sequence(NULL) explodes to zero rows), matching the
+    inner-join predicate's NULL contract."""
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(
@@ -33,11 +45,23 @@ def range_join(left: DataFrame, right: DataFrame,
     w = F.lit(bucket_width_seconds)
     l = left.withColumn(
         "__lb", (F.unix_timestamp(F.col(left_ts)) / w).cast("long"))
+    lo = (F.unix_timestamp(F.col(right_start)) / w).cast("long")
+    hi = (F.unix_timestamp(F.col(right_end)) / w).cast("long")
+    n_buckets = hi - lo
+    fan_ok = n_buckets.isNull() | (n_buckets < F.lit(
+        max_buckets_per_interval))
     r = right.withColumn(
         "__rb",
-        F.explode(F.sequence(
-            (F.unix_timestamp(F.col(right_start)) / w).cast("long"),
-            (F.unix_timestamp(F.col(right_end)) / w).cast("long"))))
+        F.explode(F.when(fan_ok, F.sequence(lo, hi))
+                  .otherwise(F.raise_error(F.lit(
+                      "range_join interval spans more than "
+                      f"{max_buckets_per_interval} buckets of "
+                      f"{bucket_width_seconds}s — a corrupt interval "
+                      "endpoint would explode the bucket fan-out; "
+                      "repair the interval, widen "
+                      "bucket_width_seconds, or raise "
+                      "max_buckets_per_interval"))
+                      .cast("array<long>"))))
 
     cond = l["__lb"] == r["__rb"]
     if on is not None:

@@ -55,3 +55,31 @@ def test_range_join_rejects_overlapping_columns(spark, frames):
     with pytest.raises(ValueError, match="disjoint"):
         range_join(left, right.withColumnRenamed("win_id", "event_id"),
                    "ets", "ws", "we")
+
+
+def test_range_join_corrupt_interval_raises_named_error(spark):
+    """A year-9999 interval endpoint must fail by name before it
+    explodes into millions of bucket rows on one task (the gap-fill
+    grid discipline); a NULL endpoint matches nothing instead of
+    erroring."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")],
+        "event_id long, ets string").withColumn(
+        "ets", F.to_timestamp("ets"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "9999-01-02 00:00:00")],
+        "win_id long, ws string, we string") \
+        .withColumn("ws", F.to_timestamp("ws")) \
+        .withColumn("we", F.to_timestamp("we"))
+    with pytest.raises(Exception, match="spans more than"):
+        range_join(left, right, "ets", "ws", "we").collect()
+    # raising the cap past the span must make the same join legal
+    assert range_join(left, right, "ets", "ws", "we",
+                      max_buckets_per_interval=5_000_000).count() == 1
+
+    null_end = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", None)],
+        "win_id long, ws string, we string") \
+        .withColumn("ws", F.to_timestamp("ws")) \
+        .withColumn("we", F.to_timestamp("we"))
+    assert range_join(left, null_end, "ets", "ws", "we").count() == 0
