@@ -87,7 +87,10 @@ def _assert_unique_ids(artifact: DataFrame, entry: str) -> None:
     bucket/cell artifact (Catalyst prunes it to the id column, and the
     scan doubles as the cache warm-up) gives those paths the same named
     failure. Nulls count as violations too: a null id defeats the
-    id-keyed self-exclusion and merge on every engine."""
+    id-keyed self-exclusion and merge on every engine. Callers that
+    re-serve a corpus already verified once (the fit-once/query-many
+    production shape) can skip the scan with
+    ``check_unique_ids=False`` on any approximate entry point."""
     row = artifact.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("vec_id").alias("d")).first()
@@ -281,7 +284,8 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         shard_rows: int = 16384,
                         storage: str = "cache",
                         artifact_table: str | None = None,
-                        persisted_out: list | None = None) -> DataFrame:
+                        persisted_out: list | None = None,
+                        check_unique_ids: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ τ).
 
     method="exact": all-pairs via the sharded co-group GEMM — the
@@ -319,7 +323,8 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         b = _materialize_artifact(
             lsh_buckets(df, n_planes, seed, id_col, vec_col),
             storage, artifact_table, persisted_out)
-        _assert_unique_ids(b, "embedding_near_dups[lsh]")
+        if check_unique_ids:
+            _assert_unique_ids(b, "embedding_near_dups[lsh]")
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
                            for p in range(n_planes)])
@@ -452,7 +457,8 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
              shard_rows: int = 16384,
              storage: str = "cache",
              artifact_table: str | None = None,
-             persisted_out: list | None = None) -> DataFrame:
+             persisted_out: list | None = None,
+             check_unique_ids: bool = True) -> DataFrame:
     """Approximate top-k within LSH buckets; multiprobe also searches
     the n_planes 1-bit-adjacent buckets (recall boost without widening
     the join fan-out asymptotically).
@@ -472,7 +478,8 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     b = _materialize_artifact(
         lsh_buckets(df, n_planes, seed, id_col, vec_col),
         storage, artifact_table, persisted_out)
-    _assert_unique_ids(b, "lsh_topk")
+    if check_unique_ids:
+        _assert_unique_ids(b, "lsh_topk")
     if multiprobe:
         probes = F.array(F.col("bucket"),
                          *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
@@ -619,7 +626,8 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
              shard_rows: int = 16384,
              storage: str = "cache",
              artifact_table: str | None = None,
-             persisted_out: list | None = None) -> DataFrame:
+             persisted_out: list | None = None,
+             check_unique_ids: bool = True) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer (vs lsh_topk's
     data-oblivious hyperplanes): distributed k-means learns
     ``n_centroids`` cells, the corpus becomes inverted lists (one cell
@@ -660,7 +668,8 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
     assigned = _materialize_artifact(
         emb.withColumn("__cbd", cells_by_dist),
         storage, artifact_table, persisted_out)
-    _assert_unique_ids(assigned, "ivf_topk")
+    if check_unique_ids:
+        _assert_unique_ids(assigned, "ivf_topk")
     # nearest cell (= the member cell) is probes[0] — _explode_roles'
     # first-element contract; __cbd referenced exactly once
     probes = F.transform(F.slice("__cbd", 1, n_probes),
@@ -762,7 +771,8 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
                            shard_rows: int = 16384,
                            storage: str = "cache",
                            artifact_table: str | None = None,
-                           persisted_out: list | None = None) -> DataFrame:
+                           persisted_out: list | None = None,
+                           check_unique_ids: bool = True) -> DataFrame:
     """IVF ANN over the quantized-Lloyd coarse quantizer — identical
     candidate generation to :func:`ivf_topk` (probe ``n_probes``
     nearest cells, exact GEMM re-rank inside), but every stage up to
@@ -785,7 +795,8 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
     emb = _materialize_artifact(
         emb.withColumn("__cbd", cbd).drop("qv"),
         storage, artifact_table, persisted_out)
-    _assert_unique_ids(emb, "ivf_topk_deterministic")
+    if check_unique_ids:
+        _assert_unique_ids(emb, "ivf_topk_deterministic")
     probes = F.transform(F.slice("__cbd", 1, n_probes), lambda s: s["cell"])
     both = _explode_roles(emb, probes, "cell")  # member cell = probes[0]
     return _grouped_candidate_topk(both, "cell", k,

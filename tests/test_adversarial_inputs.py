@@ -1302,3 +1302,17 @@ def test_hourly_grid_explosion_raises_named_error(spark,
     for q in (rel.hourly_gapfill, rel.hourly_interpolate):
         with pytest.raises(Exception, match="hourly grid would span"):
             q(spark, d).collect()
+
+
+def test_unique_id_check_is_optional_for_verified_corpora(spark):
+    """check_unique_ids=False skips the upfront uniqueness scan — the
+    fit-once/query-many production shape where the corpus was verified
+    at ingest and one scalar agg per query is pure overhead. Default
+    stays ON (the duplicate-id test above)."""
+    from spark_ext_spark.llm.similarity import lsh_topk
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, 0.1]), (2, [-0.5, -0.1]),
+         (3, [0.2, 0.9])],
+        "vec_id long, embedding array<double>")
+    out = lsh_topk(df, k=2, check_unique_ids=False)  # no upfront raise
+    assert out.count() >= 0
