@@ -57,6 +57,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round every declared query has driver evidence. Every
         # rotated-out name keeps running in the bench and the
         # committed 3-config local sweeps.
+        #
+        # ROUND-10 WINDOW (pinned now; with 135/135 cumulative
+        # coverage the policy becomes FRESHNESS rotation — re-check
+        # whatever has gone longest without driver contact): the 22
+        # queries last checked in round 2 (the core OLAP family:
+        # global_agg, join_revenue_by_nation, topk_users,
+        # window_cumsum, distinct_pairs, union_all_counts,
+        # left_join_order_counts, semi_join_urgent,
+        # anti_join_no_orders, rollup_revenue, cube_order_stats,
+        # price_percentiles, hourly_rollup, shipping_priority,
+        # intersect_buyers, except_non_urgent, priority_pivot,
+        # fingerprints, gather_flat, gather_count, token_counts,
+        # media_byte_stats), local_lr_model (rows-only, last r4), the
+        # 7 round-5 rows (collect_array_distinct, gather_encoder_
+        # distfit, doc_chunks, doc_lm_scores, f_measure, lift_curve,
+        # recall_by_threshold — re-derive from the CORRECTNESS_r{N}
+        # union when executing), and 20 core flagship re-checks to
+        # fill 50.
         # --- 1-21: core re-checks, one per family -------------------
         "collect_array": rel.user_event_types,
         "gather": gq.gather_user_events,
