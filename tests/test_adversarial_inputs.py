@@ -1324,3 +1324,58 @@ def test_unique_id_check_is_optional_for_verified_corpora(spark):
         "vec_id long, embedding array<double>")
     out = lsh_topk(df, k=2, check_unique_ids=False)  # no upfront raise
     assert out.count() >= 0
+
+
+def test_lattice_domain_guard_boundary(spark, tmp_path_factory):
+    """Exact threshold pin: vq = 3037000498 (value 3037.000498) is the
+    last admitted lattice point — the query runs; one lattice step up
+    (vq = 3037000499 = floor(sqrt(2^63)), whose square still fits but
+    which the guard conservatively rejects by one value) raises under
+    non-ANSI, where the guard is the only loud path."""
+    d_ok, con = _events_fixture(
+        spark, tmp_path_factory, "latticeok",
+        [(1, _T, 1, "ok", 3037.000498, None),
+         (2, _T, 2, "ok", 1.0, None)])
+    con.close()
+    d_hot, con = _events_fixture(
+        spark, tmp_path_factory, "latticehot",
+        [(3, _T, 3, "hot", 3037.000499, None),
+         (4, _T, 4, "hot", 1.0, None)])
+    con.close()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        rows = rel.value_statistics(spark, d_ok).collect()  # admitted
+        assert rows[0]["sd_value"] is not None
+        with pytest.raises(Exception, match="lattice domain"):
+            rel.value_statistics(spark, d_hot).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_range_join_bucket_cap_boundary(spark):
+    """Exact threshold pin for the fan-out guard: an interval of
+    max_buckets_per_interval-1 buckets is admitted, one more raises."""
+    from spark_ext_spark.operators.range_join import range_join
+    from pyspark.sql import functions as F
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")],
+        "event_id long, ets string").withColumn(
+        "ets", F.to_timestamp("ets"))
+
+    def right_spanning(n_buckets, width=3600):
+        return spark.createDataFrame(
+            [(10, "2024-01-01 00:00:00")],
+            "win_id long, ws string") \
+            .withColumn("ws", F.to_timestamp("ws")) \
+            .withColumn("we", F.expr(
+                f"ws + INTERVAL {n_buckets * width} SECONDS"))
+
+    ok = range_join(left, right_spanning(9), "ets", "ws", "we",
+                    bucket_width_seconds=3600,
+                    max_buckets_per_interval=10)
+    assert ok.count() == 1          # 9 buckets < cap 10: admitted
+    with pytest.raises(Exception, match="spans more than"):
+        range_join(left, right_spanning(10), "ets", "ws", "we",
+                   bucket_width_seconds=3600,
+                   max_buckets_per_interval=10).collect()
