@@ -8,8 +8,8 @@ a data refresh even though the sf0.01 sweep stays green.
 The committed seeds are deterministic reproductions, not the whole
 hunt: each round also re-runs every randomized sweep here at FRESH
 seeds in a throwaway session before driver contact (round 9: seeds
-101/202/303 across all nine families plus both as-of ts types — 33
-executions, 0 failures). A fresh-seed failure gets minimized, its
+101/202/303/404/505 across all nine families plus both as-of ts types
+— 55 executions, 0 failures). A fresh-seed failure gets minimized, its
 seed committed, and the fix landed before the driver ever sees the
 query."""
 
