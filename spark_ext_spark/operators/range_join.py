@@ -32,11 +32,18 @@ def range_join(left: DataFrame, right: DataFrame,
     would explode into millions of bucket rows on a single task. The
     per-row bucket count is checked before the explode (a codegen
     branch, free next to the explode itself) and raises a NAMED error
-    past ``max_buckets_per_interval``; legitimate wide intervals can
-    raise the cap or widen ``bucket_width_seconds`` (which is also the
-    fan-out-correct response). Intervals with a NULL endpoint match
-    nothing (sequence(NULL) explodes to zero rows), matching the
-    inner-join predicate's NULL contract."""
+    at ``max_buckets_per_interval`` or more buckets (the inclusive
+    sequence emits n+1 elements, so the cap bounds the fan-out at
+    exactly ``max_buckets_per_interval``); legitimate wide intervals
+    can raise the cap or widen ``bucket_width_seconds`` (which is also
+    the fan-out-correct response). Intervals with a NULL endpoint or an
+    INVERTED span (``right_end < right_start`` — an empty interval)
+    match nothing, exactly as the naive inequality join would: the
+    predicate ``start <= ts < end`` is unsatisfiable there. The
+    inverted case must be handled explicitly — ``sequence(lo, hi)``
+    with hi < lo defaults to step -1 and would explode a corrupt
+    year-0001 endpoint into millions of DESCENDING buckets that the
+    ``n_buckets < cap`` comparison alone (negative n) never catches."""
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(
@@ -48,20 +55,28 @@ def range_join(left: DataFrame, right: DataFrame,
     lo = (F.unix_timestamp(F.col(right_start)) / w).cast("long")
     hi = (F.unix_timestamp(F.col(right_end)) / w).cast("long")
     n_buckets = hi - lo
-    fan_ok = n_buckets.isNull() | (n_buckets < F.lit(
-        max_buckets_per_interval))
+    # Branches (NULL conditions fall through to the next):
+    #   n >= cap        -> named fan-out error
+    #   0 <= n < cap    -> the covered buckets
+    #   n < 0 or NULL   -> NULL array, which explode() drops — empty
+    #                      (inverted) and NULL-endpoint intervals match
+    #                      nothing, same as the naive predicate join
     r = right.withColumn(
         "__rb",
-        F.explode(F.when(fan_ok, F.sequence(lo, hi))
-                  .otherwise(F.raise_error(F.lit(
-                      "range_join interval spans more than "
-                      f"{max_buckets_per_interval} buckets of "
-                      f"{bucket_width_seconds}s — a corrupt interval "
-                      "endpoint would explode the bucket fan-out; "
-                      "repair the interval, widen "
-                      "bucket_width_seconds, or raise "
-                      "max_buckets_per_interval"))
-                      .cast("array<long>"))))
+        F.explode(
+            F.when(n_buckets >= F.lit(max_buckets_per_interval),
+                   F.raise_error(F.lit(
+                       "range_join interval spans "
+                       "max_buckets_per_interval "
+                       f"({max_buckets_per_interval}) or more buckets "
+                       f"of {bucket_width_seconds}s — a corrupt "
+                       "interval endpoint would explode the bucket "
+                       "fan-out; repair the interval, widen "
+                       "bucket_width_seconds, or raise "
+                       "max_buckets_per_interval"))
+                   .cast("array<long>"))
+             .when(n_buckets >= 0, F.sequence(lo, hi))
+             .otherwise(F.lit(None).cast("array<long>"))))
 
     cond = l["__lb"] == r["__rb"]
     if on is not None:

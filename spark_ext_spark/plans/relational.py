@@ -1300,9 +1300,14 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 2^63, i.e. |value| and |k| up to ~3e3 at the 1e6 lattice.
     Non-ANSI Spark would silently WRAP past that (while the DuckDB
     mirror computes exactly in HUGEINT), so the domain is asserted
-    explicitly: two max(abs) columns ride the same aggregate for free
-    and raise_error at result time when any input leaves the lattice
-    domain — loud on every Spark config, not just ANSI.
+    explicitly: max/min witness columns ride the same aggregate for
+    free and raise_error at result time when any input leaves the
+    lattice domain — loud on every Spark config, not just ANSI.
+    Max/min, not max(abs): the non-ANSI double→long cast clamps an
+    extreme like -1e19 to Long.MinValue, whose abs wraps NEGATIVE and
+    would slip under the >= LIM check (r9 advice). And the raise
+    branch rides EVERY stat column, so projecting a subset cannot
+    prune the guard away with the pruned columns.
 
     Buffer budget (r9 perf recovery): the LINEAR sums (Σv, Σv|pair,
     Σk|pair) fit LONG — |q| < 2^31.5 and the guard caps group rows at
@@ -1340,8 +1345,12 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.when(pair, vq * kq)).alias("pvk"),
         dsum(F.when(pair, vq * vq)).alias("pvv"),
         dsum(F.when(pair, kq * kq)).alias("pkk"),
-        F.max(F.abs(vq)).alias("mv"),
-        F.max(F.abs(kq)).alias("mk"))
+        # domain witnesses as separate max/min — NOT max(abs):
+        # a non-ANSI double→long cast clamps ±1e19 to Long.Min/MaxValue
+        # and abs(Long.MinValue) WRAPS NEGATIVE, sliding the clamped
+        # extreme under the >= LIM check; max/min cannot wrap
+        F.max(vq).alias("mvx"), F.min(vq).alias("mvn"),
+        F.max(kq).alias("mkx"), F.min(kq).alias("mkn"))
 
     def q4(x):  # floor-quantize at 4dp — the identical chain in SQL
         return F.floor(x * F.lit(1e4) + F.lit(5e-1)) / F.lit(1e4)
@@ -1349,9 +1358,21 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |q| ≥ floor(sqrt(2^63)) would wrap the per-row q*q LONG multiply
     # (and > 3e9 rows/group could wrap a linear LONG sum) — fail loudly
     LIM = 3_037_000_499
-    bad_domain = ((F.coalesce(F.col("mv"), F.lit(0)) >= F.lit(LIM))
-                  | (F.coalesce(F.col("mk"), F.lit(0)) >= F.lit(LIM))
+    bad_domain = ((F.coalesce(F.col("mvx"), F.lit(0)) >= F.lit(LIM))
+                  | (F.coalesce(F.col("mvn"), F.lit(0)) <= F.lit(-LIM))
+                  | (F.coalesce(F.col("mkx"), F.lit(0)) >= F.lit(LIM))
+                  | (F.coalesce(F.col("mkn"), F.lit(0)) <= F.lit(-LIM))
                   | (F.col("n1") > F.lit(3_000_000_000)))
+
+    def guarded(expr):
+        # the raise_error branch rides EVERY output stat column, so a
+        # downstream projection that prunes some columns cannot prune
+        # the overflow check with them
+        return F.when(bad_domain, F.raise_error(F.lit(
+            "value_statistics: |value| or |k| beyond the ~3e3 lattice "
+            "domain (or >3e9 rows in one group) — the exact LONG "
+            "moment lattice would overflow; rescale the lattice or "
+            "pre-filter")).cast("double")).otherwise(expr)
     var = F.greatest(
         (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n1"))
         / (F.col("n1") - 1) / F.lit(1e12), F.lit(0.0))
@@ -1363,20 +1384,15 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = cnum / F.sqrt(vden * kden)
     return agg.select(
         "event_type",
-        F.when(bad_domain, F.raise_error(F.lit(
-            "value_statistics: |value| or |k| beyond the ~3e3 lattice "
-            "domain (or >3e9 rows in one group) — the exact LONG "
-            "moment lattice would overflow; rescale the lattice or "
-            "pre-filter")).cast("double"))
-         .when(F.col("n1") < 2, F.lit(None).cast("double"))
-         .otherwise(q4(F.sqrt(var))).alias("sd_value"),
-        F.when(F.col("n1") < 2, F.lit(None).cast("double"))
-         .otherwise(q4(var)).alias("var_value"),
-        F.when((F.col("n2") < 2) | (vden * kden <= 0),
-               F.lit(None).cast("double"))
-         .otherwise(q4(corr)).alias("corr_vk"),
-        F.when(F.col("n2") < 2, F.lit(None).cast("double"))
-         .otherwise(q4(cov)).alias("covar_vk"))
+        guarded(F.when(F.col("n1") < 2, F.lit(None).cast("double"))
+                .otherwise(q4(F.sqrt(var)))).alias("sd_value"),
+        guarded(F.when(F.col("n1") < 2, F.lit(None).cast("double"))
+                .otherwise(q4(var))).alias("var_value"),
+        guarded(F.when((F.col("n2") < 2) | (vden * kden <= 0),
+                       F.lit(None).cast("double"))
+                .otherwise(q4(corr))).alias("corr_vk"),
+        guarded(F.when(F.col("n2") < 2, F.lit(None).cast("double"))
+                .otherwise(q4(cov))).alias("covar_vk"))
 
 
 VALUE_STATISTICS_SQL = """

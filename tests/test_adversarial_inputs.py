@@ -1353,6 +1353,53 @@ def test_lattice_domain_guard_boundary(spark, tmp_path_factory):
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
+def test_lattice_guard_survives_long_clamp_extreme(spark,
+                                                   tmp_path_factory):
+    """r9 advice: under non-ANSI Spark a value like -1e19 clamps the
+    double→long cast to Long.MinValue, whose abs() WRAPS NEGATIVE — a
+    max(abs) witness would slip under the >= LIM check and the query
+    silently returned sd_value=0.0 while the DuckDB oracle raised on
+    the out-of-range cast. The max/min witnesses cannot wrap: both
+    clamp directions must fail by name."""
+    for tag, extreme in (("negclamp", -1e19), ("posclamp", 1e19)):
+        d, con = _events_fixture(
+            spark, tmp_path_factory, tag,
+            [(1, _T, 1, "click", extreme, None),
+             (2, _T, 2, "click", 5.0, None)])
+        con.close()
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="lattice domain"):
+                rel.value_statistics(spark, d).collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_lattice_guard_rides_every_stat_column(spark,
+                                               tmp_path_factory):
+    """r9 advice: the raise_error branch used to ride only sd_value, so
+    a downstream projection pruning sd_value dropped the overflow check
+    and returned wrapped values for the surviving columns. Each stat
+    column now carries the guard: a subset projection must still fail
+    by name on out-of-domain input."""
+    d, con = _events_fixture(
+        spark, tmp_path_factory, "prunedguard",
+        [(1, _T, 1, "click", 5000.0, '{"k": 1}'),
+         (2, _T, 2, "click", 5.0, '{"k": 2}')])
+    con.close()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        for col in ("var_value", "corr_vk", "covar_vk"):
+            pruned = rel.value_statistics(spark, d).select(
+                "event_type", col)
+            with pytest.raises(Exception, match="lattice domain"):
+                pruned.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_range_join_bucket_cap_boundary(spark):
     """Exact threshold pin for the fan-out guard: an interval of
     max_buckets_per_interval-1 buckets is admitted, one more raises."""
@@ -1375,7 +1422,8 @@ def test_range_join_bucket_cap_boundary(spark):
                     bucket_width_seconds=3600,
                     max_buckets_per_interval=10)
     assert ok.count() == 1          # 9 buckets < cap 10: admitted
-    with pytest.raises(Exception, match="spans more than"):
+    with pytest.raises(Exception,
+                       match="max_buckets_per_interval .10. or more"):
         range_join(left, right_spanning(10), "ets", "ws", "we",
                    bucket_width_seconds=3600,
                    max_buckets_per_interval=10).collect()

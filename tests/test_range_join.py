@@ -71,7 +71,7 @@ def test_range_join_corrupt_interval_raises_named_error(spark):
         "win_id long, ws string, we string") \
         .withColumn("ws", F.to_timestamp("ws")) \
         .withColumn("we", F.to_timestamp("we"))
-    with pytest.raises(Exception, match="spans more than"):
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
         range_join(left, right, "ets", "ws", "we").collect()
     # raising the cap past the span must make the same join legal
     assert range_join(left, right, "ets", "ws", "we",
@@ -83,3 +83,32 @@ def test_range_join_corrupt_interval_raises_named_error(spark):
         .withColumn("ws", F.to_timestamp("ws")) \
         .withColumn("we", F.to_timestamp("we"))
     assert range_join(left, null_end, "ets", "ws", "we").count() == 0
+
+
+def test_range_join_inverted_interval_matches_nothing(spark):
+    """An inverted interval (end < start — e.g. a corrupt year-0001
+    right_end) is an EMPTY interval: its predicate start <= ts < end is
+    unsatisfiable, so it must match nothing like the naive join — and
+    it must do so WITHOUT exploding. sequence(lo, hi) with hi < lo
+    defaults to step -1, so before the explicit n<0 branch one such row
+    fanned out into millions of descending buckets the negative-count
+    guard never saw."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")],
+        "event_id long, ets string").withColumn(
+        "ets", F.to_timestamp("ets"))
+    inverted = spark.createDataFrame(
+        # year-0001 end: ~739k days before start at the default
+        # day-wide buckets — a descending sequence() would OOM-scale
+        [(10, "2024-01-01 00:00:00", "0001-01-02 00:00:00"),
+         # a sane interval alongside it must still match
+         (11, "2023-12-31 00:00:00", "2024-01-02 00:00:00")],
+        "win_id long, ws string, we string") \
+        .withColumn("ws", F.to_timestamp("ws")) \
+        .withColumn("we", F.to_timestamp("we"))
+    got = range_join(left, inverted, "ets", "ws", "we",
+                     max_buckets_per_interval=10).collect()
+    assert {r["win_id"] for r in got} == {11}
+    naive = left.join(
+        inverted, (inverted.ws <= left.ets) & (left.ets < inverted.we))
+    assert {r["win_id"] for r in naive.collect()} == {11}
