@@ -1085,13 +1085,26 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets — this is what replaces exact count(DISTINCT)/percentiles at
     100 TB. Rows-only driver check (sketch internals are
     engine-specific); error bounds vs exact are asserted in
-    tests/test_plans.py."""
+    tests/test_plans.py.
+
+    The three quantiles come from ONE GK sketch (a single
+    percentile_approx aggregate) but are emitted as SCALAR q50/q95/q99
+    columns: an array<double> result column crashed the driver's
+    pandas canonicalizer (unhashable type: 'list') in round 9, so the
+    rows-only check recorded no evidence at all. Driver-window outputs
+    must be flat — pinned for every rows-only query by
+    tests/test_oracle_types.py."""
     ev = load(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", rsd=0.01)
-                 .alias("approx_users"),
-                 F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-                 .alias("value_quantiles")))
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    agg = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", rsd=0.01)
+                .alias("approx_users"),
+                q.alias("_q")))
+    return agg.select(
+        "event_type", "approx_users",
+        F.col("_q")[0].alias("value_q50"),
+        F.col("_q")[1].alias("value_q95"),
+        F.col("_q")[2].alias("value_q99"))
 
 
 def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,3 +55,30 @@ def test_oracle_has_no_hugeint_or_decimal_columns(con, name, sql):
         f"oracle '{name}' has driver-unsafe output types {bad}; wrap the "
         f"integer aggregate in CAST(... AS BIGINT) (Arrow turns HUGEINT "
         f"into float64 and the driver hash-mismatches equal values)")
+
+
+def _rows_only_window_items():
+    """Driver-window queries() entries WITHOUT an oracle — the driver
+    records the weaker rows-only check for these, which still runs the
+    canonicalizer over the SPARK result."""
+    oracles = em.oracle_sql()
+    return [n for n in list(em.queries())[:50] if n not in oracles]
+
+
+@pytest.mark.parametrize("name", _rows_only_window_items())
+def test_rows_only_window_output_is_flat(spark, name):
+    """The same driver-safety discipline for rows-only SPARK outputs:
+    the driver's canonicalizer pandas-sorts the result, and a
+    list/struct/map cell is unhashable there — approx_user_stats'
+    array<double> quantiles column crashed it in round 9 and recorded
+    NO evidence (CORRECTNESS_r09: 'unhashable type: list'). Every
+    rows-only query inside the hash-checked window must emit only
+    atomic columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    df = em.queries()[name](spark, SF_DIR)
+    bad = [(f.name, f.dataType.simpleString()) for f in df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, (
+        f"rows-only window query '{name}' emits nested columns {bad}; "
+        f"the driver canonicalizer cannot sort list/struct cells — "
+        f"emit scalar columns (or serialize to strings)")

@@ -116,7 +116,9 @@ def test_approx_sketches_within_error_bounds(spark, sf_small):
         vals = sorted(r["value"] for r in
                       ev.filter(F.col("event_type") == et)
                       .select("value").collect())
-        for q, a in zip((0.5, 0.95, 0.99), got[et]["value_quantiles"]):
+        for q, col in ((0.5, "value_q50"), (0.95, "value_q95"),
+                       (0.99, "value_q99")):
+            a = got[et][col]
             rank = sum(v <= a for v in vals) / len(vals)
             assert abs(rank - q) <= 0.01 + 1.0 / len(vals), (et, q, a, rank)
 
