@@ -69,46 +69,41 @@ def test_semantic_clusters_exact_variant(spark, duck):
 
 
 # The driver hash-checks exactly these 50 entries (dict order).
-# Round 9 is the COMPLETION window, executed exactly as r8 pinned it:
-# entries 22-50 are the 27 oracle-checkable queries that never had
-# driver contact (source_temperature_mix, pii_redaction,
-# embedding_norms, score_thresholds, doc_repetition,
-# top_orders_per_customer, user_value_deltas, acctbal_deciles,
-# above_class_avg, the 9 TPC-H stragglers q4/q10/q11/q12/q14/q15/q16/
-# q19/q22, cheapest_order_per_customer, doc_sentences,
-# stratified_sample_events, value_statistics, corpus_dedup_stats,
-# length_batches, lineitem_measure_stats, hilbert_event_keys,
-# quality_top_fraction) plus the 2 never-contacted rows-only queries
-# (approx_user_stats, sketch_user_rollup — the driver records the
-# weaker rows-only check for those two); entries 1-21 are core
-# re-checks keeping every operator family represented. After this
-# round every declared query has driver evidence (cumulative coverage
-# 135/135).
+# Round 10 executes the FRESHNESS rotation pinned in round 9 (with
+# 135/135 cumulative coverage, re-check whatever has gone longest
+# without driver contact): entries 1-22 are the core OLAP family last
+# checked in round 2, entry 23 local_lr_model (last r4, rows-only),
+# entries 24-30 the round-5 rows, entry 31 approx_user_stats
+# (re-landed after its r9 rows-only check crashed the driver
+# canonicalizer on an array column — now scalar q50/q95/q99), entries
+# 32-43 the round-6 rows, entries 44-50 seven round-7 flagship
+# re-checks. After this window no query's last driver contact is
+# older than round 7.
 DRIVER_WINDOW = [
-    "collect_array", "gather", "auc_metrics", "lr_newton_steps",
-    "minhash_lsh", "dup_clusters", "language_id", "sequence_packing",
-    "ann_lsh_topk", "embedding_near_dups", "ann_ivf_topk",
-    "media_pipeline", "asof_join_orders_chunked", "table_profile",
-    "pricing_summary", "tpch_q6_forecast", "moving_avg_7d",
-    "kmv_user_stats", "event_sessions", "hourly_gapfill",
-    "semantic_clusters",
-    "source_temperature_mix", "pii_redaction", "embedding_norms",
-    "score_thresholds", "doc_repetition", "top_orders_per_customer",
-    "user_value_deltas", "acctbal_deciles", "above_class_avg",
-    "tpch_q4_late_priority", "tpch_q10_returned_items",
-    "tpch_q11_important_parts", "tpch_q12_priority_counts",
-    "tpch_q14_promo", "tpch_q15_top_supplier",
-    "tpch_q16_parts_suppliers", "tpch_q19_discounted",
-    "tpch_q22_idle_rich", "cheapest_order_per_customer",
-    "doc_sentences", "stratified_sample_events", "value_statistics",
-    "corpus_dedup_stats", "length_batches", "lineitem_measure_stats",
-    "hilbert_event_keys", "quality_top_fraction",
-    "approx_user_stats", "sketch_user_rollup",
+    "global_agg", "join_revenue_by_nation", "topk_users",
+    "window_cumsum", "distinct_pairs", "union_all_counts",
+    "left_join_order_counts", "semi_join_urgent",
+    "anti_join_no_orders", "rollup_revenue", "cube_order_stats",
+    "price_percentiles", "hourly_rollup", "shipping_priority",
+    "intersect_buyers", "except_non_urgent", "priority_pivot",
+    "fingerprints", "gather_flat", "gather_count", "token_counts",
+    "media_byte_stats",
+    "local_lr_model",
+    "collect_array_distinct", "gather_encoder_distfit", "doc_chunks",
+    "doc_lm_scores", "f_measure", "lift_curve", "recall_by_threshold",
+    "approx_user_stats",
+    "gather_encoder_top_allother", "gather_encoder_index",
+    "downsampling_hash", "gains_curve", "roc_curve",
+    "precision_by_threshold", "ngram_jaccard", "simhash_pairs",
+    "winnow_pairs", "tfidf_top_terms", "doc_quality",
+    "theta_user_rollup",
+    "gather_encoder_top", "binning", "roc_curve_binned", "s2_cells",
+    "string_indexer", "exact_dedup", "cosine_topk",
 ]
 
 # The two deliberately rows-only window rows — everything else in the
 # window must carry a DuckDB oracle.
-WINDOW_ROWS_ONLY = {"approx_user_stats", "sketch_user_rollup"}
+WINDOW_ROWS_ONLY = {"local_lr_model", "approx_user_stats"}
 
 
 def test_driver_window_composition():
