@@ -135,7 +135,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     best: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in queries.items():
+    # Execution order pinned ALPHABETICALLY (round 10): queries() dict
+    # order is the driver-window rotation, which reorders every round —
+    # running in dict order confounded the per-query cross-round series
+    # with execution position (JVM warm-up, GC pressure from preceding
+    # heavy queries; the r9 4-5x "regressions" on untouched queries).
+    # The headline sum is order-independent, so the round-1 methodology
+    # is unchanged; only the per-query series becomes comparable.
+    for name in sorted(queries):
+        fn = queries[name]
         samples = []
         try:
             for _ in range(RUNS):
