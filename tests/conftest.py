@@ -13,6 +13,22 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
 
 
+def fuzz_seeds(*committed: int) -> list[int]:
+    """Seed list for a randomized cross-engine sweep: the committed
+    deterministic reproductions plus any session-only FRESH seeds from
+    $SPARK_GRAFT_EXTRA_SEEDS (comma-separated ints). The per-round
+    discipline — re-run every randomized family at fresh seeds in a
+    throwaway session before driver contact — becomes
+
+        SPARK_GRAFT_EXTRA_SEEDS=107,211,313 pytest tests/ -k <families>
+
+    instead of hand-editing nine parametrize lists. A fresh-seed
+    failure still gets minimized and its seed committed here."""
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_SEEDS", "")
+    return list(committed) + [int(s) for s in extra.split(",")
+                              if s.strip()]
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("spark_ext_spark-tests", master="local[4]",

@@ -11,7 +11,8 @@ seeds in a throwaway session before driver contact (round 9: seeds
 101/202/303/404/505 across all nine families plus both as-of ts types
 — 55 executions, 0 failures). A fresh-seed failure gets minimized, its
 seed committed, and the fix landed before the driver ever sees the
-query."""
+query. Since round 10 the fresh seeds ride $SPARK_GRAFT_EXTRA_SEEDS
+(see conftest.fuzz_seeds) instead of hand-edited parametrize lists."""
 
 from __future__ import annotations
 
@@ -27,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spark_ext_spark.plans import evaluation_queries as eq  # noqa: E402
 from spark_ext_spark.plans import feature_queries as fq  # noqa: E402
 from spark_ext_spark.plans import relational as rel  # noqa: E402
+from tests.conftest import fuzz_seeds  # noqa: E402
 from tests.oracle_utils import compare_to_oracle  # noqa: E402
 
 
@@ -304,7 +306,8 @@ def test_hostile_embeddings_stay_cross_engine_green(spark, hostile_emb_sf,
                       hostile_emb_duck, getattr(lq, sqlname))
 
 
-@pytest.mark.parametrize("seed", [3, 31], ids=["seed3", "seed31"])
+@pytest.mark.parametrize("seed", fuzz_seeds(3, 31),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_tied_embeddings_parity(spark, tmp_path_factory, seed):
     """Seeded embeddings drawn from only 6 base directions with random
     positive/negative scales — scaled copies have IDENTICAL cosine, so
@@ -465,8 +468,8 @@ def test_nullish_events_stay_cross_engine_green(spark, nullish_sf,
     compare_to_oracle(query(spark, d), con, sql)
 
 
-@pytest.mark.parametrize("seed", [11, 29, 202],
-                         ids=["seed11", "seed29", "seed202"])
+@pytest.mark.parametrize("seed", fuzz_seeds(11, 29, 202),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_nullish_events_parity(spark, tmp_path_factory, seed):
     """Generalizes the hand-built nullish fixture: a seeded random
     events table where EVERY column is null with probability ~1/6 and
@@ -533,7 +536,8 @@ def test_randomized_nullish_events_parity(spark, tmp_path_factory, seed):
         compare_to_oracle(query(spark, d), con, sql)
 
 
-@pytest.mark.parametrize("seed", [7, 23], ids=["seed7", "seed23"])
+@pytest.mark.parametrize("seed", fuzz_seeds(7, 23),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_unicode_docs_parity(spark, tmp_path_factory, seed):
     """Seeded random documents assembled from hostile pieces (emoji,
     CJK, combining accents, Cyrillic, 300-char tokens, abbreviation
@@ -667,7 +671,8 @@ def _hostile_tpch_fixture(tmp_path_factory, seed: int) -> str:
     return d
 
 
-@pytest.mark.parametrize("seed", [13, 37], ids=["seed13", "seed37"])
+@pytest.mark.parametrize("seed", fuzz_seeds(13, 37),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_hostile_tpch_join_parity(spark, tmp_path_factory,
                                              seed):
     """The join-heavy TPC-H family swept over seeded hostile inputs —
@@ -722,7 +727,8 @@ def test_randomized_hostile_tpch_join_parity(spark, tmp_path_factory,
         con.close()
 
 
-@pytest.mark.parametrize("seed", [5, 43], ids=["seed5", "seed43"])
+@pytest.mark.parametrize("seed", fuzz_seeds(5, 43),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_hostile_olap_parity(spark, tmp_path_factory, seed):
     """The relational OLAP family (set ops, rollup/cube/pivot, window
     ranks, deciles, min-per-group, stats/profile reports) over the
@@ -889,7 +895,8 @@ def test_randomized_asof_parity_both_strategies(spark, tmp_path_factory,
         con.close()
 
 
-@pytest.mark.parametrize("seed", [17, 41], ids=["seed17", "seed41"])
+@pytest.mark.parametrize("seed", fuzz_seeds(17, 41),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_scores_evaluation_parity(spark, tmp_path_factory,
                                              seed):
     """The evaluation-curve family's hostile fixtures are hand-built
@@ -1107,7 +1114,8 @@ def test_degenerate_score_tables_stay_cross_engine_green(
         con.close()
 
 
-@pytest.mark.parametrize("seed", [19, 53], ids=["seed19", "seed53"])
+@pytest.mark.parametrize("seed", fuzz_seeds(19, 53),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_docs_assembly_parity(spark, tmp_path_factory, seed):
     """The corpus-assembly family (hash splits, sequence packing,
     source caps/temperature, top-fraction, per-source sampling, length
@@ -1215,7 +1223,8 @@ def test_lattice_domain_overflow_raises_named_error(spark,
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
-@pytest.mark.parametrize("seed", [17, 29], ids=["seed17", "seed29"])
+@pytest.mark.parametrize("seed", fuzz_seeds(17, 29),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_unicode_event_keys_parity(spark, tmp_path_factory,
                                               seed):
     """Seeded events whose EVENT_TYPE keys are hostile strings — CJK,

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_ext_spark.llm.clusters import connected_components, duplicate_clusters
+from tests.conftest import fuzz_seeds
 
 
 def _edges(spark, pairs):
@@ -115,7 +116,8 @@ def test_reliable_checkpoints_cleaned_per_round(spark, tmp_path):
     assert got == {i: 0 for i in range(17)}
 
 
-@pytest.mark.parametrize("seed", [5, 31], ids=["seed5", "seed31"])
+@pytest.mark.parametrize("seed", fuzz_seeds(5, 31),
+                         ids=lambda s: f"seed{s}")
 def test_randomized_components_match_union_find(spark, seed):
     """Seeded random graphs (sparse and near-critical densities,
     self-loops, duplicate and reversed edges, a far-flung id range)

@@ -3,10 +3,13 @@ join on the same data (must be identical), boundary semantics."""
 
 from __future__ import annotations
 
+import datetime
+
 import pytest
 from pyspark.sql import functions as F
 
 from spark_ext_spark.operators.range_join import range_join
+from tests.conftest import fuzz_seeds
 
 
 @pytest.fixture(scope="module")
@@ -112,3 +115,58 @@ def test_range_join_inverted_interval_matches_nothing(spark):
     naive = left.join(
         inverted, (inverted.ws <= left.ets) & (left.ets < inverted.we))
     assert {r["win_id"] for r in naive.collect()} == {11}
+
+
+@pytest.mark.parametrize("seed", fuzz_seeds(47, 59),
+                         ids=lambda s: f"seed{s}")
+def test_randomized_hostile_intervals_match_naive(spark, seed):
+    """Seeded differential sweep of the bucketed join against the naive
+    inequality join over a hostile interval mix — inverted spans (down
+    to year 0001), zero-length, NULL endpoints, end-exactly-on-bucket
+    boundaries, sub-bucket and multi-bucket widths — plus NULL and
+    boundary-exact left timestamps. The guard branches must never
+    change WHICH pairs match, only how corrupt fan-out fails."""
+    import random
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 3, 1)
+    hour = 3600
+
+    def ts(h):  # hours offset, sub-hour jitter included
+        return base + datetime.timedelta(
+            hours=h, seconds=rng.choice([0, 1, 1799, 3599]))
+
+    left = spark.createDataFrame(
+        [(i, None if rng.random() < 0.05 else ts(rng.uniform(0, 96)))
+         for i in range(150)],
+        "event_id long, ets timestamp")
+    rights = []
+    for j in range(60):
+        start_h = rng.uniform(0, 96)
+        kind = rng.random()
+        if kind < 0.15:      # inverted, mildly to absurdly
+            end_h = start_h - rng.choice([1, 24, 2_000_000])
+        elif kind < 0.25:    # zero-length (empty: ts < end == start)
+            end_h = start_h
+        else:                # legit spans: minutes to days
+            end_h = start_h + rng.uniform(0.01, 72)
+        ws = ts(start_h)
+        we = (base + datetime.timedelta(hours=end_h)
+              if end_h > -100_000 else datetime.datetime(1, 1, 2))
+        if rng.random() < 0.08:
+            ws = None
+        if rng.random() < 0.08:
+            we = None
+        rights.append((j, ws, we))
+    right = spark.createDataFrame(
+        rights, "win_id long, ws timestamp, we timestamp")
+
+    got = {(r["event_id"], r["win_id"]) for r in
+           range_join(left, right, "ets", "ws", "we",
+                      bucket_width_seconds=hour,
+                      # legit spans cover <= 73h ≈ 74 buckets
+                      max_buckets_per_interval=100).collect()}
+    naive = {(r["event_id"], r["win_id"]) for r in
+             left.join(right, (right.ws <= left.ets)
+                       & (left.ets < right.we)).collect()}
+    assert got == naive
+    assert len(naive) > 0
