@@ -122,11 +122,26 @@ def main():
             raise SystemExit(
                 f"{path} exists but is not valid JSON ({e}); fix or "
                 f"delete it before recording new sweep evidence")
+        # stamp the code state the sweep actually ran against — without
+        # it an all-green re-run is byte-identical to the previous one
+        # and the committed artifact cannot show it was refreshed
+        # (round-9 verdict item 3: "sweep evidence doesn't cover the
+        # final code" was undecidable from the artifact alone)
+        try:
+            import subprocess
+            head = subprocess.run(
+                ["git", "-C", os.path.dirname(__file__), "rev-parse",
+                 "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+        except Exception:  # noqa: BLE001 — evidence must still record
+            head = None
         doc[key] = {
             "n_queries": len(queries),
             "n_oracle": sum(1 for n in queries if n in oracles),
             "fails": fails,
             "errs": errs,
+            "git_head": head,
         }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
