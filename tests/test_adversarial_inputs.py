@@ -9,10 +9,13 @@ The committed seeds are deterministic reproductions, not the whole
 hunt: each round also re-runs every randomized sweep here at FRESH
 seeds in a throwaway session before driver contact (round 9: seeds
 101/202/303/404/505 across all nine families plus both as-of ts types
-— 55 executions, 0 failures). A fresh-seed failure gets minimized, its
-seed committed, and the fix landed before the driver ever sees the
-query. Since round 10 the fresh seeds ride $SPARK_GRAFT_EXTRA_SEEDS
-(see conftest.fuzz_seeds) instead of hand-edited parametrize lists."""
+— 55 executions, 0 failures; round 10: seeds 113/227/331/443/557
+across all TEN families incl. the new hostile-interval range-join
+sweep — 73 executions incl. committed seeds, 0 failures). A
+fresh-seed failure gets minimized, its seed committed, and the fix
+landed before the driver ever sees the query. Since round 10 the
+fresh seeds ride $SPARK_GRAFT_EXTRA_SEEDS (see conftest.fuzz_seeds)
+instead of hand-edited parametrize lists."""
 
 from __future__ import annotations
 
