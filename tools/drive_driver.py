@@ -73,8 +73,20 @@ def main():
         spark.catalog.clearCache()
         if name not in oracles:
             try:
-                cnt = fn(spark, SF01).count()
-                print(f"{name}: no_oracle rows={cnt}")
+                sdf = fn(spark, SF01)
+                srows = sdf.collect()
+                # The REAL driver canonicalizes rows-only outputs too
+                # (pandas sort_values over every column) — replay that
+                # here so a nested result column crashes THIS preflight
+                # instead of the driver window. Round 9 lost all
+                # approx_user_stats evidence exactly this way: the old
+                # .count()-only check stayed green while the driver's
+                # canonicalizer died on an array<double> column.
+                import pandas as pd
+                pdf = pd.DataFrame([r.asDict() for r in srows],
+                                   columns=sdf.columns)
+                pdf.sort_values(list(pdf.columns), inplace=True)
+                print(f"{name}: no_oracle rows={len(srows)} canon=ok")
             except Exception as e:
                 errs.append(name)
                 print(f"{name}: ERR {type(e).__name__}: {str(e)[:200]}")
