@@ -1363,7 +1363,15 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and abs(Long.MinValue) WRAPS NEGATIVE, sliding the clamped
         # extreme under the >= LIM check; max/min cannot wrap
         F.max(vq).alias("mvx"), F.min(vq).alias("mvn"),
-        F.max(kq).alias("mkx"), F.min(kq).alias("mkn"))
+        F.max(kq).alias("mkx"), F.min(kq).alias("mkn"),
+        # NaN witness: non-ANSI Spark casts NaN→long as 0, which the
+        # min/max witnesses can never see (±Infinity clamps to
+        # Long.Min/Max and IS caught) — while the DuckDB mirror raises
+        # on CAST(nan AS BIGINT). Without this the engines silently
+        # diverge on one NaN row: Spark folds it into the moments as a
+        # zero, the oracle errors
+        F.max(F.when(F.isnan("value") | F.isnan("k"), F.lit(1))
+              .otherwise(F.lit(0))).alias("has_nan"))
 
     def q4(x):  # floor-quantize at 4dp — the identical chain in SQL
         return F.floor(x * F.lit(1e4) + F.lit(5e-1)) / F.lit(1e4)
@@ -1375,6 +1383,7 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
                   | (F.coalesce(F.col("mvn"), F.lit(0)) <= F.lit(-LIM))
                   | (F.coalesce(F.col("mkx"), F.lit(0)) >= F.lit(LIM))
                   | (F.coalesce(F.col("mkn"), F.lit(0)) <= F.lit(-LIM))
+                  | (F.coalesce(F.col("has_nan"), F.lit(0)) == F.lit(1))
                   | (F.col("n1") > F.lit(3_000_000_000)))
 
     def guarded(expr):
@@ -1382,10 +1391,11 @@ def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # downstream projection that prunes some columns cannot prune
         # the overflow check with them
         return F.when(bad_domain, F.raise_error(F.lit(
-            "value_statistics: |value| or |k| beyond the ~3e3 lattice "
-            "domain (or >3e9 rows in one group) — the exact LONG "
-            "moment lattice would overflow; rescale the lattice or "
-            "pre-filter")).cast("double")).otherwise(expr)
+            "value_statistics: value or k is NaN or beyond the ~3e3 "
+            "lattice domain (or >3e9 rows in one group) — the exact "
+            "LONG moment lattice would overflow or silently absorb "
+            "NaN as 0; rescale the lattice or pre-filter")).cast(
+            "double")).otherwise(expr)
     var = F.greatest(
         (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n1"))
         / (F.col("n1") - 1) / F.lit(1e12), F.lit(0.0))

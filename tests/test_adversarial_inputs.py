@@ -1365,6 +1365,42 @@ def test_lattice_domain_guard_boundary(spark, tmp_path_factory):
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
+def test_lattice_guard_catches_nonfinite_values(spark,
+                                                tmp_path_factory):
+    """A NaN value casts to 0 under the non-ANSI double→long cast —
+    invisible to the min/max witnesses — while the DuckDB oracle
+    raises on CAST(nan AS BIGINT): one NaN row would silently fold
+    into Spark's moments as a zero where the oracle errors. The NaN
+    witness must fail loudly on every config; ±Infinity clamps to
+    Long.Min/Max and the clamp witnesses catch it."""
+    for tag, val in (("nanval", float("nan")),
+                     ("posinf", float("inf")),
+                     ("neginf", float("-inf"))):
+        d, con = _events_fixture(
+            spark, tmp_path_factory, tag,
+            [(1, _T, 1, "click", val, '{"k": 1}'),
+             (2, _T, 2, "click", 5.0, '{"k": 2}')])
+        # the oracle is loud on non-finite input too — the pair can
+        # never silently diverge
+        with pytest.raises(Exception):
+            con.execute(rel.VALUE_STATISTICS_SQL).fetchall()
+        con.close()
+        # ANSI sessions may fail at the cast itself — also loud
+        with pytest.raises(Exception,
+                           match="lattice domain|CAST_INVALID_INPUT|"
+                                 "ARITHMETIC|cast"):
+            rel.value_statistics(spark, d).collect()
+        # non-ANSI silently folds NaN to 0 / clamps Infinity — the
+        # witnesses are the only loud path there
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="lattice domain"):
+                rel.value_statistics(spark, d).collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_lattice_guard_survives_long_clamp_extreme(spark,
                                                    tmp_path_factory):
     """r9 advice: under non-ANSI Spark a value like -1e19 clamps the
