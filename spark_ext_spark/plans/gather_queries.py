@@ -40,7 +40,13 @@ def gather_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the flat view keeps such groups, so the string encoding
     must too. NULL keys themselves drop out of the string identically
     on both engines (concat/|| null-propagate the element; the flat
-    view is the lossless form)."""
+    view is the lossless form).
+
+    Non-finite sums serialize to Java's tokens (``NaN``, ``Infinity``,
+    ``-Infinity``) on BOTH engines: format_string already emits them,
+    while DuckDB's printf writes ``nan``/``inf`` — one NaN value in a
+    refresh silently hash-split the engines until the oracle pinned
+    the same tokens (NaN-probe, round 10)."""
     out = _gather_events(spark, sf_dir, "sum")
     strs = F.transform(
         "gathered",
@@ -59,8 +65,14 @@ SELECT user_id,
        -- but NULL here (array_to_string of an all-NULL list)
        coalesce(array_to_string(
          list_sort(list(event_type || ':'
-                        || coalesce(printf('%.4f', value), 'null'))), '|'),
-         '') AS gathered
+                        || coalesce(CASE
+                             WHEN isnan(value) THEN 'NaN'
+                             WHEN value = 'infinity'::DOUBLE
+                               THEN 'Infinity'
+                             WHEN value = '-infinity'::DOUBLE
+                               THEN '-Infinity'
+                             ELSE printf('%.4f', value) END, 'null'))),
+         '|'), '') AS gathered
 FROM (
   SELECT user_id, event_type, round(sum(value), 4) AS value
   FROM events GROUP BY user_id, event_type

@@ -1270,7 +1270,20 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ... and the final reduction truncates (floor) rather than rounds:
     # quantized sums make exact .xxxx5 halves COMMON, where Spark
     # (decimal-string HALF_UP) and DuckDB (binary value) disagree.
-    vq = F.floor(F.col("value") * 10000).cast("bigint")
+    #
+    # Non-finite / beyond-lattice guard (same per-row codegen-branch
+    # pattern as the fan-out guards, free next to the cast): non-ANSI
+    # Spark casts NaN→0 and clamps ±Inf / |value| ≥ ~9.2e14 to
+    # Long.Min/Max SILENTLY, while DuckDB raises on the same cast — a
+    # one-row data refresh would split the engines. NULL falls through
+    # both conditions and stays NULL (sum skips it identically).
+    bad_v = F.isnan("value") | (F.abs("value") >= F.lit(9.2e14))
+    vq = (F.when(bad_v, F.raise_error(F.lit(
+              "moving_avg_7d: NaN or |value| beyond the 1e-4 integer "
+              "lattice (~9.2e14) — the exact window sum cannot "
+              "represent it (the DuckDB mirror raises on the same "
+              "cast); pre-filter or repair")).cast("bigint"))
+          .otherwise(F.floor(F.col("value") * 10000).cast("bigint")))
     s = F.sum(vq).over(w)
     n = F.count(F.lit(1)).over(w)
     return ev.select(
@@ -1703,9 +1716,20 @@ def value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF (functions.median_abs_deviation — the custom-UDAF seam). Both
     are holistic (no partial agg), so parallelism = groups; acceptable
     whenever group cardinality ≥ cores and per-group rows are
-    task-sized — same contract as exact percentiles."""
+    task-sized — same contract as exact percentiles.
+
+    NaN contract (pinned on BOTH engines): robust statistics treat a
+    NaN value as MISSING, like SQL NULL. Without the explicit
+    normalization the engines silently diverge on one NaN row —
+    Spark's median orders NaN as the largest value (shifting the
+    median) while DuckDB's median/mad PROPAGATE NaN into the result;
+    pandas (the MAD seam) skips NaN. n_events stays count(*) — row
+    counts are unaffected by the missing-value rule."""
     from spark_ext_spark.functions import median_abs_deviation
     ev = load(spark, sf_dir, "events")
+    v = F.when(F.isnan("value"), F.lit(None).cast("double")) \
+         .otherwise(F.col("value"))
+    ev = ev.select("event_type", v.alias("value"))
     mad = median_abs_deviation()
     # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM
     # aggregates in one agg() — two group-keyed aggs joined on the key
@@ -1725,9 +1749,11 @@ def value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VALUE_ROBUST_STATS_SQL = """
 SELECT event_type, count(*) AS n_events,
-       round(median(value), 4) AS median_value,
-       round(mad(value), 4) AS mad_value
-FROM events
+       round(median(v), 4) AS median_value,
+       round(mad(v), 4) AS mad_value
+FROM (SELECT event_type,
+             CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+      FROM events)
 GROUP BY event_type
 """
 

@@ -1365,6 +1365,46 @@ def test_lattice_domain_guard_boundary(spark, tmp_path_factory):
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
+def test_nonfinite_value_contracts_cross_engine(spark,
+                                                tmp_path_factory):
+    """NaN/±Infinity event values (the NaN-probe findings, round 10):
+
+    - gather serialization pins Java's non-finite tokens (NaN,
+      Infinity, -Infinity) on both engines — DuckDB printf's
+      'nan'/'inf' silently hash-split the string encoding;
+    - value_robust_stats treats NaN as MISSING on both engines —
+      Spark's median orders NaN largest while DuckDB's median/mad
+      PROPAGATE it (silent value divergence);
+    - moving_avg_7d fails loudly on BOTH engines — non-ANSI Spark
+      casts NaN→0 and clamps ±Inf into the integer lattice silently
+      where DuckDB raises on the same cast."""
+    rows = []
+    for i in range(60):
+        v = float(i % 30) / 3.0
+        if i % 11 == 0:
+            v = float("nan")
+        if i % 17 == 0:
+            v = float("inf") if i % 2 else float("-inf")
+        rows.append((i, _T + datetime.timedelta(hours=i % 20), i % 5,
+                     ["click", "view", "purchase"][i % 3], v,
+                     '{"k": %d}' % i))
+    d, con = _events_fixture(spark, tmp_path_factory, "nonfinite", rows)
+    from spark_ext_spark.plans import gather_queries as gq
+    try:
+        compare_to_oracle(gq.gather_user_events(spark, d), con,
+                          gq.GATHER_USER_EVENTS_SQL)
+        compare_to_oracle(gq.gather_user_events_flat(spark, d), con,
+                          gq.GATHER_USER_EVENTS_FLAT_SQL)
+        compare_to_oracle(rel.value_robust_stats(spark, d), con,
+                          rel.VALUE_ROBUST_STATS_SQL)
+        with pytest.raises(Exception, match="NaN or .value."):
+            rel.moving_avg_7d(spark, d).collect()
+        with pytest.raises(Exception):
+            con.execute(rel.MOVING_AVG_7D_SQL).fetchall()
+    finally:
+        con.close()
+
+
 def test_lattice_guard_catches_nonfinite_values(spark,
                                                 tmp_path_factory):
     """A NaN value casts to 0 under the non-ANSI double→long cast —
