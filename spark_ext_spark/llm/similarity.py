@@ -125,16 +125,39 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
             .otherwise(dot / (na * nb))
 
 
+def _finite_vec(vec: Column, entry: str) -> Column:
+    """Per-row non-finite guard for an ``array<double>`` vector column
+    (round-10 NaN sweep): a single NaN/Inf component silently poisons
+    every similarity score, LSH sign bucket, IVF cell distance, and
+    quantization scale it touches — and since NaN comparisons and
+    orderings differ subtly across engines, the corruption is a SILENT
+    cross-engine divergence, not an error. Same contract as the
+    duplicate-id scan: invalid corpus → NAMED error; but as an in-plan
+    codegen branch it costs nothing and needs no opt-out. NULL vectors
+    pass through (excluded by the callers' isNotNull contract); NULL
+    elements skip the predicate like every other fold here."""
+    bad = F.exists(vec, lambda x: F.isnan(x)
+                   | (F.abs(x) == F.lit(float("inf"))))
+    return (F.when(bad, F.raise_error(F.lit(
+                f"{entry}: non-finite embedding component (NaN or "
+                "±Infinity) — similarity scores, LSH buckets, and IVF "
+                "cells would silently diverge on it; repair or filter "
+                "the corpus upstream")).cast("array<double>"))
+            .otherwise(vec))
+
+
 def _nn_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """The one invariant every search entry point shares: null
     embeddings are excluded (they can match nothing, and a single null
     row reaching a GEMM group turns the batch ragged and kills the
-    task — at 100 TB, one bad row fails the job). Returns the
-    normalized (vec_id, vec) frame; the isNotNull predicate pushes
-    down to the parquet scan."""
+    task — at 100 TB, one bad row fails the job), and non-finite
+    components fail by name (_finite_vec). Returns the normalized
+    (vec_id, vec) frame; the isNotNull predicate pushes down to the
+    parquet scan."""
     return (df.filter(F.col(vec_col).isNotNull())
             .select(F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).cast("array<double>").alias("vec")))
+                    _finite_vec(F.col(vec_col).cast("array<double>"),
+                                "vector search").alias("vec")))
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -163,10 +186,12 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     if method == "expr":
         q = (queries.filter(F.col(vec_col).isNotNull())
              .select(F.col(id_col).alias("query_id"),
-                     F.col(vec_col).cast("array<double>").alias("qv")))
+                     _finite_vec(F.col(vec_col).cast("array<double>"),
+                                 "cosine_topk").alias("qv")))
         c = (corpus.filter(F.col(vec_col).isNotNull())
              .select(F.col(id_col).alias("neighbor_id"),
-                     F.col(vec_col).cast("array<double>").alias("cv")))
+                     _finite_vec(F.col(vec_col).cast("array<double>"),
+                                 "cosine_topk").alias("cv")))
         sim = cosine_similarity_col(F.col("qv"), F.col("cv"))
         if round_to is not None:
             sim = F.round(sim, round_to)
@@ -436,7 +461,10 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
     if dim is None:
         dim = _infer_dim(df, vec_col)
     planes = _projections(dim, n_planes, seed)
-    v = F.col(vec_col).cast("array<double>")
+    # guarded ONCE and reused for both the sign fold and the output
+    # vec, so a pruned projection (e.g. the id-only uniqueness scan)
+    # cannot drop the non-finite check with the column
+    v = _finite_vec(F.col(vec_col).cast("array<double>"), "lsh_buckets")
     bucket = F.lit(0)
     for p in range(n_planes):
         row = F.array(*[F.lit(float(x)) for x in planes[p]])
@@ -685,9 +713,13 @@ IVF_QUANT_SCALE = 1_000_000
 def _ivf_quantize_expr(vec_col: str) -> Column:
     """floor(x * 1e6) as array<long> — the integer-lattice projection
     that makes Lloyd's algorithm bit-exact across engines (integer
-    sums are associative; double sums are not)."""
+    sums are associative; double sums are not). The _finite_vec guard
+    rides here so the quantized FIT fails by name on a NaN corpus
+    instead of an opaque ARITHMETIC_OVERFLOW three expressions later
+    (or a silent Long-clamp under non-ANSI)."""
     return F.transform(
-        F.col(vec_col).cast("array<double>"),
+        _finite_vec(F.col(vec_col).cast("array<double>"),
+                    "ivf quantizer"),
         lambda x: F.floor(x * F.lit(float(IVF_QUANT_SCALE))).cast("long"))
 
 
@@ -832,7 +864,8 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     produce.
     """
     if method == "expr":
-        v = F.col(vec_col).cast("array<double>")
+        v = _finite_vec(F.col(vec_col).cast("array<double>"),
+                        "quantize_embeddings")
         max_abs = F.aggregate(v, F.lit(0.0),
                               lambda acc, x: F.greatest(acc, F.abs(x)))
         scale = max_abs / F.lit(127.0)
@@ -897,7 +930,9 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                                           "mean_abs_err"])
 
     return (df.select(F.col(id_col),
-                      qstats(F.col(vec_col).cast("array<double>"))
+                      qstats(_finite_vec(
+                          F.col(vec_col).cast("array<double>"),
+                          "quantize_embeddings"))
                       .alias("__q"))
             .select(id_col,
                     F.round(F.col("__q.scale"), 6).alias("scale"),

@@ -231,8 +231,11 @@ class Binning(Model, _BinningParams,
                             "num_attrs": len(attrs)}}
 
     def bin_index_col(self, in_col: str):
-        """Codegen'd bin-index expression (null outside splits/for null
-        input) — also the scalable long-form output for SQL oracles."""
+        """Codegen'd bin-index expression (null outside splits, for
+        null input, and for NaN — NaN sorts above +Infinity in Spark,
+        so it fails the last bin's upper check and lands outside every
+        bin; one-hot encodes it as the all-zero vector) — also the
+        scalable long-form output for SQL oracles."""
         c = F.col(in_col).cast("double")
         splits = self.splits
         n = len(splits) - 1

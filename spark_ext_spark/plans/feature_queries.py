@@ -219,7 +219,12 @@ def binning_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BINNING_QUANTITY_SQL = """
 SELECT l_orderkey, l_linenumber,
-       CASE WHEN l_quantity < 10 THEN 0
+       -- isnan first: NaN is OUTSIDE every bin (Spark's last-bin
+       -- upper check 'c <= +Inf' is false for NaN, which Spark orders
+       -- above Infinity → NULL bin), while a bare ELSE would sweep
+       -- NaN into the top bin here (round-10 NaN sweep)
+       CASE WHEN isnan(l_quantity) THEN NULL
+            WHEN l_quantity < 10 THEN 0
             WHEN l_quantity < 25 THEN 1
             WHEN l_quantity < 40 THEN 2
             ELSE 3 END AS bin

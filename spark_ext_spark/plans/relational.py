@@ -50,9 +50,28 @@ def _lattice_avg_4dp(col: str | Column, alias: str = "avg_v"):
     lattice as DuckDB HUGEINT (exact to 1.7e38). Both exact totals
     then pass through one identical IEEE int→double conversion, so
     the quantize chain sees the same double on both engines at any
-    magnitude. Accepts a column name or a Column expression."""
+    magnitude. Accepts a column name or a Column expression.
+
+    Non-finite guard (round-10 NaN sweep): Spark's double→decimal cast
+    silently turns NaN/±Inf into NULL — the sum skips the row but
+    count(c) still counts it, silently DEFLATING the mean — while the
+    DuckDB twin raises on the same per-row cast. A per-row codegen
+    branch (free next to the cast) fails by name instead, covering
+    every query built on this helper. The finite threshold 9.2e12 is
+    the oracle's own per-row BIGINT lattice limit (|x|·1e6 < 2^63),
+    so Spark is loud everywhere the oracle is. NULL falls through
+    both conditions and stays NULL (skipped by sum AND count — the
+    documented missing-value contract)."""
     c = F.col(col) if isinstance(col, str) else col
-    lat = F.floor(c * F.lit(1e6) + F.lit(5e-1)).cast("decimal(38,0)")
+    bad = F.isnan(c) | (F.abs(c) >= F.lit(9.2e12))
+    lat = (F.when(bad, F.raise_error(F.lit(
+               "lattice average: NaN or |value| beyond the 1e-6 "
+               "integer lattice (~9.2e12) — the exact cross-engine "
+               "average cannot represent it (the DuckDB mirror raises "
+               "on the same cast); pre-filter or repair"))
+           .cast("decimal(38,0)"))
+           .otherwise(F.floor(c * F.lit(1e6) + F.lit(5e-1))
+                      .cast("decimal(38,0)")))
     s, n = F.sum(lat).cast("double"), F.count(c)
     return (F.when(n == 0, F.lit(None).cast("double"))
             .otherwise(F.floor((s / n) / F.lit(1e2) + F.lit(5e-1))
@@ -661,11 +680,20 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median, p90) per return flag —
     Spark ``percentile`` and DuckDB ``quantile_cont`` share the linear-
     interpolation definition. At 100 TB prefer approx_percentile
-    (t-digest sketch, no sort); the exact version is the oracle."""
+    (t-digest sketch, no sort); the exact version is the oracle.
+
+    NaN contract (round-10 NaN sweep, same rule as value_robust_stats):
+    a NaN price is MISSING — Spark's percentile orders NaN as the
+    largest value (silently shifting every quantile) while DuckDB's
+    quantile_cont propagates NaN into the result; both engines skip
+    NULL identically, so NaN→NULL pins them to the same answer.
+    n stays count(*) — row counts ignore the missing-value rule."""
     li = load(spark, sf_dir, "lineitem")
     # one percentile(..., array(...)) call: the per-group value buffer
     # is built and sorted once for both quantiles instead of twice
-    pcts = F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
+    pcts = F.expr("percentile(CASE WHEN isnan(l_extendedprice) "
+                  "THEN NULL ELSE l_extendedprice END, "
+                  "array(0.5, 0.9))")
     return (li.groupBy("l_returnflag")
             .agg(pcts.alias("_p"), F.count(F.lit(1)).alias("n"))
             .select("l_returnflag",
@@ -676,10 +704,13 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICE_PERCENTILES_SQL = """
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(p, 0.5), 4) AS p50,
+       round(quantile_cont(p, 0.9), 4) AS p90,
        count(*) AS n
-FROM lineitem
+FROM (SELECT l_returnflag,
+             CASE WHEN isnan(l_extendedprice) THEN NULL
+                  ELSE l_extendedprice END AS p
+      FROM lineitem)
 GROUP BY l_returnflag
 """
 
@@ -1787,8 +1818,18 @@ WITH one AS (
          CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS null_c,
          count(DISTINCT l_quantity) AS dist_c,
-         CAST(min(l_quantity) AS VARCHAR) AS min_c,
-         CAST(max(l_quantity) AS VARCHAR) AS max_c
+         -- Java's non-finite tokens, matching Spark's CAST(x AS
+         -- STRING) ('NaN'/'Infinity' vs printf's 'nan'/'inf') — the
+         -- semantics (NaN sorts above Infinity in min/max) already
+         -- agree; only the spelling differed (round-10 NaN sweep)
+         CASE WHEN isnan(min(l_quantity)) THEN 'NaN'
+              WHEN min(l_quantity) = 'infinity'::DOUBLE THEN 'Infinity'
+              WHEN min(l_quantity) = '-infinity'::DOUBLE THEN '-Infinity'
+              ELSE CAST(min(l_quantity) AS VARCHAR) END AS min_c,
+         CASE WHEN isnan(max(l_quantity)) THEN 'NaN'
+              WHEN max(l_quantity) = 'infinity'::DOUBLE THEN 'Infinity'
+              WHEN max(l_quantity) = '-infinity'::DOUBLE THEN '-Infinity'
+              ELSE CAST(max(l_quantity) AS VARCHAR) END AS max_c
   FROM lineitem
 )
 SELECT 'l_suppkey' AS column, n AS n_rows, null_a AS n_null,
@@ -1827,9 +1868,17 @@ WITH one AS (
 SELECT 'l_orderkey' AS column, 'not_null' AS rule, nn = 0 AS ok,
        CAST(nn AS VARCHAR) AS observed FROM one
 UNION ALL
-SELECT 'l_quantity', 'min', mn >= 0.0, CAST(mn AS VARCHAR) FROM one
+SELECT 'l_quantity', 'min', mn >= 0.0,
+       CASE WHEN isnan(mn) THEN 'NaN'
+              WHEN mn = 'infinity'::DOUBLE THEN 'Infinity'
+              WHEN mn = '-infinity'::DOUBLE THEN '-Infinity'
+              ELSE CAST(mn AS VARCHAR) END FROM one
 UNION ALL
-SELECT 'l_quantity', 'max', mx <= 100.0, CAST(mx AS VARCHAR) FROM one
+SELECT 'l_quantity', 'max', mx <= 100.0,
+       CASE WHEN isnan(mx) THEN 'NaN'
+              WHEN mx = 'infinity'::DOUBLE THEN 'Infinity'
+              WHEN mx = '-infinity'::DOUBLE THEN '-Infinity'
+              ELSE CAST(mx AS VARCHAR) END FROM one
 UNION ALL
 SELECT 'l_returnflag', 'in_set[A|N|R]', os = 0, CAST(os AS VARCHAR)
 FROM one

@@ -199,8 +199,20 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strict > on one engine/partitioning only. Exact 1e-6-lattice
     # BIGINT sum, then the same division chain on both engines
     # (relational._lattice_avg_4dp rationale, unquantized output).
-    lat = (F.floor(F.col("c_acctbal") * F.lit(1e6) + F.lit(5e-1))
-           .cast("decimal(38,0)"))  # exact to 1e38, see _lattice_avg_4dp
+    # non-finite/beyond-lattice guard, same as _lattice_avg_4dp: the
+    # decimal cast silently NULLs NaN/±Inf (deflating the mean against
+    # count) where the DuckDB BIGINT lattice raises (round-10 sweep)
+    bad = (F.isnan("c_acctbal")
+           | (F.abs("c_acctbal") >= F.lit(9.2e12)))
+    lat = (F.when(bad, F.raise_error(F.lit(
+               "idle_rich_customers: NaN or |c_acctbal| beyond the "
+               "1e-6 integer lattice (~9.2e12) — the exact threshold "
+               "average cannot represent it (the DuckDB mirror raises "
+               "on the same cast); pre-filter or repair"))
+           .cast("decimal(38,0)"))
+           .otherwise(F.floor(F.col("c_acctbal") * F.lit(1e6)
+                              + F.lit(5e-1))
+                      .cast("decimal(38,0)")))  # exact to 1e38
     avg_bal = (F.sum(lat).cast("double")
                / F.count("c_acctbal")) / F.lit(1e6)
     rich = (attach_scalar_agg(customer, {"avg_bal": avg_bal},

@@ -1405,6 +1405,103 @@ def test_nonfinite_value_contracts_cross_engine(spark,
         con.close()
 
 
+def test_nonfinite_embeddings_fail_by_name(spark, tmp_path_factory):
+    """One NaN/Inf embedding component silently poisons similarity
+    scores, LSH sign buckets, IVF cells, and quantization scales —
+    and NaN ordering differs across engines, so the corruption is a
+    silent cross-engine divergence (round-10 NaN sweep). Every search
+    entry point must fail by the _finite_vec name instead, on exact
+    AND approximate paths."""
+    import numpy as np
+    from spark_ext_spark.llm import similarity as sim
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(1, 20)]
+    bad = rng.standard_normal(8).tolist()
+    bad[3] = float("nan")
+    rows.append((20, bad))
+    inf_v = rng.standard_normal(8).tolist()
+    inf_v[0] = float("inf")
+    rows.append((21, inf_v))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    for entry in (
+        lambda: sim.cosine_topk(df, df, k=2).collect(),
+        lambda: sim.cosine_topk(df, df, k=2, method="expr").collect(),
+        lambda: sim.lsh_topk(df, k=2, check_unique_ids=False).collect(),
+        lambda: sim.ivf_topk_deterministic(
+            df, k=2, n_centroids=4, check_unique_ids=False).collect(),
+        lambda: sim.embedding_near_dups(df, method="exact").collect(),
+        lambda: sim.quantize_embeddings(df).collect(),
+        lambda: sim.quantize_embeddings(df, method="expr").collect(),
+    ):
+        with pytest.raises(Exception, match="non-finite embedding"):
+            entry()
+
+
+def test_nonfinite_tpch_value_contracts_cross_engine(spark,
+                                                     tmp_path_factory):
+    """NaN/±Inf in the lineitem/customer money columns (round-10 NaN
+    sweep): the lattice-average family (pricing_summary,
+    acctbal_deciles, tpch_q22) fails by name on Spark where the DuckDB
+    oracle raises on the same cast — loud on both engines — while
+    binning (NaN = outside every bin → NULL), price_percentiles
+    (NaN = missing), table_profile and lineitem_expectations (Java
+    non-finite tokens pinned in the oracle) stay hash-green."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("nonfinite_tpch"))
+
+    def inject(table, cols):
+        t = pq.read_table(f"{src}/{table}.parquet")
+        rows = t.to_pylist()
+        for i, r in enumerate(rows):
+            for c in cols:
+                if i % 13 == 0:
+                    r[c] = float("nan")
+                elif i % 29 == 0:
+                    r[c] = float("inf")
+                elif i % 31 == 0:
+                    r[c] = float("-inf")
+        pq.write_table(pa.Table.from_pylist(rows, schema=t.schema),
+                       f"{d}/{table}.parquet")
+
+    inject("lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+    inject("customer", ["c_acctbal"])
+    for t in ("orders", "nation", "region", "supplier", "part"):
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet"),
+                       f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    for t in ("lineitem", "customer", "orders", "nation", "region",
+              "supplier", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{d}/{t}.parquet'")
+    from spark_ext_spark.plans import feature_queries as fq
+    from spark_ext_spark.plans import tpch
+    try:
+        for query, sql in [
+            (fq.binning_quantity, fq.BINNING_QUANTITY_SQL),
+            (rel.price_percentiles, rel.PRICE_PERCENTILES_SQL),
+            (rel.table_profile, rel.TABLE_PROFILE_SQL),
+            (rel.lineitem_expectations, rel.LINEITEM_EXPECTATIONS_SQL),
+        ]:
+            compare_to_oracle(query(spark, d), con, sql)
+        for query, sql, pat in [
+            (rel.pricing_summary, rel.PRICING_SUMMARY_SQL,
+             "lattice average"),
+            (rel.acctbal_deciles, rel.ACCTBAL_DECILES_SQL,
+             "lattice average"),
+            (tpch.idle_rich_customers, tpch.IDLE_RICH_CUSTOMERS_SQL,
+             "NaN or .c_acctbal."),
+        ]:
+            with pytest.raises(Exception, match=pat):
+                query(spark, d).collect()
+            with pytest.raises(Exception):
+                con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
 def test_lattice_guard_catches_nonfinite_values(spark,
                                                 tmp_path_factory):
     """A NaN value casts to 0 under the non-ANSI double→long cast —
