@@ -57,16 +57,18 @@ def _lattice_avg_4dp(col: str | Column, alias: str = "avg_v"):
     count(c) still counts it, silently DEFLATING the mean — while the
     DuckDB twin raises on the same per-row cast. A per-row codegen
     branch (free next to the cast) fails by name instead, covering
-    every query built on this helper. The finite threshold 9.2e12 is
-    the oracle's own per-row BIGINT lattice limit (|x|·1e6 < 2^63),
-    so Spark is loud everywhere the oracle is. NULL falls through
+    every query built on this helper. The finite threshold 9.2233e12
+    sits one conservative step below the oracle's per-row BIGINT
+    lattice limit ((2^63-1)/1e6 ≈ 9.22337e12), so Spark is loud
+    everywhere the oracle is — the boundary value 9.2e12 itself stays
+    legal (test_lattice_avg_past_int64_sum pins it). NULL falls through
     both conditions and stays NULL (skipped by sum AND count — the
     documented missing-value contract)."""
     c = F.col(col) if isinstance(col, str) else col
-    bad = F.isnan(c) | (F.abs(c) >= F.lit(9.2e12))
+    bad = F.isnan(c) | (F.abs(c) > F.lit(9.2233e12))
     lat = (F.when(bad, F.raise_error(F.lit(
                "lattice average: NaN or |value| beyond the 1e-6 "
-               "integer lattice (~9.2e12) — the exact cross-engine "
+               "integer lattice (~9.2233e12) — the exact cross-engine "
                "average cannot represent it (the DuckDB mirror raises "
                "on the same cast); pre-filter or repair"))
            .cast("decimal(38,0)"))

@@ -203,12 +203,13 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal cast silently NULLs NaN/±Inf (deflating the mean against
     # count) where the DuckDB BIGINT lattice raises (round-10 sweep)
     bad = (F.isnan("c_acctbal")
-           | (F.abs("c_acctbal") >= F.lit(9.2e12)))
+           | (F.abs("c_acctbal") > F.lit(9.2233e12)))
     lat = (F.when(bad, F.raise_error(F.lit(
                "idle_rich_customers: NaN or |c_acctbal| beyond the "
-               "1e-6 integer lattice (~9.2e12) — the exact threshold "
-               "average cannot represent it (the DuckDB mirror raises "
-               "on the same cast); pre-filter or repair"))
+               "1e-6 integer lattice (~9.2233e12) — the exact "
+               "threshold average cannot represent it (the DuckDB "
+               "mirror raises on the same cast); pre-filter or "
+               "repair"))
            .cast("decimal(38,0)"))
            .otherwise(F.floor(F.col("c_acctbal") * F.lit(1e6)
                               + F.lit(5e-1))
