@@ -15,7 +15,17 @@ sweep — 73 executions incl. committed seeds, 0 failures). A
 fresh-seed failure gets minimized, its seed committed, and the fix
 landed before the driver ever sees the query. Since round 10 the
 fresh seeds ride $SPARK_GRAFT_EXTRA_SEEDS (see conftest.fuzz_seeds)
-instead of hand-edited parametrize lists."""
+instead of hand-edited parametrize lists.
+
+Round-10 one-off probes that came back CLEAN (no contract needed, so
+no committed fixture — recorded so they aren't re-hunted): negative
+zero (-0.0 vs 0.0 through grouping keys, 4dp serialization, min/max —
+10 events-family pairs hash-match) and timestamp extremes
+(year-0001/9999/pre-epoch rows through sessions, rollups, windows,
+and space-filling keys — 9 pairs hash-match; the two gap-fill grid
+guards raise by name as designed). Non-finite doubles did NOT come
+back clean — that hunt became tools/nan_sweep.py and the
+test_nonfinite_* contracts below."""
 
 from __future__ import annotations
 
