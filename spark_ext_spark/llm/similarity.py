@@ -125,7 +125,8 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
             .otherwise(dot / (na * nb))
 
 
-def _finite_vec(vec: Column, entry: str) -> Column:
+def _finite_vec(vec: Column, entry: str,
+                dim: int | None = None) -> Column:
     """Per-row non-finite guard for an ``array<double>`` vector column
     (round-10 NaN sweep): a single NaN/Inf component silently poisons
     every similarity score, LSH sign bucket, IVF cell distance, and
@@ -138,12 +139,27 @@ def _finite_vec(vec: Column, entry: str) -> Column:
     elements skip the predicate like every other fold here."""
     bad = F.exists(vec, lambda x: F.isnan(x)
                    | (F.abs(x) == F.lit(float("inf"))))
-    return (F.when(bad, F.raise_error(F.lit(
-                f"{entry}: non-finite embedding component (NaN or "
-                "±Infinity) — similarity scores, LSH buckets, and IVF "
-                "cells would silently diverge on it; repair or filter "
-                "the corpus upstream")).cast("array<double>"))
-            .otherwise(vec))
+    out = (F.when(bad, F.raise_error(F.lit(
+               f"{entry}: non-finite embedding component (NaN or "
+               "±Infinity) — similarity scores, LSH buckets, and IVF "
+               "cells would silently diverge on it; repair or filter "
+               "the corpus upstream")).cast("array<double>"))
+           .otherwise(vec))
+    if dim is not None:
+        # ragged-dim probe (round 10): a wrong-length vector NULL-pads
+        # the zip_with folds, so LSH sign bits and IVF cell distances
+        # come out as valid-looking wrong answers (the GEMM paths name
+        # the defect only when the ragged rows happen to co-group).
+        # Where a dim literal exists, reject per-row — cosine between
+        # different-dim vectors is undefined.
+        out = (F.when(F.size(vec) != F.lit(dim), F.raise_error(F.lit(
+                   f"{entry}: embedding dimensionality differs from "
+                   f"the corpus dimension ({dim}) — cosine between "
+                   "different-dim vectors is undefined and bucket/"
+                   "cell assignment would silently mis-place the row; "
+                   "repair or split the corpus")).cast("array<double>"))
+               .otherwise(out))
+    return out
 
 
 def _nn_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -184,14 +200,18 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     kept as the declarative reference plan (good when M is tiny).
     """
     if method == "expr":
+        # dim probe: without it zip_with NULL-pads ragged vectors and
+        # the expr plan silently ranks undefined similarities (the
+        # GEMM path names this defect inside the group)
+        dim = _infer_dim(corpus, vec_col)
         q = (queries.filter(F.col(vec_col).isNotNull())
              .select(F.col(id_col).alias("query_id"),
                      _finite_vec(F.col(vec_col).cast("array<double>"),
-                                 "cosine_topk").alias("qv")))
+                                 "cosine_topk", dim=dim).alias("qv")))
         c = (corpus.filter(F.col(vec_col).isNotNull())
              .select(F.col(id_col).alias("neighbor_id"),
                      _finite_vec(F.col(vec_col).cast("array<double>"),
-                                 "cosine_topk").alias("cv")))
+                                 "cosine_topk", dim=dim).alias("cv")))
         sim = cosine_similarity_col(F.col("qv"), F.col("cv"))
         if round_to is not None:
             sim = F.round(sim, round_to)
@@ -464,7 +484,8 @@ def lsh_buckets(df: DataFrame, n_planes: int = 8, seed: int = 42,
     # guarded ONCE and reused for both the sign fold and the output
     # vec, so a pruned projection (e.g. the id-only uniqueness scan)
     # cannot drop the non-finite check with the column
-    v = _finite_vec(F.col(vec_col).cast("array<double>"), "lsh_buckets")
+    v = _finite_vec(F.col(vec_col).cast("array<double>"),
+                    "lsh_buckets", dim=dim)
     bucket = F.lit(0)
     for p in range(n_planes):
         row = F.array(*[F.lit(float(x)) for x in planes[p]])
@@ -678,6 +699,8 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
                                       vec_col)
 
     emb = _nn_vectors(df, id_col, vec_col)
+    emb = emb.select("vec_id", _finite_vec(
+        F.col("vec"), "ivf_topk", dim=len(centroids[0])).alias("vec"))
     dist_structs = []
     for i, c in enumerate(centroids):
         row = F.array(*[F.lit(float(x)) for x in c])
@@ -710,7 +733,8 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
 IVF_QUANT_SCALE = 1_000_000
 
 
-def _ivf_quantize_expr(vec_col: str) -> Column:
+def _ivf_quantize_expr(vec_col: str,
+                       dim: int | None = None) -> Column:
     """floor(x * 1e6) as array<long> — the integer-lattice projection
     that makes Lloyd's algorithm bit-exact across engines (integer
     sums are associative; double sums are not). The _finite_vec guard
@@ -719,7 +743,7 @@ def _ivf_quantize_expr(vec_col: str) -> Column:
     (or a silent Long-clamp under non-ANSI)."""
     return F.transform(
         _finite_vec(F.col(vec_col).cast("array<double>"),
-                    "ivf quantizer"),
+                    "ivf quantizer", dim=dim),
         lambda x: F.floor(x * F.lit(float(IVF_QUANT_SCALE))).cast("long"))
 
 
@@ -766,7 +790,8 @@ def fit_ivf_centroids_quantized(df: DataFrame, n_centroids: int = 16,
     # otherwise seed a null centroid and crash the fit
     q = (df.filter(F.col(vec_col).isNotNull())
          .select(F.col(id_col).alias("vec_id"),
-                 _ivf_quantize_expr(vec_col).alias("qv")).cache())
+                 _ivf_quantize_expr(vec_col, dim=dim).alias("qv"))
+         .cache())
     init = q.orderBy("vec_id").limit(n_centroids).collect()
     cents = [[int(x) for x in r["qv"]] for r in init]
     if len(cents) < n_centroids:
@@ -817,8 +842,12 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
             df, n_centroids, n_iter, id_col, vec_col)
     emb = (df.filter(F.col(vec_col).isNotNull())  # nulls match nothing
            .select(F.col(id_col).alias("vec_id"),
-                   F.col(vec_col).cast("array<double>").alias("vec"),
-                   _ivf_quantize_expr(vec_col).alias("qv")))
+                   _finite_vec(F.col(vec_col).cast("array<double>"),
+                               "ivf_topk_deterministic",
+                               dim=len(centroids[0])).alias("vec"),
+                   _ivf_quantize_expr(
+                       vec_col,
+                       dim=len(centroids[0])).alias("qv")))
     cbd = _ivf_cells_by_dist(centroids)
     # materialized: the explode branch and the block grid's sizing
     # aggregate both read the interpreted distance fold (see

@@ -1448,6 +1448,40 @@ def test_nonfinite_embeddings_fail_by_name(spark, tmp_path_factory):
             entry()
 
 
+def test_ragged_dim_embeddings_fail_by_name(spark):
+    """A wrong-length vector NULL-pads the zip_with folds, so LSH sign
+    bits, IVF cell distances, and expr-path cosine come out as
+    valid-looking WRONG answers (silently, unless the ragged rows
+    happen to share a GEMM group — where _role_split_gemm already
+    named the defect). Every entry point with a dim literal (or an
+    inferrable one) must reject per-row by name instead."""
+    import numpy as np
+    from spark_ext_spark.llm import similarity as sim
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(1, 20)]
+    rows.append((20, rng.standard_normal(32).tolist()))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    for entry in (
+        lambda: sim.cosine_topk(df, df, k=2, method="expr").collect(),
+        lambda: sim.lsh_topk(df, k=2, check_unique_ids=False).collect(),
+        lambda: sim.ivf_topk_deterministic(
+            df, k=2, n_centroids=4, check_unique_ids=False).collect(),
+        lambda: sim.embedding_near_dups(df, method="lsh",
+                                        check_unique_ids=False).collect(),
+    ):
+        with pytest.raises(Exception,
+                           match="dimensionality differs"):
+            entry()
+    # the GEMM paths name the same defect via the in-group check
+    for entry in (
+        lambda: sim.cosine_topk(df, df, k=2).collect(),
+        lambda: sim.embedding_near_dups(df, method="exact").collect(),
+    ):
+        with pytest.raises(Exception, match="mixed dimensionality"):
+            entry()
+
+
 def test_nonfinite_tpch_value_contracts_cross_engine(spark,
                                                      tmp_path_factory):
     """NaN/±Inf in the lineitem/customer money columns (round-10 NaN
