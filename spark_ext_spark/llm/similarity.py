@@ -135,15 +135,18 @@ def _finite_vec(vec: Column, entry: str,
     cross-engine divergence, not an error. Same contract as the
     duplicate-id scan: invalid corpus → NAMED error; but as an in-plan
     codegen branch it costs nothing and needs no opt-out. NULL vectors
-    pass through (excluded by the callers' isNotNull contract); NULL
-    elements skip the predicate like every other fold here."""
-    bad = F.exists(vec, lambda x: F.isnan(x)
+    pass through (excluded by the callers' isNotNull contract); a NULL
+    ELEMENT is rejected like NaN — three-valued logic would otherwise
+    let it slip through the exists predicate and become NaN inside the
+    GEMM (self-review finding, round 10)."""
+    bad = F.exists(vec, lambda x: x.isNull() | F.isnan(x)
                    | (F.abs(x) == F.lit(float("inf"))))
     out = (F.when(bad, F.raise_error(F.lit(
-               f"{entry}: non-finite embedding component (NaN or "
-               "±Infinity) — similarity scores, LSH buckets, and IVF "
-               "cells would silently diverge on it; repair or filter "
-               "the corpus upstream")).cast("array<double>"))
+               f"{entry}: non-finite or NULL embedding component "
+               "(NaN, ±Infinity, or NULL element) — similarity "
+               "scores, LSH buckets, and IVF cells would silently "
+               "diverge on it; repair or filter the corpus "
+               "upstream")).cast("array<double>"))
            .otherwise(vec))
     if dim is not None:
         # ragged-dim probe (round 10): a wrong-length vector NULL-pads
@@ -162,7 +165,9 @@ def _finite_vec(vec: Column, entry: str,
     return out
 
 
-def _nn_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _nn_vectors(df: DataFrame, id_col: str, vec_col: str,
+                entry: str = "vector search",
+                dim: int | None = None) -> DataFrame:
     """The one invariant every search entry point shares: null
     embeddings are excluded (they can match nothing, and a single null
     row reaching a GEMM group turns the batch ragged and kills the
@@ -173,7 +178,7 @@ def _nn_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return (df.filter(F.col(vec_col).isNotNull())
             .select(F.col(id_col).alias("vec_id"),
                     _finite_vec(F.col(vec_col).cast("array<double>"),
-                                "vector search").alias("vec")))
+                                entry, dim=dim).alias("vec")))
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -202,8 +207,14 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     if method == "expr":
         # dim probe: without it zip_with NULL-pads ragged vectors and
         # the expr plan silently ranks undefined similarities (the
-        # GEMM path names this defect inside the group)
-        dim = _infer_dim(corpus, vec_col)
+        # GEMM path names this defect inside the group). An empty or
+        # all-null corpus has no dim and nothing to mis-rank — keep
+        # the old lazy empty-result behavior (gemm-path parity)
+        # instead of raising at plan build (round-10 self-review)
+        try:
+            dim = _infer_dim(corpus, vec_col)
+        except ValueError:
+            dim = None
         q = (queries.filter(F.col(vec_col).isNotNull())
              .select(F.col(id_col).alias("query_id"),
                      _finite_vec(F.col(vec_col).cast("array<double>"),
@@ -658,9 +669,15 @@ def fit_ivf_centroids(df: DataFrame, n_centroids: int = 16, seed: int = 42,
 
     # null embeddings excluded here too (finding of the round-7
     # self-review: array_to_vector NPEs on a null array, so one bad
-    # row killed the MLlib fit while every other entry point filtered)
+    # row killed the MLlib fit while every other entry point
+    # filtered); non-finite/ragged corpora fail by the _finite_vec
+    # name instead of an opaque MLlib/Arrow error (or silently fitting
+    # NaN centroids) — round-10 self-review
     feat = (df.filter(F.col(vec_col).isNotNull())
-            .select(F.col(vec_col).cast("array<double>").alias("vec"))
+            .select(_finite_vec(F.col(vec_col).cast("array<double>"),
+                                "fit_ivf_centroids",
+                                dim=_infer_dim(df, vec_col))
+                    .alias("vec"))
             .withColumn("__fv", array_to_vector("vec")).cache())
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
                    initMode="random", featuresCol="__fv").fit(feat)
@@ -698,9 +715,8 @@ def ivf_topk(df: DataFrame, k: int, n_centroids: int = 16,
         centroids = fit_ivf_centroids(df, n_centroids, seed, max_iter,
                                       vec_col)
 
-    emb = _nn_vectors(df, id_col, vec_col)
-    emb = emb.select("vec_id", _finite_vec(
-        F.col("vec"), "ivf_topk", dim=len(centroids[0])).alias("vec"))
+    emb = _nn_vectors(df, id_col, vec_col, entry="ivf_topk",
+                      dim=len(centroids[0]))
     dist_structs = []
     for i, c in enumerate(centroids):
         row = F.array(*[F.lit(float(x)) for x in c])
@@ -840,14 +856,13 @@ def ivf_topk_deterministic(df: DataFrame, k: int, n_centroids: int = 16,
     if centroids is None:
         centroids = fit_ivf_centroids_quantized(
             df, n_centroids, n_iter, id_col, vec_col)
+    gv = _finite_vec(F.col(vec_col).cast("array<double>"),
+                     "ivf_topk_deterministic", dim=len(centroids[0]))
     emb = (df.filter(F.col(vec_col).isNotNull())  # nulls match nothing
-           .select(F.col(id_col).alias("vec_id"),
-                   _finite_vec(F.col(vec_col).cast("array<double>"),
-                               "ivf_topk_deterministic",
-                               dim=len(centroids[0])).alias("vec"),
-                   _ivf_quantize_expr(
-                       vec_col,
-                       dim=len(centroids[0])).alias("qv")))
+           .select(F.col(id_col).alias("vec_id"), gv.alias("vec"),
+                   F.transform(gv, lambda x: F.floor(
+                       x * F.lit(float(IVF_QUANT_SCALE))).cast("long"))
+                   .alias("qv")))
     cbd = _ivf_cells_by_dist(centroids)
     # materialized: the explode branch and the block grid's sizing
     # aggregate both read the interpreted distance fold (see

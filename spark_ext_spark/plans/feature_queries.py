@@ -219,11 +219,14 @@ def binning_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BINNING_QUANTITY_SQL = """
 SELECT l_orderkey, l_linenumber,
-       -- isnan first: NaN is OUTSIDE every bin (Spark's last-bin
-       -- upper check 'c <= +Inf' is false for NaN, which Spark orders
-       -- above Infinity → NULL bin), while a bare ELSE would sweep
-       -- NaN into the top bin here (round-10 NaN sweep)
-       CASE WHEN isnan(l_quantity) THEN NULL
+       -- NULL and isnan first: both are OUTSIDE every bin (Spark's
+       -- when-chain leaves NULL input at the final otherwise(NULL),
+       -- and NaN fails the last bin's 'c <= +Inf' upper check since
+       -- Spark orders NaN above Infinity), while a bare ELSE would
+       -- sweep either into the top bin here (round-10 NaN sweep +
+       -- self-review)
+       CASE WHEN l_quantity IS NULL THEN NULL
+            WHEN isnan(l_quantity) THEN NULL
             WHEN l_quantity < 10 THEN 0
             WHEN l_quantity < 25 THEN 1
             WHEN l_quantity < 40 THEN 2

@@ -1432,6 +1432,9 @@ def test_nonfinite_embeddings_fail_by_name(spark, tmp_path_factory):
     inf_v = rng.standard_normal(8).tolist()
     inf_v[0] = float("inf")
     rows.append((21, inf_v))
+    null_el = rng.standard_normal(8).tolist()
+    null_el[5] = None   # NULL ELEMENT: three-valued exists would have
+    rows.append((22, null_el))  # let it through to become GEMM NaN
     df = spark.createDataFrame(rows,
                                "vec_id long, embedding array<double>")
     for entry in (
@@ -1444,7 +1447,8 @@ def test_nonfinite_embeddings_fail_by_name(spark, tmp_path_factory):
         lambda: sim.quantize_embeddings(df).collect(),
         lambda: sim.quantize_embeddings(df, method="expr").collect(),
     ):
-        with pytest.raises(Exception, match="non-finite embedding"):
+        with pytest.raises(Exception,
+                           match="non-finite or NULL embedding"):
             entry()
 
 
@@ -1480,6 +1484,14 @@ def test_ragged_dim_embeddings_fail_by_name(spark):
     ):
         with pytest.raises(Exception, match="mixed dimensionality"):
             entry()
+    # an EMPTY (or all-null-embedding) corpus has no dim and nothing
+    # to mis-rank: both methods return empty instead of the expr
+    # path's dim probe raising at plan build (self-review, round 10)
+    from pyspark.sql import functions as F
+    empty = df.filter(F.col("vec_id") < 0)
+    ok = df.filter(F.col("vec_id") <= 5)
+    assert sim.cosine_topk(ok, empty, k=2, method="expr").count() == 0
+    assert sim.cosine_topk(ok, empty, k=2).count() == 0
 
 
 def test_nonfinite_tpch_value_contracts_cross_engine(spark,
@@ -1507,6 +1519,11 @@ def test_nonfinite_tpch_value_contracts_cross_engine(spark,
                     r[c] = float("inf")
                 elif i % 31 == 0:
                     r[c] = float("-inf")
+                elif i % 37 == 0:
+                    r[c] = None   # NULL alongside non-finite: pins the
+                    # binning oracle's NULL-input branch (Spark's
+                    # when-chain yields a NULL bin, a bare ELSE would
+                    # sweep NULL into the top bin)
         pq.write_table(pa.Table.from_pylist(rows, schema=t.schema),
                        f"{d}/{table}.parquet")
 

@@ -141,11 +141,18 @@ def main():
         # final code" was undecidable from the artifact alone)
         try:
             import subprocess
+            repo = os.path.dirname(__file__)
             head = subprocess.run(
-                ["git", "-C", os.path.dirname(__file__), "rev-parse",
-                 "--short", "HEAD"],
+                ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
                 capture_output=True, text=True, timeout=10,
             ).stdout.strip() or None
+            # a sweep on uncommitted changes must not masquerade as
+            # evidence for the stamped commit (self-review, round 10)
+            if head and subprocess.run(
+                    ["git", "-C", repo, "status", "--porcelain"],
+                    capture_output=True, text=True, timeout=10,
+            ).stdout.strip():
+                head += "-dirty"
         except Exception:  # noqa: BLE001 — evidence must still record
             head = None
         doc[key] = {

@@ -102,25 +102,29 @@ def main() -> None:
     for name in sorted(oracles):
         spark.catalog.clearCache()
         s_err = d_err = None
+        # optimistic single execution: most queries MATCH, so try the
+        # full compare first and only on failure probe each engine
+        # separately to classify (self-review: the old probe-then-
+        # compare shape ran every green Spark plan twice)
         try:
-            qs[name](spark, d).collect()
-        except Exception as e:  # noqa: BLE001 — classification sweep
-            s_err = f"{type(e).__name__}: {str(e)[:80]}"
-        try:
-            con.execute(oracles[name]).fetchall()
-        except Exception as e:  # noqa: BLE001
-            d_err = f"{type(e).__name__}: {str(e)[:80]}"
-        if s_err and d_err:
-            cls = "BOTH_RAISE"
-        elif s_err:
-            cls = "SPARK_RAISES"
-        elif d_err:
-            cls = "DUCK_RAISES"
-        else:
+            compare_to_oracle(qs[name](spark, d), con, oracles[name])
+            cls = "MATCH"
+        except Exception:  # noqa: BLE001 — classify below
             try:
-                compare_to_oracle(qs[name](spark, d), con, oracles[name])
-                cls = "MATCH"
-            except Exception:  # noqa: BLE001
+                qs[name](spark, d).collect()
+            except Exception as e:  # noqa: BLE001
+                s_err = f"{type(e).__name__}: {str(e)[:80]}"
+            try:
+                con.execute(oracles[name]).fetchall()
+            except Exception as e:  # noqa: BLE001
+                d_err = f"{type(e).__name__}: {str(e)[:80]}"
+            if s_err and d_err:
+                cls = "BOTH_RAISE"
+            elif s_err:
+                cls = "SPARK_RAISES"
+            elif d_err:
+                cls = "DUCK_RAISES"
+            else:
                 cls = "DIVERGE"
         tally[cls] = tally.get(cls, 0) + 1
         expected = next((k for k, v in EXPECTED.items() if name in v),
