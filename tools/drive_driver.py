@@ -147,9 +147,14 @@ def main():
                 capture_output=True, text=True, timeout=10,
             ).stdout.strip() or None
             # a sweep on uncommitted changes must not masquerade as
-            # evidence for the stamped commit (self-review, round 10)
+            # evidence for the stamped commit (self-review, round 10).
+            # Scoped to behavior-affecting paths: the first cell of a
+            # multi-config sweep WRITES this very artifact, which would
+            # otherwise mark every later cell dirty
             if head and subprocess.run(
-                    ["git", "-C", repo, "status", "--porcelain"],
+                    ["git", "-C", repo, "status", "--porcelain", "--",
+                     "spark_ext_spark", "__spark_entry__.py", "bench.py",
+                     "tools", "tests"],
                     capture_output=True, text=True, timeout=10,
             ).stdout.strip():
                 head += "-dirty"
