@@ -11,7 +11,9 @@ seeds in a throwaway session before driver contact (round 9: seeds
 101/202/303/404/505 across all nine families plus both as-of ts types
 — 55 executions, 0 failures; round 10: seeds 113/227/331/443/557
 across all TEN families incl. the new hostile-interval range-join
-sweep — 73 executions incl. committed seeds, 0 failures). A
+sweep — 73 executions incl. committed seeds, 0 failures — plus a
+second wave at 613/719/823 on the round's FINAL code after the
+non-finite/ragged-dim guard campaign, 53 executions, 0 failures). A
 fresh-seed failure gets minimized, its seed committed, and the fix
 landed before the driver ever sees the query. Since round 10 the
 fresh seeds ride $SPARK_GRAFT_EXTRA_SEEDS (see conftest.fuzz_seeds)
