@@ -43,92 +43,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compare fails on equal values. Wrap integer aggregates in
     ``CAST(... AS BIGINT)``; enforced by tests/test_oracle_types.py."""
     return {
-        # --- Round-10 window (entries 1-50 = driver hash-checked) ---
+        # --- Round-11 window (entries 1-50 = driver hash-checked) ---
         # Rotation history: r7 validation/gap-fill/heavy-report/SQL-
         # surface; r8 the 8 join-heaviest TPC-H shapes + 6 report/OLAP
-        # rows; r9 the COMPLETION window (first contact for the last 29
-        # queries — cumulative driver evidence now 135/135). From r10
-        # the policy is FRESHNESS rotation: re-check whatever has gone
-        # longest without driver contact. Every rotated-out name keeps
-        # running in the bench and the committed 3-config local sweeps.
+        # rows; r9 the COMPLETION window (cumulative driver evidence
+        # 135/135); r10 the first FRESHNESS rotation (core OLAP family
+        # last checked r2, plus the r4/r5/r6 stragglers — 48 hash-green
+        # + 2 rows-only, zero surprises). Policy from r10 on: re-check
+        # whatever has gone longest without driver contact. Every
+        # rotated-out name keeps running in the bench and the committed
+        # multi-config local sweeps.
         #
-        # r10 = exactly the set pinned in round 9: the 22 queries last
-        # checked in round 2 (core OLAP family), local_lr_model (last
-        # r4), the 7 round-5 rows, approx_user_stats (its r9 rows-only
-        # check crashed the driver canonicalizer on an array column —
-        # re-landed with scalar q50/q95/q99, VERDICT r9 item 1), the 12
-        # round-6 rows, and 7 round-7 flagship re-checks to fill 50.
-        # After this window no query's last contact is older than r7.
+        # r11 = exactly the set pinned in round 10: the 7 remaining
+        # r7 rows, the 29 rows whose last contact was the r8 window
+        # (range_join_windows .. daily_active_users, i.e. the r8 set
+        # minus its r9/r10 re-checks), and 14 r9 core re-checks to
+        # fill 50 (heavy/flagship families: gather, curves, LSH/ANN,
+        # as-of chunked, profile, clustering, sketches — including
+        # sketch_user_rollup so the rows-only evidence rotates too).
+        # After this window no query's last contact is older than r9.
         #
-        # ROUND-11 WINDOW (pinned now, same policy): the 7 remaining
-        # r7 rows (text_stats, source_capped_corpus, doc_sample_k,
-        # train_test_split, embedding_quantize, media_sniff_formats,
-        # asof_join_orders), the 29 r8 rows (range_join_windows ..
-        # daily_active_users — re-derive from the CORRECTNESS_r{N}
-        # union when executing), and 14 r9 core re-checks to fill 50.
-        # --- 1-22: the core OLAP family (last contact r2) ------------
-        "global_agg": rel.global_agg,
-        "join_revenue_by_nation": rel.revenue_by_nation,
-        "topk_users": rel.top_users_by_value,
-        "window_cumsum": rel.cumulative_user_value,
-        "distinct_pairs": rel.distinct_user_event_pairs,
-        "union_all_counts": rel.union_all_keys,
-        "left_join_order_counts": rel.left_join_order_counts,
-        "semi_join_urgent": rel.semi_join_active_customers,
-        "anti_join_no_orders": rel.anti_join_inactive_customers,
-        "rollup_revenue": rel.rollup_order_revenue,
-        "cube_order_stats": rel.cube_order_stats,
-        "price_percentiles": rel.price_percentiles,
-        "hourly_rollup": rel.hourly_rollup,
-        "shipping_priority": rel.shipping_priority,
-        "intersect_buyers": rel.intersect_high_value_buyers,
-        "except_non_urgent": rel.except_low_priority_only,
-        "priority_pivot": rel.priority_pivot,
-        "fingerprints": lq.doc_fingerprints,
-        "gather_flat": gq.gather_user_events_flat,
-        "gather_count": gq.gather_user_event_counts,
-        "token_counts": lq.token_counts,
-        "media_byte_stats": lq.media_byte_stats,
-        # --- 23: last contact r4 (rows-only; R-glmnet goldens pin the
-        # values in tests/test_classification.py) ---------------------
-        "local_lr_model": mq.local_lr_model,
-        # --- 24-30: last contact r5 ----------------------------------
-        "collect_array_distinct": rel.user_distinct_event_types,
-        "gather_encoder_distfit": fq.gather_encoder_distfit,
-        "doc_chunks": lq.doc_chunks,
-        "doc_lm_scores": lq.doc_lm_scores,
-        "f_measure": eq.f_measure_by_threshold,
-        "lift_curve": eq.lift_curve,
-        "recall_by_threshold": eq.recall_by_threshold,
-        # --- 31: re-land after the r9 canonicalizer crash (rows-only;
-        # scalar quantile columns now — tests/test_oracle_types.py) ---
-        "approx_user_stats": rel.approx_user_stats,
-        # --- 32-43: last contact r6 ----------------------------------
-        "gather_encoder_top_allother": fq.gather_encoder_top_allother,
-        "gather_encoder_index": fq.gather_encoder_index,
-        "downsampling_hash": fq.downsampling_hash,
-        "gains_curve": eq.gains_curve,
-        "roc_curve": eq.roc_curve,
-        "precision_by_threshold": eq.precision_by_threshold,
-        "ngram_jaccard": lq.ngram_jaccard,
-        "simhash_pairs": lq.simhash_pairs,
-        "winnow_pairs": lq.winnow_pairs,
-        "tfidf_top_terms": lq.tfidf_top_terms,
-        "doc_quality": lq.doc_quality,
-        "theta_user_rollup": rel.theta_user_rollup,
-        # --- 44-50: r7 flagship re-checks filling the window ---------
-        "gather_encoder_top": fq.gather_encoder_top,
-        "binning": fq.binning_quantity,
-        "roc_curve_binned": eq.roc_curve_binned,
-        "s2_cells": mq.s2_cells,
-        "string_indexer": fq.string_indexer,
-        "exact_dedup": lq.exact_dedup,
-        "cosine_topk": lq.cosine_topk_bruteforce,
-        # --- 51+: bench/local-sweep coverage only (all green via
-        # tests/test_oracle_parity.py at sf0.001 and prior rounds'
-        # driver windows). cosine_topk above is entry #50, the last
-        # driver-checked position — count before moving this boundary;
-        # test_driver_window_composition pins the exact set.
+        # ROUND-12 WINDOW (pinned now, same policy): the 35 remaining
+        # r9 rows (language_id, sequence_packing, embedding_near_dups,
+        # pricing_summary, tpch_q6_forecast, moving_avg_7d,
+        # event_sessions, hourly_gapfill, source_temperature_mix,
+        # pii_redaction, embedding_norms, score_thresholds,
+        # doc_repetition, top_orders_per_customer, user_value_deltas,
+        # acctbal_deciles, above_class_avg, tpch_q4/q10/q11/q12/q14/
+        # q15/q16/q19/q22, cheapest_order_per_customer, doc_sentences,
+        # stratified_sample_events, value_statistics,
+        # corpus_dedup_stats, length_batches, lineitem_measure_stats,
+        # hilbert_event_keys, quality_top_fraction), plus 15 r10 core
+        # re-checks to fill 50 (pick the r10 window's heavy/flagship
+        # rows when executing).
+        # --- 1-7: the remaining r7 rows ------------------------------
         "text_stats": lq.doc_text_stats,
         "source_capped_corpus": lq.source_capped_corpus,
         "doc_sample_k": lq.doc_sample_k,
@@ -136,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": lq.embedding_quantize,
         "media_sniff_formats": lq.media_sniff_formats,
         "asof_join_orders": lq.asof_join_orders,
+        # --- 8-36: last contact r8 -----------------------------------
         "range_join_windows": rel.events_in_order_windows,
         "salted_user_totals": rel.salted_user_totals,
         "top_event_per_user": rel.top_event_per_user,
@@ -165,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_mix_report": lq.language_mix_report,
         "doc_gopher_rules": lq.doc_gopher_rules,
         "daily_active_users": rel.daily_active_users,
+        # --- 37-50: 14 r9 core re-checks (heavy/flagship families) ---
         "collect_array": rel.user_event_types,
         "gather": gq.gather_user_events,
         "auc_metrics": eq.auc_metrics,
@@ -173,21 +123,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr_newton_steps": mq.lr_newton_steps,
         "minhash_lsh": lq.minhash_lsh,
         "dup_clusters": lq.dup_clusters,
-        "language_id": lq.doc_language_id,
-        "sequence_packing": lq.sequence_packing,
         "ann_lsh_topk": lq.ann_lsh_topk,
-        "embedding_near_dups": lq.embedding_near_dup_pairs,
         "ann_ivf_topk": lq.ann_ivf_topk,
         "media_pipeline": lq.media_pipeline,
         "asof_join_orders_chunked": lq.asof_join_orders_chunked,
         "table_profile": rel.table_profile,
+        "semantic_clusters": lq.semantic_clusters,
+        "kmv_user_stats": rel.kmv_user_stats,
+        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
+        # --- 51+: bench/local-sweep coverage only (all green via
+        # tests/test_oracle_parity.py at sf0.001 and prior rounds'
+        # driver windows). sketch_user_rollup above is entry #50, the
+        # last driver-checked position — count before moving this
+        # boundary; test_driver_window_composition pins the exact set.
+        "global_agg": rel.global_agg,
+        "join_revenue_by_nation": rel.revenue_by_nation,
+        "topk_users": rel.top_users_by_value,
+        "window_cumsum": rel.cumulative_user_value,
+        "distinct_pairs": rel.distinct_user_event_pairs,
+        "union_all_counts": rel.union_all_keys,
+        "left_join_order_counts": rel.left_join_order_counts,
+        "semi_join_urgent": rel.semi_join_active_customers,
+        "anti_join_no_orders": rel.anti_join_inactive_customers,
+        "rollup_revenue": rel.rollup_order_revenue,
+        "cube_order_stats": rel.cube_order_stats,
+        "price_percentiles": rel.price_percentiles,
+        "hourly_rollup": rel.hourly_rollup,
+        "shipping_priority": rel.shipping_priority,
+        "intersect_buyers": rel.intersect_high_value_buyers,
+        "except_non_urgent": rel.except_low_priority_only,
+        "priority_pivot": rel.priority_pivot,
+        "fingerprints": lq.doc_fingerprints,
+        "gather_flat": gq.gather_user_events_flat,
+        "gather_count": gq.gather_user_event_counts,
+        "token_counts": lq.token_counts,
+        "media_byte_stats": lq.media_byte_stats,
+        "local_lr_model": mq.local_lr_model,  # rows-only
+        "collect_array_distinct": rel.user_distinct_event_types,
+        "gather_encoder_distfit": fq.gather_encoder_distfit,
+        "doc_chunks": lq.doc_chunks,
+        "doc_lm_scores": lq.doc_lm_scores,
+        "f_measure": eq.f_measure_by_threshold,
+        "lift_curve": eq.lift_curve,
+        "recall_by_threshold": eq.recall_by_threshold,
+        "approx_user_stats": rel.approx_user_stats,  # rows-only
+        "gather_encoder_top_allother": fq.gather_encoder_top_allother,
+        "gather_encoder_index": fq.gather_encoder_index,
+        "downsampling_hash": fq.downsampling_hash,
+        "gains_curve": eq.gains_curve,
+        "roc_curve": eq.roc_curve,
+        "precision_by_threshold": eq.precision_by_threshold,
+        "ngram_jaccard": lq.ngram_jaccard,
+        "simhash_pairs": lq.simhash_pairs,
+        "winnow_pairs": lq.winnow_pairs,
+        "tfidf_top_terms": lq.tfidf_top_terms,
+        "doc_quality": lq.doc_quality,
+        "theta_user_rollup": rel.theta_user_rollup,
+        "gather_encoder_top": fq.gather_encoder_top,
+        "binning": fq.binning_quantity,
+        "roc_curve_binned": eq.roc_curve_binned,
+        "s2_cells": mq.s2_cells,
+        "string_indexer": fq.string_indexer,
+        "exact_dedup": lq.exact_dedup,
+        "cosine_topk": lq.cosine_topk_bruteforce,
+        "language_id": lq.doc_language_id,
+        "sequence_packing": lq.sequence_packing,
+        "embedding_near_dups": lq.embedding_near_dup_pairs,
         "pricing_summary": rel.pricing_summary,
         "tpch_q6_forecast": tpch.forecast_revenue_change,
         "moving_avg_7d": rel.moving_avg_7d,
-        "kmv_user_stats": rel.kmv_user_stats,
         "event_sessions": rel.event_sessions,
         "hourly_gapfill": rel.hourly_gapfill,
-        "semantic_clusters": lq.semantic_clusters,
         "source_temperature_mix": lq.source_temperature_mix,
         "pii_redaction": lq.pii_redaction,
         "embedding_norms": lq.embedding_norms,
@@ -215,7 +221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_measure_stats": rel.lineitem_measure_stats,
         "hilbert_event_keys": rel.hilbert_event_keys,
         "quality_top_fraction": lq.quality_top_fraction,
-        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
     }
 
 

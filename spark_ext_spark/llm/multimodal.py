@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import warnings
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -57,10 +57,19 @@ def sniff_format(bin_col) -> "F.Column":
     return expr
 
 
-def attach_media(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+def attach_media(df: DataFrame, id_col: str, bin_col: str,
+                 keep: "Sequence[str]" = ()) -> DataFrame:
     """Wrap a raw binary column into (id, media binary, media_meta
     struct) — format sniffed from magic bytes, byte_len filled,
-    decode-dependent fields left null until decode_media runs."""
+    decode-dependent fields left null until decode_media runs.
+
+    ``keep`` carries sidecar columns (source, license, crawl date …)
+    through the pipeline row-aligned. Before round 11 callers had to
+    join sidecars back by media_id after the media stages — an extra
+    shuffle at scale, and a silent FAN-OUT whenever ids are duplicated
+    upstream (the r11 media sweep caught media_pipeline double-counting
+    duplicated doc_ids exactly this way). decode_media / resize_media /
+    sample_frames pass any extra input columns through unchanged."""
     b = F.col(bin_col)
     meta = F.struct(
         sniff_format(b).alias("format"),
@@ -69,7 +78,20 @@ def attach_media(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("n_frames"))
     return df.select(F.col(id_col).alias("media_id"), b.alias("media"),
-                     meta.alias("media_meta"))
+                     meta.alias("media_meta"),
+                     *[F.col(c) for c in keep])
+
+
+def _sidecars(df: DataFrame) -> list:
+    """Extra input columns beyond the media triple — passed through
+    every stage unchanged (see attach_media ``keep``)."""
+    return [f for f in df.schema.fields
+            if f.name not in ("media_id", "media", "media_meta")]
+
+
+def _sidecar_ddl(fields) -> str:
+    return "".join(f", {f.name} {f.dataType.simpleString()}"
+                   for f in fields)
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -188,8 +210,10 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     # media_id keeps its own type: attach_media accepts any id column
     # (string/UUID ids included), so a hardcoded bigint here would die
     # at Arrow conversion on the executors
+    extras = _sidecars(df)
     out_schema = (f"media_id {df.schema['media_id'].dataType.simpleString()}"
-                  ", media binary, media_meta " + MEDIA_META_SCHEMA)
+                  ", media binary, media_meta " + MEDIA_META_SCHEMA
+                  + _sidecar_ddl(extras))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,11 +242,14 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                 logging.getLogger(__name__).warning(
                     "decode_media: %d/%d payloads undecodable in this "
                     "batch (last error: %s)", n_err, len(pdf), last_err)
-            yield pd.DataFrame({"media_id": pdf["media_id"],
-                                "media": pdf["media"],
-                                "media_meta": metas})
+            out = {"media_id": pdf["media_id"], "media": pdf["media"],
+                   "media_meta": metas}
+            for f in extras:
+                out[f.name] = pdf[f.name]
+            yield pd.DataFrame(out)
 
-    return (df.select("media_id", "media", "media_meta")
+    return (df.select("media_id", "media", "media_meta",
+                      *[f.name for f in extras])
             .mapInPandas(decode, schema=out_schema))
 
 
@@ -263,13 +290,15 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     # because Spark's greatest SKIPS null arguments.
     idx = F.when(n_frames >= 1,
                  F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
+    extras = [f.name for f in _sidecars(df)]
     return (df
             .select("media_id", F.explode(idx).alias("frame_idx"),
                     F.sha2(F.concat(F.col("media"),
                                     F.lit(":"),
                                     F.col("frame_idx").cast("string")
                                     .cast("binary")), 256)
-                    .alias("frame_stub")))
+                    .alias("frame_stub"),
+                    *[F.col(c) for c in extras]))
 
 
 def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
@@ -282,8 +311,10 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     content-addressed binary. Swap the digest for PIL's
     ``Image.resize`` bytes in production; schema, batch shape and
     column pruning are identical."""
+    extras = _sidecars(df)
     out_schema = (f"media_id {df.schema['media_id'].dataType.simpleString()}"
-                  ", media binary, media_meta " + MEDIA_META_SCHEMA)
+                  ", media binary, media_meta " + MEDIA_META_SCHEMA
+                  + _sidecar_ddl(extras))
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -298,9 +329,12 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
                               "byte_len": len(stub),
                               "width": width, "height": height,
                               "n_frames": meta["n_frames"]})
-            yield pd.DataFrame({"media_id": pdf["media_id"],
-                                "media": payloads,
-                                "media_meta": metas})
+            out = {"media_id": pdf["media_id"], "media": payloads,
+                   "media_meta": metas}
+            for f in extras:
+                out[f.name] = pdf[f.name]
+            yield pd.DataFrame(out)
 
-    return (df.select("media_id", "media", "media_meta")
+    return (df.select("media_id", "media", "media_meta",
+                      *[f.name for f in extras])
             .mapInPandas(resize, schema=out_schema))

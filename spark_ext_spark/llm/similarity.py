@@ -203,6 +203,13 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     method="expr": all-JVM crossJoin + zip_with/aggregate + window —
     kept as the declarative reference plan (good when M is tiny).
+    NOTE: this path runs an EAGER one-row Spark job at plan-build
+    time (``_infer_dim`` reads the corpus's first non-null vector to
+    pin the ragged-dim guard's expected dimension) — so unlike the
+    gemm path the returned DataFrame is not fully lazy, and if the
+    corpus's FIRST row is itself ragged, every well-formed row will
+    be the one reported as dimension-mismatched (the guard trusts the
+    probed row; repair order matters).
     """
     if method == "expr":
         # dim probe: without it zip_with NULL-pads ragged vectors and

@@ -767,27 +767,39 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the format sniff is separately oracle-checked by
     media_sniff_formats."""
     docs = load(spark, sf_dir, "documents")
+    # source rides through every stage as a sidecar column (attach_media
+    # keep=, round 11) instead of being joined back by media_id at the
+    # end: the join-back cost an extra shuffle AND silently FANNED OUT
+    # on duplicated doc_ids — items×docs both duplicated → n²
+    # rows per id, inflating n_items/total_bytes where the per-row
+    # oracle (and any sane reading) counts rows. Found by the r11
+    # media byte-handling sweep on a duplicated-id fixture.
     media = multimodal.attach_media(
-        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
-        "doc_id", "payload")
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"),
+                    "source"),
+        "doc_id", "payload", keep=["source"])
     decoded = multimodal.decode_media(media)
     resized = multimodal.resize_media(decoded, width=64, height=64)
     frames = multimodal.sample_frames(resized, every_n=5)
-    fcnt = frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_sampled"))
-    # byte_len is filled by attach_media and copied unchanged through
-    # decode — read it from the attach output so the decode UDF runs
-    # once (reading from `decoded` here re-executed the Arrow decode
-    # pass a second time for this branch)
-    items = media.select(
-        "media_id", F.col("media_meta.byte_len").alias("byte_len"))
-    return (items.join(fcnt, "media_id", "left")
-            .join(docs.select(F.col("doc_id").alias("media_id"), "source"),
-                  "media_id")
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.sum("byte_len").alias("total_bytes"),
-                 F.round(F.avg("n_sampled"), 4).alias("avg_frames_sampled")))
+    # per-source frame totals; undecodable items (NULL/empty payload)
+    # emit no frame rows, so n_decodable comes from the attach side
+    # (byte_len >= 1 ⟺ the fake decode path yields dims)
+    fcnt = (frames.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("__n_frames")))
+    stats = (media.select(
+                 "source", F.col("media_meta.byte_len").alias("byte_len"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.sum("byte_len").alias("total_bytes"),
+                  F.sum(F.when(F.col("byte_len") >= 1, 1).otherwise(0))
+                   .alias("__n_dec")))
+    # null-safe: a NULL source is a group like any other in both aggs
+    return (stats.join(F.broadcast(fcnt),
+                       stats["source"].eqNullSafe(fcnt["source"]), "left")
+            .select(stats["source"], "n_items", "total_bytes",
+                    F.round(F.col("__n_frames")
+                            / F.nullif(F.col("__n_dec"), F.lit(0)), 4)
+                    .alias("avg_frames_sampled")))
 
 
 MEDIA_PIPELINE_SQL = """
@@ -1427,13 +1439,20 @@ def media_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte format sniffing, oracle-checked: synthetic payloads
     get a real container magic (png/jpeg/gif/riff by doc_id%4, a 5th
     class left bare) prepended to the text bytes; attach_media must
-    classify every payload identically to DuckDB's blob arithmetic."""
+    classify every payload identically to DuckDB's blob arithmetic.
+
+    pmod, not %: both engines' % is sign-preserving, so a NEGATIVE
+    doc_id made Spark's ``element_at(arr, doc_id % 5 + 1)`` count from
+    the END (or die on index 0) while the oracle's CASE fell through
+    to the bare class — a silent class-assignment split the positive-id
+    testdata never fires (r11 media byte-handling sweep find); both
+    sides now normalize the remainder to [0, 5)."""
     docs = load(spark, sf_dir, "documents")
     magic_hex = F.element_at(
         F.array(F.lit("89504e470d0a1a0a"), F.lit("ffd8ffe000104a46"),
                 F.lit("4749463839616161"), F.lit("5249464624000000"),
                 F.lit("")),
-        (F.col("doc_id") % 5 + 1).cast("int"))
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"))
     payload = F.concat(F.unhex(magic_hex), F.encode("text", "utf-8"))
     media = multimodal.attach_media(
         docs.select("doc_id", payload.alias("payload")),
@@ -1447,7 +1466,9 @@ def media_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_SNIFF_FORMATS_SQL = """
 WITH p AS (
   SELECT doc_id,
-         from_hex(CASE doc_id % 5
+         -- ((x % 5) + 5) % 5 = Spark's pmod: % is sign-preserving in
+         -- both engines, so negative ids need the same normalization
+         from_hex(CASE ((doc_id % 5) + 5) % 5
                   WHEN 0 THEN '89504e470d0a1a0a'
                   WHEN 1 THEN 'ffd8ffe000104a46'
                   WHEN 2 THEN '4749463839616161'

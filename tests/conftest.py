@@ -25,8 +25,18 @@ def fuzz_seeds(*committed: int) -> list[int]:
     instead of hand-editing nine parametrize lists. A fresh-seed
     failure still gets minimized and its seed committed here."""
     extra = os.environ.get("SPARK_GRAFT_EXTRA_SEEDS", "")
-    return list(committed) + [int(s) for s in extra.split(",")
-                              if s.strip()]
+    seeds = list(committed)
+    for tok in extra.split(","):
+        if not tok.strip():
+            continue
+        try:
+            seeds.append(int(tok))
+        except ValueError:
+            pytest.exit(
+                "SPARK_GRAFT_EXTRA_SEEDS must be comma-separated "
+                f"integers; got {tok.strip()!r} in {extra!r}",
+                returncode=4)
+    return seeds
 
 
 @pytest.fixture(scope="session")

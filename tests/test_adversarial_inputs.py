@@ -1182,6 +1182,68 @@ def test_randomized_docs_assembly_parity(spark, tmp_path_factory, seed):
         con.close()
 
 
+@pytest.mark.parametrize("seed", fuzz_seeds(61, 73),
+                         ids=lambda s: f"seed{s}")
+def test_randomized_media_payload_parity(spark, tmp_path_factory, seed):
+    """The multimodal byte-handling family (attach→sniff, byte stats,
+    the full attach→decode→resize→frame-sample pipeline) over seeded
+    hostile documents: NULL/empty texts, texts whose PLAIN ASCII
+    happens to start with a container magic (GIF8/RIFF/ID3/fLaC — the
+    sniff must classify a bare payload from its bytes, wherever they
+    came from), astral emoji and combining marks (UTF-8 multibyte
+    prefixes through substring/hex), 10k-char payloads, duplicated
+    doc_ids, NULL sources, and NEGATIVE + int64-extreme doc_ids (the
+    r11 find: element_at(arr, doc_id % 5 + 1) counts from the END for
+    Spark's sign-preserving negative remainders while the oracle CASE
+    falls through to the bare class — pmod on both engines now)."""
+    import random
+    rng = random.Random(seed)
+    magic_texts = ["GIF89a not an image", "RIFF$WAVEfmt", "ID3v2 tag",
+                   "fLaC stream", "\x89PNG looks binary but is text"]
+    pieces = ["hello", "é", "漢字", "😀🎉", "á̂", "x" * 10000,
+              "Mr. X", "", "\t\n"]
+    rows = []
+    ids = list(range(-40, 0)) + list(range(1, 41)) + [
+        2**62, 2**62 + 3, -(2**61)]
+    rng.shuffle(ids)
+    for i in ids:
+        r = rng.random()
+        if r < 0.08:
+            text = None
+        elif r < 0.16:
+            text = ""
+        elif r < 0.30:
+            text = rng.choice(magic_texts)
+        else:
+            text = " ".join(rng.choice(pieces)
+                            for _ in range(rng.randrange(0, 8)))
+        src = None if rng.random() < 0.1 else rng.choice(
+            ["web", "wiki", "forum"])
+        rows.append((i, text, "en", src,
+                     None if text is None else len(text)))
+        if rng.random() < 0.05:
+            rows.append(rows[-1])                 # duplicated doc_id
+    d = str(tmp_path_factory.mktemp(f"randmedia{seed}"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    lq = _lq()
+    try:
+        for qname, sqlname in [
+            ("media_byte_stats", "MEDIA_BYTE_STATS_SQL"),
+            ("media_sniff_formats", "MEDIA_SNIFF_FORMATS_SQL"),
+            ("media_pipeline", "MEDIA_PIPELINE_SQL"),
+        ]:
+            compare_to_oracle(getattr(lq, qname)(spark, d), con,
+                              getattr(lq, sqlname))
+    finally:
+        con.close()
+
+
 @pytest.fixture(scope="module")
 def constant_value_sf(spark, tmp_path_factory):
     """r8 advice scenario: a constant value of 2999.999999 (vq =

@@ -69,41 +69,42 @@ def test_semantic_clusters_exact_variant(spark, duck):
 
 
 # The driver hash-checks exactly these 50 entries (dict order).
-# Round 10 executes the FRESHNESS rotation pinned in round 9 (with
+# Round 11 executes the FRESHNESS rotation pinned in round 10 (with
 # 135/135 cumulative coverage, re-check whatever has gone longest
-# without driver contact): entries 1-22 are the core OLAP family last
-# checked in round 2, entry 23 local_lr_model (last r4, rows-only),
-# entries 24-30 the round-5 rows, entry 31 approx_user_stats
-# (re-landed after its r9 rows-only check crashed the driver
-# canonicalizer on an array column — now scalar q50/q95/q99), entries
-# 32-43 the round-6 rows, entries 44-50 seven round-7 flagship
-# re-checks. After this window no query's last driver contact is
-# older than round 7.
+# without driver contact): entries 1-7 are the seven remaining rows
+# whose last contact was round 7, entries 8-36 the 29 rows last
+# checked in the round-8 window (the r8 set minus its r9/r10
+# re-checks), entries 37-50 fourteen round-9 core re-checks covering
+# the heavy/flagship families (gather, curves, LSH/ANN, chunked
+# as-of, profile, clustering, sketches) — including sketch_user_rollup
+# so the rows-only evidence rotates too. After this window no query's
+# last driver contact is older than round 9.
 DRIVER_WINDOW = [
-    "global_agg", "join_revenue_by_nation", "topk_users",
-    "window_cumsum", "distinct_pairs", "union_all_counts",
-    "left_join_order_counts", "semi_join_urgent",
-    "anti_join_no_orders", "rollup_revenue", "cube_order_stats",
-    "price_percentiles", "hourly_rollup", "shipping_priority",
-    "intersect_buyers", "except_non_urgent", "priority_pivot",
-    "fingerprints", "gather_flat", "gather_count", "token_counts",
-    "media_byte_stats",
-    "local_lr_model",
-    "collect_array_distinct", "gather_encoder_distfit", "doc_chunks",
-    "doc_lm_scores", "f_measure", "lift_curve", "recall_by_threshold",
-    "approx_user_stats",
-    "gather_encoder_top_allother", "gather_encoder_index",
-    "downsampling_hash", "gains_curve", "roc_curve",
-    "precision_by_threshold", "ngram_jaccard", "simhash_pairs",
-    "winnow_pairs", "tfidf_top_terms", "doc_quality",
-    "theta_user_rollup",
-    "gather_encoder_top", "binning", "roc_curve_binned", "s2_cells",
-    "string_indexer", "exact_dedup", "cosine_topk",
+    "text_stats", "source_capped_corpus", "doc_sample_k",
+    "train_test_split", "embedding_quantize", "media_sniff_formats",
+    "asof_join_orders",
+    "range_join_windows", "salted_user_totals", "top_event_per_user",
+    "props_variant_extract", "zorder_events", "ngram_containment",
+    "repeated_ngrams", "benchmark_contamination",
+    "lineitem_expectations", "hourly_zscores",
+    "dedup_reduction_report", "sql_grouping_sets",
+    "props_json_extract", "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q13_order_histogram",
+    "tpch_q17_small_qty", "tpch_q18_large_orders",
+    "tpch_q20_promo_suppliers", "hourly_interpolate",
+    "value_robust_stats", "mixture_report", "language_mix_report",
+    "doc_gopher_rules", "daily_active_users",
+    "collect_array", "gather", "auc_metrics", "lr_newton_steps",
+    "minhash_lsh", "dup_clusters", "ann_lsh_topk", "ann_ivf_topk",
+    "media_pipeline", "asof_join_orders_chunked", "table_profile",
+    "semantic_clusters", "kmv_user_stats", "sketch_user_rollup",
 ]
 
-# The two deliberately rows-only window rows — everything else in the
+# The one deliberately rows-only window row — everything else in the
 # window must carry a DuckDB oracle.
-WINDOW_ROWS_ONLY = {"local_lr_model", "approx_user_stats"}
+WINDOW_ROWS_ONLY = {"sketch_user_rollup"}
 
 
 def test_driver_window_composition():

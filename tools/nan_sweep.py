@@ -80,9 +80,13 @@ def build_fixture(dst: str) -> None:
             for i in range(0, len(emb), 29):
                 if emb[i] and len(emb[i]) > 1:
                     emb[i][1] = float("inf")
+            # keep the SOURCE element type: a hardcoded list<float32>
+            # would silently narrow a float64 corpus, so the sweep
+            # would no longer exercise production-precision values
             tb = tb.set_column(tb.schema.get_field_index("embedding"),
                                "embedding",
-                               pa.array(emb, pa.list_(pa.float32())))
+                               pa.array(emb,
+                                        tb.schema.field("embedding").type))
         pq.write_table(tb, f"{dst}/{t}.parquet")
 
 
