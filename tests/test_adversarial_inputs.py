@@ -17,7 +17,14 @@ non-finite/ragged-dim guard campaign, 53 executions, 0 failures). A
 fresh-seed failure gets minimized, its seed committed, and the fix
 landed before the driver ever sees the query. Since round 10 the
 fresh seeds ride $SPARK_GRAFT_EXTRA_SEEDS (see conftest.fuzz_seeds)
-instead of hand-edited parametrize lists.
+instead of hand-edited parametrize lists. Round 11 rotated the sweep
+to the least-recently-hammered surfaces (multimodal byte handling —
+the new test_randomized_media_payload_parity family — alongside the
+existing assembly family) and ran seeds 131/239/347 across ALL
+ELEVEN randomized families: 59 executions incl. committed seeds, 0
+failures on the final code — after the media family's first run
+caught and fixed two real defects (element_at on negative doc_ids in
+media_sniff_formats; duplicated-id join fanout in media_pipeline).
 
 Round-10 one-off probes that came back CLEAN (no contract needed, so
 no committed fixture — recorded so they aren't re-hunted): negative

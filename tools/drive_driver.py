@@ -141,7 +141,13 @@ def main():
         # final code" was undecidable from the artifact alone)
         try:
             import subprocess
-            repo = os.path.dirname(__file__)
+            # the REPO root, not tools/: pathspecs below resolve
+            # relative to -C, so anchoring at tools/ made them match
+            # nothing and the -dirty marker could never fire (r11 find
+            # — cell 1 of the r11 sweep ran on a dirty tree and
+            # stamped clean)
+            repo = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
             head = subprocess.run(
                 ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
                 capture_output=True, text=True, timeout=10,
