@@ -70,6 +70,12 @@ def attach_media(df: DataFrame, id_col: str, bin_col: str,
     upstream (the r11 media sweep caught media_pipeline double-counting
     duplicated doc_ids exactly this way). decode_media / resize_media /
     sample_frames pass any extra input columns through unchanged."""
+    clash = {"media_id", "media", "media_meta"} & set(keep)
+    if clash:
+        raise ValueError(
+            f"attach_media: keep columns {sorted(clash)} collide with "
+            "the media triple (media_id/media/media_meta) — rename the "
+            "sidecar columns before attaching")
     b = F.col(bin_col)
     meta = F.struct(
         sniff_format(b).alias("format"),

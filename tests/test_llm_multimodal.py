@@ -124,6 +124,37 @@ def test_sample_frames_shape(media):
         assert sorted(idxs) == expected
 
 
+def test_sidecar_columns_pass_through_every_stage(spark):
+    """attach_media(keep=) carries sidecar columns row-aligned through
+    decode → resize → sample_frames — the r11 contract that lets
+    media_pipeline drop its media_id join-back (which fanned out n² on
+    duplicated ids and cost a shuffle)."""
+    import pytest
+    from spark_ext_spark.llm.multimodal import resize_media
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\npayload", "web", 0.7),
+         (1, b"different bytes same id", "wiki", 0.1),   # duplicated id
+         (2, None, "forum", None),                       # NULL payload
+         (3, b"", None, 0.2)],                           # empty + NULL src
+        "doc_id long, payload binary, source string, quality double")
+    media = attach_media(df, "doc_id", "payload",
+                         keep=["source", "quality"])
+    resized = resize_media(decode_media(media))
+    rows = resized.collect()
+    assert {c for c in resized.columns} == {
+        "media_id", "media", "media_meta", "source", "quality"}
+    # row-aligned: the duplicated id keeps BOTH sidecar rows distinct
+    assert sorted((r["media_id"], r["source"]) for r in rows) == [
+        (1, "web"), (1, "wiki"), (2, "forum"), (3, None)]
+    frames = sample_frames(resized)
+    fcols = set(frames.columns)
+    assert {"source", "quality"} <= fcols
+    # undecodable rows (NULL/empty payload) emit no frames
+    assert {r["media_id"] for r in frames.collect()} == {1}
+    with pytest.raises(ValueError, match="collide with"):
+        attach_media(df, "doc_id", "payload", keep=["media"])
+
+
 def test_resize_media_stub(spark):
     from spark_ext_spark.llm.multimodal import (attach_media, decode_media,
                                                 resize_media)
