@@ -73,9 +73,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q15/q16/q19/q22, cheapest_order_per_customer, doc_sentences,
         # stratified_sample_events, value_statistics,
         # corpus_dedup_stats, length_batches, lineitem_measure_stats,
-        # hilbert_event_keys, quality_top_fraction), plus 15 r10 core
-        # re-checks to fill 50 (pick the r10 window's heavy/flagship
-        # rows when executing).
+        # hilbert_event_keys, quality_top_fraction), plus these 15 r10
+        # core re-checks to fill 50 (heavy/flagship rows incl. both
+        # rows-only rotations): join_revenue_by_nation, window_cumsum,
+        # rollup_revenue, cube_order_stats, price_percentiles,
+        # priority_pivot, gather_flat, gather_count, token_counts,
+        # local_lr_model, approx_user_stats, roc_curve, ngram_jaccard,
+        # theta_user_rollup, cosine_topk.
         # --- 1-7: the remaining r7 rows ------------------------------
         "text_stats": lq.doc_text_stats,
         "source_capped_corpus": lq.source_capped_corpus,

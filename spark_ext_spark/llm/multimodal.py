@@ -288,7 +288,13 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     # assigned df on both branches and then failed resolving
     # media_meta.n_frames)
     if "media_meta" not in df.columns:
-        df = decode_media(attach_media(df, "media_id", "media"))
+        # keep= the raw frame's sidecar columns too — otherwise this
+        # convenience branch silently drops what the main path passes
+        # through
+        df = decode_media(attach_media(
+            df, "media_id", "media",
+            keep=[c for c in df.columns
+                  if c not in ("media_id", "media")]))
     n_frames = F.col("media_meta.n_frames")
     # an undecodable item (null n_frames — null/corrupt payload) has
     # no frames to sample: explode(null) drops it. The bare
