@@ -22,9 +22,11 @@ to the least-recently-hammered surfaces (multimodal byte handling —
 the new test_randomized_media_payload_parity family — alongside the
 existing assembly family) and ran seeds 131/239/347 across ALL
 ELEVEN randomized families: 59 executions incl. committed seeds, 0
-failures on the final code — after the media family's first run
-caught and fixed two real defects (element_at on negative doc_ids in
-media_sniff_formats; duplicated-id join fanout in media_pipeline).
+failures — after the media family's first run caught and fixed two
+real defects (element_at on negative doc_ids in media_sniff_formats;
+duplicated-id join fanout in media_pipeline). A second wave at
+149/251/359 on the round's FINAL code (post sidecar-collision guard
+and raw-branch keep): 59 executions, 0 failures.
 
 Round-10 one-off probes that came back CLEAN (no contract needed, so
 no committed fixture — recorded so they aren't re-hunted): negative
