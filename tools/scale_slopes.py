@@ -79,7 +79,12 @@ def main() -> None:
     for n in names:
         med = [statistics.median(samples[n][sf]) for sf in SFS]
         d1, d2 = med[1] - med[0], med[2] - med[1]
-        growth10 = round(d2 / d1, 2) if d1 > 0.005 else None
+        # growth10 needs a non-noise denominator: a first-decade delta
+        # at timer-noise level (≲50 ms on this box) makes the ratio
+        # arbitrary (asof_chunked read "17.9" off a 40 ms delta while
+        # t moved 1.5→2.3 s across 100× — overhead-bound, not
+        # quadratic). Report null and lean on the log-log slope there.
+        growth10 = round(d2 / d1, 2) if d1 > 0.05 else None
         p_hat = (round(math.log10(med[2] / med[1]), 3)
                  if med[1] > 0 else None)
         out[n] = {"t_sf0.001": round(med[0], 3),
