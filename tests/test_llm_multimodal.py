@@ -155,6 +155,29 @@ def test_sidecar_columns_pass_through_every_stage(spark):
         attach_media(df, "doc_id", "payload", keep=["media"])
 
 
+def test_sidecar_types_survive_arrow_round_trips(spark):
+    """Sidecars of every practical type — nullable bigint (pandas
+    widens to float64+NaN), timestamp, array, struct — must survive
+    the mapInPandas Arrow round-trips of decode and resize unchanged,
+    including their NULLs."""
+    import datetime
+    from spark_ext_spark.llm.multimodal import resize_media
+    df = spark.createDataFrame(
+        [(1, b"abc", 10, datetime.datetime(2024, 1, 1, 10, 30),
+          [1.5, 2.5], ("en", 3)),
+         (2, b"xy", None, None, None, None)],
+        "doc_id long, payload binary, n_chars long, crawled timestamp, "
+        "scores array<double>, meta struct<lang:string,n:int>")
+    out = resize_media(decode_media(attach_media(
+        df, "doc_id", "payload",
+        keep=["n_chars", "crawled", "scores", "meta"])))
+    got = {r["media_id"]: (r["n_chars"], r["crawled"], r["scores"],
+                           r["meta"]) for r in out.collect()}
+    assert got[1] == (10, datetime.datetime(2024, 1, 1, 10, 30),
+                      [1.5, 2.5], ("en", 3))
+    assert got[2] == (None, None, None, None)
+
+
 def test_resize_media_stub(spark):
     from spark_ext_spark.llm.multimodal import (attach_media, decode_media,
                                                 resize_media)
