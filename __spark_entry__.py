@@ -43,153 +43,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compare fails on equal values. Wrap integer aggregates in
     ``CAST(... AS BIGINT)``; enforced by tests/test_oracle_types.py."""
     return {
-        # --- Round-11 window (entries 1-50 = driver hash-checked) ---
-        # Rotation history: r7 validation/gap-fill/heavy-report/SQL-
-        # surface; r8 the 8 join-heaviest TPC-H shapes + 6 report/OLAP
-        # rows; r9 the COMPLETION window (cumulative driver evidence
-        # 135/135); r10 the first FRESHNESS rotation (core OLAP family
-        # last checked r2, plus the r4/r5/r6 stragglers — 48 hash-green
-        # + 2 rows-only, zero surprises). Policy from r10 on: re-check
-        # whatever has gone longest without driver contact. Every
-        # rotated-out name keeps running in the bench and the committed
-        # multi-config local sweeps.
+        # --- Round-12 window (entries 1-50 = driver hash-checked) ---
+        # Rotation policy (from r10 on): re-check whatever has gone
+        # longest without driver contact. History: r9 = completion
+        # (cumulative 135/135), r10 = first freshness rotation,
+        # r11 = the 7 remaining r7 rows + 29 r8 rows + 14 r9 core
+        # re-checks (49 hash-green + 1 rows-only, zero surprises).
         #
-        # r11 = exactly the set pinned in round 10: the 7 remaining
-        # r7 rows, the 29 rows whose last contact was the r8 window
-        # (range_join_windows .. daily_active_users, i.e. the r8 set
-        # minus its r9/r10 re-checks), and 14 r9 core re-checks to
-        # fill 50 (heavy/flagship families: gather, curves, LSH/ANN,
-        # as-of chunked, profile, clustering, sketches — including
-        # sketch_user_rollup so the rows-only evidence rotates too).
-        # After this window no query's last contact is older than r9.
-        #
-        # ROUND-12 WINDOW (pinned now, same policy): the 35 remaining
-        # r9 rows (language_id, sequence_packing, embedding_near_dups,
-        # pricing_summary, tpch_q6_forecast, moving_avg_7d,
-        # event_sessions, hourly_gapfill, source_temperature_mix,
-        # pii_redaction, embedding_norms, score_thresholds,
-        # doc_repetition, top_orders_per_customer, user_value_deltas,
-        # acctbal_deciles, above_class_avg, tpch_q4/q10/q11/q12/q14/
-        # q15/q16/q19/q22, cheapest_order_per_customer, doc_sentences,
-        # stratified_sample_events, value_statistics,
-        # corpus_dedup_stats, length_batches, lineitem_measure_stats,
-        # hilbert_event_keys, quality_top_fraction), plus these 15 r10
-        # core re-checks to fill 50 (heavy/flagship rows incl. both
-        # rows-only rotations): join_revenue_by_nation, window_cumsum,
-        # rollup_revenue, cube_order_stats, price_percentiles,
-        # priority_pivot, gather_flat, gather_count, token_counts,
-        # local_lr_model, approx_user_stats, roc_curve, ngram_jaccard,
-        # theta_user_rollup, cosine_topk.
-        # --- 1-7: the remaining r7 rows ------------------------------
-        "text_stats": lq.doc_text_stats,
-        "source_capped_corpus": lq.source_capped_corpus,
-        "doc_sample_k": lq.doc_sample_k,
-        "train_test_split": lq.train_test_split,
-        "embedding_quantize": lq.embedding_quantize,
-        "media_sniff_formats": lq.media_sniff_formats,
-        "asof_join_orders": lq.asof_join_orders,
-        # --- 8-36: last contact r8 -----------------------------------
-        "range_join_windows": rel.events_in_order_windows,
-        "salted_user_totals": rel.salted_user_totals,
-        "top_event_per_user": rel.top_event_per_user,
-        "props_variant_extract": rel.props_variant_extract,
-        "zorder_events": rel.zorder_event_keys,
-        "ngram_containment": lq.ngram_containment,
-        "repeated_ngrams": lq.repeated_ngrams,
-        "benchmark_contamination": lq.benchmark_contamination,
-        "lineitem_expectations": rel.lineitem_expectations,
-        "hourly_zscores": rel.hourly_zscores,
-        "dedup_reduction_report": lq.dedup_reduction_report,
-        "sql_grouping_sets": rel.sql_grouping_sets,
-        "props_json_extract": rel.props_json_extract,
-        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
-        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
-        "tpch_q5_local_supplier": tpch.local_supplier_volume,
-        "tpch_q7_volume_shipping": tpch.volume_shipping,
-        "tpch_q8_market_share": tpch.market_share,
-        "tpch_q9_product_profit": tpch.product_type_profit,
-        "tpch_q13_order_histogram": tpch.customer_order_histogram,
-        "tpch_q17_small_qty": tpch.small_quantity_revenue,
-        "tpch_q18_large_orders": tpch.large_volume_orders,
-        "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
-        "hourly_interpolate": rel.hourly_interpolate,
-        "value_robust_stats": rel.value_robust_stats,
-        "mixture_report": lq.mixture_report,
-        "language_mix_report": lq.language_mix_report,
-        "doc_gopher_rules": lq.doc_gopher_rules,
-        "daily_active_users": rel.daily_active_users,
-        # --- 37-50: 14 r9 core re-checks (heavy/flagship families) ---
-        "collect_array": rel.user_event_types,
-        "gather": gq.gather_user_events,
-        "auc_metrics": eq.auc_metrics,
-        # A12 LR family, deterministic variant: 2 unrolled IRLS steps
-        # whose SQL text both engines execute verbatim (hash-exact).
-        "lr_newton_steps": mq.lr_newton_steps,
-        "minhash_lsh": lq.minhash_lsh,
-        "dup_clusters": lq.dup_clusters,
-        "ann_lsh_topk": lq.ann_lsh_topk,
-        "ann_ivf_topk": lq.ann_ivf_topk,
-        "media_pipeline": lq.media_pipeline,
-        "asof_join_orders_chunked": lq.asof_join_orders_chunked,
-        "table_profile": rel.table_profile,
-        "semantic_clusters": lq.semantic_clusters,
-        "kmv_user_stats": rel.kmv_user_stats,
-        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only
-        # --- 51+: bench/local-sweep coverage only (all green via
-        # tests/test_oracle_parity.py at sf0.001 and prior rounds'
-        # driver windows). sketch_user_rollup above is entry #50, the
-        # last driver-checked position — count before moving this
-        # boundary; test_driver_window_composition pins the exact set.
-        "global_agg": rel.global_agg,
-        "join_revenue_by_nation": rel.revenue_by_nation,
-        "topk_users": rel.top_users_by_value,
-        "window_cumsum": rel.cumulative_user_value,
-        "distinct_pairs": rel.distinct_user_event_pairs,
-        "union_all_counts": rel.union_all_keys,
-        "left_join_order_counts": rel.left_join_order_counts,
-        "semi_join_urgent": rel.semi_join_active_customers,
-        "anti_join_no_orders": rel.anti_join_inactive_customers,
-        "rollup_revenue": rel.rollup_order_revenue,
-        "cube_order_stats": rel.cube_order_stats,
-        "price_percentiles": rel.price_percentiles,
-        "hourly_rollup": rel.hourly_rollup,
-        "shipping_priority": rel.shipping_priority,
-        "intersect_buyers": rel.intersect_high_value_buyers,
-        "except_non_urgent": rel.except_low_priority_only,
-        "priority_pivot": rel.priority_pivot,
-        "fingerprints": lq.doc_fingerprints,
-        "gather_flat": gq.gather_user_events_flat,
-        "gather_count": gq.gather_user_event_counts,
-        "token_counts": lq.token_counts,
-        "media_byte_stats": lq.media_byte_stats,
-        "local_lr_model": mq.local_lr_model,  # rows-only
-        "collect_array_distinct": rel.user_distinct_event_types,
-        "gather_encoder_distfit": fq.gather_encoder_distfit,
-        "doc_chunks": lq.doc_chunks,
-        "doc_lm_scores": lq.doc_lm_scores,
-        "f_measure": eq.f_measure_by_threshold,
-        "lift_curve": eq.lift_curve,
-        "recall_by_threshold": eq.recall_by_threshold,
-        "approx_user_stats": rel.approx_user_stats,  # rows-only
-        "gather_encoder_top_allother": fq.gather_encoder_top_allother,
-        "gather_encoder_index": fq.gather_encoder_index,
-        "downsampling_hash": fq.downsampling_hash,
-        "gains_curve": eq.gains_curve,
-        "roc_curve": eq.roc_curve,
-        "precision_by_threshold": eq.precision_by_threshold,
-        "ngram_jaccard": lq.ngram_jaccard,
-        "simhash_pairs": lq.simhash_pairs,
-        "winnow_pairs": lq.winnow_pairs,
-        "tfidf_top_terms": lq.tfidf_top_terms,
-        "doc_quality": lq.doc_quality,
-        "theta_user_rollup": rel.theta_user_rollup,
-        "gather_encoder_top": fq.gather_encoder_top,
-        "binning": fq.binning_quantity,
-        "roc_curve_binned": eq.roc_curve_binned,
-        "s2_cells": mq.s2_cells,
-        "string_indexer": fq.string_indexer,
-        "exact_dedup": lq.exact_dedup,
-        "cosine_topk": lq.cosine_topk_bruteforce,
+        # r12 = exactly the set pinned in round 11: the 35 remaining
+        # rows whose last contact was the r9 window, plus 15 r10
+        # core re-checks to fill 50 (heavy/flagship rows including
+        # BOTH rows-only rotations local_lr_model/approx_user_stats
+        # and the two bench-suspect names token_counts/
+        # theta_user_rollup). After this window no query's last
+        # driver contact is older than r10.
+        # --- 1-35: last contact r9 -----------------------------------
         "language_id": lq.doc_language_id,
         "sequence_packing": lq.sequence_packing,
         "embedding_near_dups": lq.embedding_near_dup_pairs,
@@ -225,6 +93,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_measure_stats": rel.lineitem_measure_stats,
         "hilbert_event_keys": rel.hilbert_event_keys,
         "quality_top_fraction": lq.quality_top_fraction,
+        # --- 36-50: 15 r10 core re-checks ----------------------------
+        "join_revenue_by_nation": rel.revenue_by_nation,
+        "window_cumsum": rel.cumulative_user_value,
+        "rollup_revenue": rel.rollup_order_revenue,
+        "cube_order_stats": rel.cube_order_stats,
+        "price_percentiles": rel.price_percentiles,
+        "priority_pivot": rel.priority_pivot,
+        "gather_flat": gq.gather_user_events_flat,
+        "gather_count": gq.gather_user_event_counts,
+        "token_counts": lq.token_counts,
+        "local_lr_model": mq.local_lr_model,  # rows-only
+        "approx_user_stats": rel.approx_user_stats,  # rows-only
+        "roc_curve": eq.roc_curve,
+        "ngram_jaccard": lq.ngram_jaccard,
+        "theta_user_rollup": rel.theta_user_rollup,
+        "cosine_topk": lq.cosine_topk_bruteforce,
+        # --- 51+: bench/local-sweep coverage only (all green via
+        # tests/test_oracle_parity.py at sf0.001 and prior rounds'
+        # driver windows). cosine_topk above is entry #50, the last
+        # driver-checked position — count before moving this
+        # boundary; test_driver_window_composition pins the exact set.
+        "text_stats": lq.doc_text_stats,
+        "source_capped_corpus": lq.source_capped_corpus,
+        "doc_sample_k": lq.doc_sample_k,
+        "train_test_split": lq.train_test_split,
+        "embedding_quantize": lq.embedding_quantize,
+        "media_sniff_formats": lq.media_sniff_formats,
+        "asof_join_orders": lq.asof_join_orders,
+        "range_join_windows": rel.events_in_order_windows,
+        "salted_user_totals": rel.salted_user_totals,
+        "top_event_per_user": rel.top_event_per_user,
+        "props_variant_extract": rel.props_variant_extract,
+        "zorder_events": rel.zorder_event_keys,
+        "ngram_containment": lq.ngram_containment,
+        "repeated_ngrams": lq.repeated_ngrams,
+        "benchmark_contamination": lq.benchmark_contamination,
+        "lineitem_expectations": rel.lineitem_expectations,
+        "hourly_zscores": rel.hourly_zscores,
+        "dedup_reduction_report": lq.dedup_reduction_report,
+        "sql_grouping_sets": rel.sql_grouping_sets,
+        "props_json_extract": rel.props_json_extract,
+        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
+        "tpch_q5_local_supplier": tpch.local_supplier_volume,
+        "tpch_q7_volume_shipping": tpch.volume_shipping,
+        "tpch_q8_market_share": tpch.market_share,
+        "tpch_q9_product_profit": tpch.product_type_profit,
+        "tpch_q13_order_histogram": tpch.customer_order_histogram,
+        "tpch_q17_small_qty": tpch.small_quantity_revenue,
+        "tpch_q18_large_orders": tpch.large_volume_orders,
+        "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
+        "hourly_interpolate": rel.hourly_interpolate,
+        "value_robust_stats": rel.value_robust_stats,
+        "mixture_report": lq.mixture_report,
+        "language_mix_report": lq.language_mix_report,
+        "doc_gopher_rules": lq.doc_gopher_rules,
+        "daily_active_users": rel.daily_active_users,
+        "collect_array": rel.user_event_types,
+        "gather": gq.gather_user_events,
+        "auc_metrics": eq.auc_metrics,
+        "lr_newton_steps": mq.lr_newton_steps,
+        "minhash_lsh": lq.minhash_lsh,
+        "dup_clusters": lq.dup_clusters,
+        "ann_lsh_topk": lq.ann_lsh_topk,
+        "ann_ivf_topk": lq.ann_ivf_topk,
+        "media_pipeline": lq.media_pipeline,
+        "asof_join_orders_chunked": lq.asof_join_orders_chunked,
+        "table_profile": rel.table_profile,
+        "semantic_clusters": lq.semantic_clusters,
+        "kmv_user_stats": rel.kmv_user_stats,
+        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only (past the window this round)
+        "global_agg": rel.global_agg,
+        "topk_users": rel.top_users_by_value,
+        "distinct_pairs": rel.distinct_user_event_pairs,
+        "union_all_counts": rel.union_all_keys,
+        "left_join_order_counts": rel.left_join_order_counts,
+        "semi_join_urgent": rel.semi_join_active_customers,
+        "anti_join_no_orders": rel.anti_join_inactive_customers,
+        "hourly_rollup": rel.hourly_rollup,
+        "shipping_priority": rel.shipping_priority,
+        "intersect_buyers": rel.intersect_high_value_buyers,
+        "except_non_urgent": rel.except_low_priority_only,
+        "fingerprints": lq.doc_fingerprints,
+        "media_byte_stats": lq.media_byte_stats,
+        "collect_array_distinct": rel.user_distinct_event_types,
+        "gather_encoder_distfit": fq.gather_encoder_distfit,
+        "doc_chunks": lq.doc_chunks,
+        "doc_lm_scores": lq.doc_lm_scores,
+        "f_measure": eq.f_measure_by_threshold,
+        "lift_curve": eq.lift_curve,
+        "recall_by_threshold": eq.recall_by_threshold,
+        "gather_encoder_top_allother": fq.gather_encoder_top_allother,
+        "gather_encoder_index": fq.gather_encoder_index,
+        "downsampling_hash": fq.downsampling_hash,
+        "gains_curve": eq.gains_curve,
+        "precision_by_threshold": eq.precision_by_threshold,
+        "simhash_pairs": lq.simhash_pairs,
+        "winnow_pairs": lq.winnow_pairs,
+        "tfidf_top_terms": lq.tfidf_top_terms,
+        "doc_quality": lq.doc_quality,
+        "gather_encoder_top": fq.gather_encoder_top,
+        "binning": fq.binning_quantity,
+        "roc_curve_binned": eq.roc_curve_binned,
+        "s2_cells": mq.s2_cells,
+        "string_indexer": fq.string_indexer,
+        "exact_dedup": lq.exact_dedup,
     }
 
 

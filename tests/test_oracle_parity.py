@@ -69,42 +69,41 @@ def test_semantic_clusters_exact_variant(spark, duck):
 
 
 # The driver hash-checks exactly these 50 entries (dict order).
-# Round 11 executes the FRESHNESS rotation pinned in round 10 (with
+# Round 12 executes the FRESHNESS rotation pinned in round 11 (with
 # 135/135 cumulative coverage, re-check whatever has gone longest
-# without driver contact): entries 1-7 are the seven remaining rows
-# whose last contact was round 7, entries 8-36 the 29 rows last
-# checked in the round-8 window (the r8 set minus its r9/r10
-# re-checks), entries 37-50 fourteen round-9 core re-checks covering
-# the heavy/flagship families (gather, curves, LSH/ANN, chunked
-# as-of, profile, clustering, sketches) — including sketch_user_rollup
-# so the rows-only evidence rotates too. After this window no query's
-# last driver contact is older than round 9.
+# without driver contact): entries 1-35 are the thirty-five remaining
+# rows whose last contact was the round-9 window, entries 36-50
+# fifteen round-10 core re-checks covering the heavy/flagship
+# families — including BOTH rows-only rotations (local_lr_model,
+# approx_user_stats) and the two bench-suspect names (token_counts,
+# theta_user_rollup) so their driver evidence renews alongside the
+# quiet-box A/B adjudication. After this window no query's last
+# driver contact is older than round 10.
 DRIVER_WINDOW = [
-    "text_stats", "source_capped_corpus", "doc_sample_k",
-    "train_test_split", "embedding_quantize", "media_sniff_formats",
-    "asof_join_orders",
-    "range_join_windows", "salted_user_totals", "top_event_per_user",
-    "props_variant_extract", "zorder_events", "ngram_containment",
-    "repeated_ngrams", "benchmark_contamination",
-    "lineitem_expectations", "hourly_zscores",
-    "dedup_reduction_report", "sql_grouping_sets",
-    "props_json_extract", "tpch_q21_waiting_suppliers",
-    "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q13_order_histogram",
-    "tpch_q17_small_qty", "tpch_q18_large_orders",
-    "tpch_q20_promo_suppliers", "hourly_interpolate",
-    "value_robust_stats", "mixture_report", "language_mix_report",
-    "doc_gopher_rules", "daily_active_users",
-    "collect_array", "gather", "auc_metrics", "lr_newton_steps",
-    "minhash_lsh", "dup_clusters", "ann_lsh_topk", "ann_ivf_topk",
-    "media_pipeline", "asof_join_orders_chunked", "table_profile",
-    "semantic_clusters", "kmv_user_stats", "sketch_user_rollup",
+    "language_id", "sequence_packing", "embedding_near_dups",
+    "pricing_summary", "tpch_q6_forecast", "moving_avg_7d",
+    "event_sessions", "hourly_gapfill", "source_temperature_mix",
+    "pii_redaction", "embedding_norms", "score_thresholds",
+    "doc_repetition", "top_orders_per_customer", "user_value_deltas",
+    "acctbal_deciles", "above_class_avg", "tpch_q4_late_priority",
+    "tpch_q10_returned_items", "tpch_q11_important_parts",
+    "tpch_q12_priority_counts", "tpch_q14_promo",
+    "tpch_q15_top_supplier", "tpch_q16_parts_suppliers",
+    "tpch_q19_discounted", "tpch_q22_idle_rich",
+    "cheapest_order_per_customer", "doc_sentences",
+    "stratified_sample_events", "value_statistics",
+    "corpus_dedup_stats", "length_batches", "lineitem_measure_stats",
+    "hilbert_event_keys", "quality_top_fraction",
+    "join_revenue_by_nation", "window_cumsum", "rollup_revenue",
+    "cube_order_stats", "price_percentiles", "priority_pivot",
+    "gather_flat", "gather_count", "token_counts", "local_lr_model",
+    "approx_user_stats", "roc_curve", "ngram_jaccard",
+    "theta_user_rollup", "cosine_topk",
 ]
 
-# The one deliberately rows-only window row — everything else in the
+# The two deliberately rows-only window rows — everything else in the
 # window must carry a DuckDB oracle.
-WINDOW_ROWS_ONLY = {"sketch_user_rollup"}
+WINDOW_ROWS_ONLY = {"local_lr_model", "approx_user_stats"}
 
 
 def test_driver_window_composition():
