@@ -2,7 +2,7 @@
 with typed metadata structs, plus Arrow-batched decode / feature /
 frame-sample operators.
 
-The Spark-side plumbing (schemas, partition sizing, mapInPandas batch
+The Spark-side plumbing (schemas, partition sizing, mapInArrow batch
 shapes, deterministic pseudo-features) is real and tested; the codec
 bodies are pluggable — ``decode_media(..., real_decode=True)`` decodes
 with Pillow when it is importable and raises NotImplementedError
@@ -26,6 +26,7 @@ from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,6 +77,9 @@ def attach_media(df: DataFrame, id_col: str, bin_col: str,
             f"attach_media: keep columns {sorted(clash)} collide with "
             "the media triple (media_id/media/media_meta) — rename the "
             "sidecar columns before attaching")
+    # frame_idx/frame_stub only collide at sample_frames, which guards
+    # for itself — attaching them stays legal for pipelines that never
+    # sample frames.
     b = F.col(bin_col)
     meta = F.struct(
         sniff_format(b).alias("format"),
@@ -96,8 +100,12 @@ def _sidecars(df: DataFrame) -> list:
 
 
 def _sidecar_ddl(fields) -> str:
-    return "".join(f", {f.name} {f.dataType.simpleString()}"
-                   for f in fields)
+    # backtick-quoted: sidecar names with spaces/hyphens/reserved words
+    # are legal Spark columns and must parse in the DDL schema string
+    # (backticks inside a name escape by doubling, as in Spark SQL)
+    return "".join(
+        f", `{f.name.replace('`', '``')}` {f.dataType.simpleString()}"
+        for f in fields)
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -142,8 +150,14 @@ def _pil_decoder():
 
 def decode_media(df: DataFrame, real_decode: bool = False,
                  decoder=None, on_error: str | None = None) -> DataFrame:
-    """Fill width/height/n_frames via mapInPandas over (media_id,
+    """Fill width/height/n_frames via mapInArrow over (media_id,
     media, media_meta).
+
+    Any column beyond the media triple is treated as a row-aligned
+    sidecar and carried into the output unchanged with its exact Arrow
+    type (see attach_media ``keep``). Before round 11 extra columns
+    were silently dropped by an internal ``.select`` — callers that
+    relied on that pruning must select the triple themselves.
 
     ``real_decode=True`` decodes with Pillow when importable (raises
     NotImplementedError naming the missing dependency otherwise);
@@ -221,12 +235,22 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                   ", media binary, media_meta " + MEDIA_META_SCHEMA
                   + _sidecar_ddl(extras))
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    # mapInArrow, not mapInPandas: only media_meta is rebuilt — the
+    # payloads and every sidecar column pass through as the ORIGINAL
+    # Arrow arrays, so sidecar types survive exactly (mapInPandas
+    # widened a bigint-with-null batch to float64, silently corrupting
+    # values above 2^53 — this repo's own testdata carries 2^62-scale
+    # ids) and the binary payloads skip a pandas copy entirely.
+    def decode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            meta_idx = batch.schema.get_field_index("media_meta")
+            meta_arr = batch.column(meta_idx)
+            payloads = batch.column(
+                batch.schema.get_field_index("media")).to_pylist()
             metas = []
             n_err, last_err = 0, None
-            for payload, meta in zip(pdf["media"], pdf["media_meta"]):
-                payload = bytes(payload) if payload is not None else b""
+            for payload, meta in zip(payloads, meta_arr.to_pylist()):
+                payload = payload if payload is not None else b""
                 if strict:
                     w, h, nf = dims(payload)
                 else:
@@ -247,16 +271,15 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                 import logging
                 logging.getLogger(__name__).warning(
                     "decode_media: %d/%d payloads undecodable in this "
-                    "batch (last error: %s)", n_err, len(pdf), last_err)
-            out = {"media_id": pdf["media_id"], "media": pdf["media"],
-                   "media_meta": metas}
-            for f in extras:
-                out[f.name] = pdf[f.name]
-            yield pd.DataFrame(out)
+                    "batch (last error: %s)", n_err, batch.num_rows,
+                    last_err)
+            yield batch.set_column(
+                meta_idx, batch.schema.field(meta_idx),
+                pa.array(metas, type=meta_arr.type))
 
     return (df.select("media_id", "media", "media_meta",
                       *[f.name for f in extras])
-            .mapInPandas(decode, schema=out_schema))
+            .mapInArrow(decode, schema=out_schema))
 
 
 def media_features(df: DataFrame, dim: int = 16) -> DataFrame:
@@ -283,6 +306,18 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame index
     (media_id, frame_idx, frame binary-stub). Real frame extraction
     plugs into the same explode shape."""
+    # a sidecar named frame_idx/frame_stub would silently collide with
+    # this stage's output columns (duplicate names downstream) — fail
+    # by name here instead; pipelines that never sample frames may
+    # carry such sidecars freely
+    clash = {"frame_idx", "frame_stub"} & {
+        c for c in df.columns if c not in ("media_id", "media",
+                                           "media_meta")}
+    if clash:
+        raise ValueError(
+            f"sample_frames: sidecar columns {sorted(clash)} collide "
+            "with the frame output columns (frame_idx/frame_stub) — "
+            "rename them before sampling frames")
     # a raw (media_id, media) frame has no metadata yet — run the
     # attach→decode steps so n_frames exists (the old conditional
     # assigned df on both branches and then failed resolving
@@ -314,8 +349,11 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
 
 
 def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Resize plumbing over decoded media: mapInPandas batch in, one
+    """Resize plumbing over decoded media: mapInArrow batch in, one
     row per item out with media_meta.width/height set to the target.
+    Columns beyond the media triple pass through as exact-typed
+    sidecars, same contract as decode_media (callers needing the old
+    pre-r11 pruning must select the triple themselves).
     The pixel work is the documented stub (same seam as decode_media —
     no image libs in this container): the output payload is a
     deterministic blake2 digest of (payload, target dims) standing in
@@ -328,11 +366,18 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
                   ", media binary, media_meta " + MEDIA_META_SCHEMA
                   + _sidecar_ddl(extras))
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    # mapInArrow for the same reason as decode_media: media/media_meta
+    # are rebuilt, media_id and every sidecar pass through as the
+    # original Arrow arrays with exact types.
+    def resize(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            media_idx = batch.schema.get_field_index("media")
+            meta_idx = batch.schema.get_field_index("media_meta")
+            meta_arr = batch.column(meta_idx)
             payloads, metas = [], []
-            for payload, meta in zip(pdf["media"], pdf["media_meta"]):
-                payload = bytes(payload) if payload is not None else b""
+            for payload, meta in zip(batch.column(media_idx).to_pylist(),
+                                     meta_arr.to_pylist()):
+                payload = payload if payload is not None else b""
                 stub = hashlib.blake2b(
                     payload + f":{width}x{height}".encode(),
                     digest_size=32).digest()
@@ -341,12 +386,13 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
                               "byte_len": len(stub),
                               "width": width, "height": height,
                               "n_frames": meta["n_frames"]})
-            out = {"media_id": pdf["media_id"], "media": payloads,
-                   "media_meta": metas}
-            for f in extras:
-                out[f.name] = pdf[f.name]
-            yield pd.DataFrame(out)
+            out = batch.set_column(
+                media_idx, batch.schema.field(media_idx),
+                pa.array(payloads, type=batch.column(media_idx).type))
+            yield out.set_column(
+                meta_idx, out.schema.field(meta_idx),
+                pa.array(metas, type=meta_arr.type))
 
     return (df.select("media_id", "media", "media_meta",
                       *[f.name for f in extras])
-            .mapInPandas(resize, schema=out_schema))
+            .mapInArrow(resize, schema=out_schema))

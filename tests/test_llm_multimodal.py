@@ -156,26 +156,58 @@ def test_sidecar_columns_pass_through_every_stage(spark):
 
 
 def test_sidecar_types_survive_arrow_round_trips(spark):
-    """Sidecars of every practical type — nullable bigint (pandas
-    widens to float64+NaN), timestamp, array, struct — must survive
-    the mapInPandas Arrow round-trips of decode and resize unchanged,
-    including their NULLs."""
+    """Sidecars of every practical type — nullable bigint (a pandas
+    round-trip would widen it to float64+NaN), timestamp, array,
+    struct — must survive the mapInArrow round-trips of decode and
+    resize unchanged, including their NULLs. The 2^62-scale value in
+    a null-bearing batch is the hard case: float64 only holds 53
+    mantissa bits, so the old mapInPandas path silently rounded it
+    (this repo's own testdata carries 2^62-scale ids)."""
     import datetime
     from spark_ext_spark.llm.multimodal import resize_media
+    big = 2**62 + 3  # not representable in float64
     df = spark.createDataFrame(
-        [(1, b"abc", 10, datetime.datetime(2024, 1, 1, 10, 30),
+        [(1, b"abc", 10, big, datetime.datetime(2024, 1, 1, 10, 30),
           [1.5, 2.5], ("en", 3)),
-         (2, b"xy", None, None, None, None)],
-        "doc_id long, payload binary, n_chars long, crawled timestamp, "
+         (2, b"xy", None, None, None, None, None)],
+        "doc_id long, payload binary, n_chars long, big_id long, "
+        "crawled timestamp, "
         "scores array<double>, meta struct<lang:string,n:int>")
     out = resize_media(decode_media(attach_media(
         df, "doc_id", "payload",
-        keep=["n_chars", "crawled", "scores", "meta"])))
-    got = {r["media_id"]: (r["n_chars"], r["crawled"], r["scores"],
-                           r["meta"]) for r in out.collect()}
-    assert got[1] == (10, datetime.datetime(2024, 1, 1, 10, 30),
+        keep=["n_chars", "big_id", "crawled", "scores", "meta"])))
+    # single partition → the large int and the NULL share one Arrow
+    # batch, the exact shape that corrupted under mapInPandas
+    out = out.coalesce(1)
+    got = {r["media_id"]: (r["n_chars"], r["big_id"], r["crawled"],
+                           r["scores"], r["meta"])
+           for r in out.collect()}
+    assert got[1] == (10, big, datetime.datetime(2024, 1, 1, 10, 30),
                       [1.5, 2.5], ("en", 3))
-    assert got[2] == (None, None, None, None)
+    assert got[2] == (None, None, None, None, None)
+
+
+def test_sidecar_quoted_names_and_frame_collision_guard(spark):
+    """Sidecar names needing DDL quoting (spaces, hyphens, reserved
+    words, embedded backticks) must cross decode/resize — the schema
+    string backtick-quotes them; a sidecar named frame_idx/frame_stub
+    must fail BY NAME at sample_frames (it would silently collide
+    with the frame output columns), while decode/resize still carry
+    it."""
+    import pytest
+    from spark_ext_spark.llm.multimodal import resize_media
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\npayload", "web", 3, 7)],
+        ["doc_id", "payload", "crawl source", "select", "frame_idx"])
+    media = attach_media(df, "doc_id", "payload",
+                         keep=["crawl source", "select", "frame_idx"])
+    out = resize_media(decode_media(media))
+    row = out.collect()[0]
+    assert row["crawl source"] == "web"
+    assert row["select"] == 3
+    assert row["frame_idx"] == 7
+    with pytest.raises(ValueError, match="frame_idx"):
+        sample_frames(out)
 
 
 def test_resize_media_stub(spark):
