@@ -159,8 +159,17 @@ def theta_distinct(
         # global aggregation always emits its one row, count()=0 incl.
         return agg
     groups = nn.select(*group_cols).distinct()
-    return (groups.join(agg, group_cols, "left")
-            .select(*group_cols,
+    # null-SAFE join keys: a NULL group is a legitimate group (groupBy
+    # put its kept hashes in agg), but a plain equi-join would never
+    # match it — the r12 hostile sweep caught the NULL group reporting
+    # n_kept=0 while its true kept set was intact in agg. <=> keys
+    # still plan as a hash join, so nothing changes at scale.
+    cond = None
+    for c in group_cols:
+        eq = groups[c].eqNullSafe(agg[c])
+        cond = eq if cond is None else cond & eq
+    return (groups.join(agg, cond, "left")
+            .select(*[groups[c] for c in group_cols],
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("distinct_est", F.lit(0.0))
                     .alias("distinct_est")))

@@ -1746,3 +1746,284 @@ def test_range_join_bucket_cap_boundary(spark):
         range_join(left, right_spanning(10), "ets", "ws", "we",
                    bucket_width_seconds=3600,
                    max_buckets_per_interval=10).collect()
+
+
+# --- round-12 sweep rotation: deterministic sketches + validation ----
+
+HOSTILE_SKETCH_KEYS = [
+    "", " ", "\t", "0", "-0", "00", "null", "NULL", "None",
+    "naïve", "Ünïcode", "ß", "ẞ", "é", "é",
+    "￿", "", "\U0001F600", "\U0001F680rocket",
+    "\U0001D56Cstral", "\U0010FFFF",
+    "a" * 5000, "'; DROP TABLE x; --", 'he said "hi"',
+    "back\\slash", "tab\tsep", "line\nbreak", "\U0001F600￿ mix",
+]
+HOSTILE_SKETCH_GROUPS = ["g1", "", "naïve", "\U0001F600", None]
+
+
+def _sketch_fixture(spark, tmp_path_factory, seed, n=300):
+    import random
+    rng = random.Random(seed)
+    rows = [(i, rng.choice(HOSTILE_SKETCH_GROUPS),
+             rng.choice(HOSTILE_SKETCH_KEYS + [None] * 5))
+            for i in range(n)]
+    d = str(tmp_path_factory.mktemp(f"sketch{seed}"))
+    df = spark.createDataFrame(rows, "id long, grp string, key string")
+    df.coalesce(2).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM '{d}/t.parquet/*.parquet'")
+    return spark.read.parquet(f"{d}/t.parquet"), con
+
+
+def _kmv_oracle(k, grouped):
+    grp_sel = "grp, " if grouped else ""
+    grp_by = "GROUP BY grp" if grouped else ""
+    part = "PARTITION BY grp" if grouped else ""
+    two60 = float(1 << 60)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {grp_sel}
+         ('0x' || substring(md5(key || 's'), 1, 15))::BIGINT AS h
+  FROM t WHERE key IS NOT NULL
+), r AS (
+  SELECT {grp_sel} h,
+         row_number() OVER ({part} ORDER BY h) AS rn FROM d
+)
+SELECT {grp_sel} CAST(count(*) AS BIGINT) AS k_eff, max(h) AS kth_hash,
+       round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {float(k - 1)} * {two60}
+                       / CAST(max(h) AS DOUBLE) END, 4) AS distinct_est
+FROM r WHERE rn <= {k} {grp_by}
+"""
+
+
+def _theta_oracle(p, th, grouped):
+    if grouped:
+        return f"""
+WITH nn AS (SELECT grp, key FROM t WHERE key IS NOT NULL),
+kept AS (
+  SELECT DISTINCT grp,
+         ('0x' || substring(md5(key || 's'), 1, 15))::BIGINT AS h
+  FROM nn
+  WHERE ('0x' || substring(md5(key || 's'), 1, 15))::BIGINT < {th}
+), agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY grp
+), groups AS (SELECT DISTINCT grp FROM nn)
+SELECT g.grp, COALESCE(a.n_kept, 0) AS n_kept,
+       round(CAST(COALESCE(a.n_kept, 0) AS DOUBLE) / {p!r}, 4)
+           AS distinct_est
+FROM groups g LEFT JOIN agg a ON g.grp IS NOT DISTINCT FROM a.grp
+"""
+    return f"""
+WITH kept AS (
+  SELECT DISTINCT
+         ('0x' || substring(md5(key || 's'), 1, 15))::BIGINT AS h
+  FROM t WHERE key IS NOT NULL
+    AND ('0x' || substring(md5(key || 's'), 1, 15))::BIGINT < {th}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(count(*) AS DOUBLE) / {p!r}, 4) AS distinct_est
+FROM kept
+"""
+
+
+@pytest.mark.parametrize("seed", fuzz_seeds(4242, 577),
+                         ids=lambda s: f"seed{s}")
+def test_randomized_sketch_hostile_keys_parity(spark, tmp_path_factory,
+                                               seed):
+    """KMV and fixed-threshold theta over seeded hostile string keys:
+    empty/whitespace keys, composed-vs-decomposed unicode, astral and
+    noncharacter code points, 5k-char keys, quote/backslash injection
+    shapes, NULL keys, NULL and unicode GROUPS — at boundary sketch
+    parameters (k=2 minimum, k=64; p=1.0 keeps everything, p=2^-20
+    keeps almost nothing, so empty kept sets per group are exercised).
+    The family's first run caught theta_distinct's group join-back
+    dropping the NULL group's kept count (null-unsafe equi-join) —
+    fixed with eqNullSafe keys; the oracle replays with IS NOT
+    DISTINCT FROM."""
+    from spark_ext_spark.operators.sketches import (kmv_distinct,
+                                                    theta_distinct,
+                                                    theta_threshold)
+    t, con = _sketch_fixture(spark, tmp_path_factory, seed)
+    try:
+        for k in (2, 64):
+            compare_to_oracle(
+                kmv_distinct(t, "key", ["grp"], k=k, salt="s"),
+                con, _kmv_oracle(k, True))
+            compare_to_oracle(
+                kmv_distinct(t, "key", None, k=k, salt="s"),
+                con, _kmv_oracle(k, False))
+        for p in (1.0, 2.0 ** -20):
+            th = theta_threshold(p)
+            compare_to_oracle(
+                theta_distinct(t, "key", ["grp"], p=p, salt="s"),
+                con, _theta_oracle(p, th, True))
+            compare_to_oracle(
+                theta_distinct(t, "key", None, p=p, salt="s"),
+                con, _theta_oracle(p, th, False))
+    finally:
+        con.close()
+
+
+def test_theta_null_group_keeps_its_kept_set(spark):
+    """Minimal repro of the r12 sweep find: a NULL group's kept
+    hashes live in the aggregate, but the join-back from the distinct
+    group list used null-UNSAFE equality, so the NULL group reported
+    n_kept=0 / est 0.0 while non-null groups were correct. At p=1.0
+    every distinct key is kept, so the NULL group must report its
+    exact distinct count."""
+    from spark_ext_spark.operators.sketches import theta_distinct
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (None, "b"), ("g", "c")],
+        "grp string, key string")
+    out = {r["grp"]: (r["n_kept"], r["distinct_est"])
+           for r in theta_distinct(df, "key", ["grp"], p=1.0).collect()}
+    assert out[None] == (2, 2.0)
+    assert out["g"] == (1, 1.0)
+
+
+# Doubles whose Java-17 rendering (Spark CAST AS STRING) this sweep
+# pins cross-engine. Java's adjacent-distinguishing digits equal the
+# shortest round-trip digits for every value here; the known
+# non-shortest tail (e.g. 2e23 -> '1.9999999999999998E23', subnormal
+# 5e-324 -> '4.9E-324') is EXCLUDED and recorded as engine-specific.
+RENDER_VALS = [0.0, 1.5, 2.5e9, 1e7, 9999999.0, 1e16, 1.23e-7,
+               9.99e-4, 123456.789012, -2.5e9,
+               1.7976931348623157e308, 1.0e-4, 9007199254740992.0]
+
+
+def _java_double_str(v: float) -> str:
+    """Java-17 Double.toString for the RENDER_VALS subset: shortest
+    repr digits reformatted under Java's plain-vs-scientific rule
+    (plain iff 1e-3 <= |v| < 1e7, i.e. decimal exponent in [-3, 6])."""
+    import math as _m
+    from decimal import Decimal
+    if _m.isnan(v):
+        return "NaN"
+    if _m.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == 0.0:
+        return "-0.0" if _m.copysign(1.0, v) < 0 else "0.0"
+    neg = v < 0
+    d = Decimal(repr(abs(v)))
+    _, digs, dexp = d.as_tuple()
+    digs = list(digs)
+    while len(digs) > 1 and digs[-1] == 0:
+        digs.pop()
+        dexp += 1
+    e10 = dexp + len(digs) - 1
+    ds = "".join(map(str, digs))
+    if -3 <= e10 <= 6:
+        if e10 >= 0:
+            intp = ds[:e10 + 1].ljust(e10 + 1, "0")
+            frac = ds[e10 + 1:] or "0"
+        else:
+            intp = "0"
+            frac = "0" * (-e10 - 1) + ds
+        s = f"{intp}.{frac}"
+    else:
+        s = ds[0] + "." + (ds[1:] or "0") + f"E{e10}"
+    return ("-" if neg else "") + s
+
+
+def _java_render_case(col: str) -> str:
+    """DuckDB CASE replaying Spark's Java double rendering for every
+    RENDER_VALS member (the fixture draws only from that pool)."""
+    arms = "".join(
+        f" WHEN {col} = {v!r} THEN '{_java_double_str(v)}'"
+        for v in RENDER_VALS)
+    return f"CASE{arms} ELSE NULL END"
+
+
+@pytest.mark.parametrize("seed", fuzz_seeds(4243, 587),
+                         ids=lambda s: f"seed{s}")
+def test_randomized_profile_expectations_parity(spark, tmp_path_factory,
+                                                seed):
+    """profile_columns + check_expectations over hostile strings and
+    SCIENTIFIC-RANGE doubles. Pins two contracts the clean testdata
+    never touches: (1) string min/max under astral+BMP unicode mixes
+    — Spark's UTF8String binary ordering equals DuckDB memcmp, so the
+    stringified bounds agree byte-for-byte (probed clean r12); (2)
+    stringified DOUBLE bounds DIVERGE between Java ('2.5E9') and
+    DuckDB ('2500000000.0') outside the plain-notation range
+    [1e-3, 1e7) — the oracle must replay Java's rendering (here via a
+    CASE over the fixture's value pool; the committed driver profiles
+    only stay green because their columns sit inside the plain
+    range)."""
+    import random
+    rng = random.Random(seed)
+    rows = [(i,
+             rng.choice(HOSTILE_SKETCH_GROUPS),
+             rng.choice(HOSTILE_SKETCH_KEYS + [None] * 5),
+             rng.choice(RENDER_VALS + [None] * 2))
+            for i in range(300)]
+    d = str(tmp_path_factory.mktemp(f"prof{seed}"))
+    df = spark.createDataFrame(
+        rows, "id long, grp string, key string, val double")
+    df.coalesce(2).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM '{d}/t.parquet/*.parquet'")
+    t = spark.read.parquet(f"{d}/t.parquet")
+    from spark_ext_spark.operators.validation import (check_expectations,
+                                                      profile_columns)
+    mn_case = _java_render_case("mn")
+    mx_case = _java_render_case("mx")
+    prof_sql = f"""
+WITH one AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_a,
+         count(DISTINCT key) AS dist_a,
+         min(key) AS min_a, max(key) AS max_a,
+         CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_b,
+         count(DISTINCT val) AS dist_b,
+         min(val) AS mn, max(val) AS mx
+  FROM t
+)
+SELECT 'key' AS column, n AS n_rows, null_a AS n_null,
+       round(CAST(null_a AS DOUBLE) / n, 6) AS null_rate,
+       dist_a AS n_distinct, min_a AS min_value, max_a AS max_value
+FROM one
+UNION ALL
+SELECT 'val', n, null_b, round(CAST(null_b AS DOUBLE) / n, 6),
+       dist_b, {mn_case}, {mx_case} FROM one
+"""
+    exp_sql = f"""
+WITH one AS (
+  SELECT sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS nn,
+         count(DISTINCT id) AS du, count(id) AS cu,
+         min(val) AS mn, max(val) AS mx,
+         sum(CASE WHEN grp NOT IN ('g1', '', 'naïve', '\U0001F600')
+                   AND grp IS NOT NULL THEN 1 ELSE 0 END) AS os
+  FROM t
+)
+SELECT 'id' AS column, 'not_null' AS rule, nn = 0 AS ok,
+       CAST(nn AS VARCHAR) AS observed FROM one
+UNION ALL
+SELECT 'id', 'unique', du = cu, CAST(cu - du AS VARCHAR) FROM one
+UNION ALL
+SELECT 'val', 'min', COALESCE(mn >= -1.8e308, FALSE), {mn_case}
+FROM one
+UNION ALL
+SELECT 'val', 'max', COALESCE(mx <= 1.8e308, FALSE), {mx_case}
+FROM one
+UNION ALL
+SELECT 'grp', 'in_set[g1||naïve|\U0001F600]', os = 0,
+       CAST(os AS VARCHAR) FROM one
+"""
+    try:
+        compare_to_oracle(
+            profile_columns(t, ["key", "val"], exact_distinct=True),
+            con, prof_sql)
+        compare_to_oracle(
+            check_expectations(t, {
+                "id": {"not_null": True, "unique": True},
+                "val": {"min": -1.8e308, "max": 1.8e308},
+                "grp": {"in_set": ["g1", "", "naïve", "\U0001F600"]},
+            }),
+            con, exp_sql)
+    finally:
+        con.close()
