@@ -1,8 +1,9 @@
-"""Quiet-box interleaved A/B closing the round-10 r→s bench-block
-anomaly (VERDICT r10 item 2): BENCH_r10.json showed roc_curve,
-roc_curve_binned, rollup_revenue, s2_cells at 2.0-2.8x their r8/r9
-levels — an alphabetically CONTIGUOUS block on code the r10 diff did
-not touch, i.e. a mid-sweep load spike in the driver's run, not code.
+"""Quiet-box interleaved A/B for adjudicating per-query bench deltas
+(first used to close the round-10 r→s bench-block anomaly: an
+alphabetically CONTIGUOUS block of queries 2.0-2.8× slower on
+untouched code — a mid-sweep load spike in the driver's run, not
+code; round 12 reuses it for the theta_user_rollup/token_counts
+readings).
 
 Protocol (BASELINE.md calibration section + the repo's drift rule:
 only same-session interleaved A/Bs are trustworthy): one session,
@@ -10,7 +11,8 @@ rounds of [probe, q1, probe, q2, ...] so every target timing has an
 adjacent probe reading; report raw medians/bests AND probe-normalized
 values against the r7 quiet-box probe reference (0.33 s warm).
 
-Usage: python tools/quietbox_ab.py  (sf0.1, local[32], one JSON line)
+Usage: python tools/quietbox_ab.py [query ...]
+(default targets = the r10 r→s block; sf0.1, local[32], one JSON line)
 """
 from __future__ import annotations
 
@@ -45,6 +47,12 @@ def main() -> None:
     spark = get_spark("quietbox-ab", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
+    global TARGETS
+    if len(sys.argv) > 1:
+        unknown = [a for a in sys.argv[1:] if a not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        TARGETS = sys.argv[1:]
 
     # warmup: parquet footers + codegen for every plan in the A/B
     for name in [PROBE] + TARGETS:
