@@ -240,16 +240,19 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     # Arrow arrays, so sidecar types survive exactly (mapInPandas
     # widened a bigint-with-null batch to float64, silently corrupting
     # values above 2^53 — this repo's own testdata carries 2^62-scale
-    # ids) and the binary payloads skip a pandas copy entirely.
+    # ids) and the binary payloads skip a pandas copy entirely. The
+    # new struct reuses the UNCHANGED children (format, byte_len)
+    # zero-copy; only width/height/n_frames are materialized, so the
+    # per-row Python work is exactly the decode callable.
     def decode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         for batch in batches:
             meta_idx = batch.schema.get_field_index("media_meta")
             meta_arr = batch.column(meta_idx)
             payloads = batch.column(
                 batch.schema.get_field_index("media")).to_pylist()
-            metas = []
+            ws, hs, nfs = [], [], []
             n_err, last_err = 0, None
-            for payload, meta in zip(payloads, meta_arr.to_pylist()):
+            for payload in payloads:
                 payload = payload if payload is not None else b""
                 if strict:
                     w, h, nf = dims(payload)
@@ -260,9 +263,9 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                         n_err += 1
                         last_err = f"{type(e).__name__}: {e}"
                         w = h = nf = None
-                metas.append({"format": meta["format"],
-                              "byte_len": meta["byte_len"],
-                              "width": w, "height": h, "n_frames": nf})
+                ws.append(w)
+                hs.append(h)
+                nfs.append(nf)
             if n_err:
                 # one line per failing batch in the EXECUTOR log: a
                 # systematic defect (wrong-arity decoder, missing
@@ -273,9 +276,14 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                     "decode_media: %d/%d payloads undecodable in this "
                     "batch (last error: %s)", n_err, batch.num_rows,
                     last_err)
+            meta = pa.StructArray.from_arrays(
+                [meta_arr.field("format"), meta_arr.field("byte_len"),
+                 pa.array(ws, type=pa.int32()),
+                 pa.array(hs, type=pa.int32()),
+                 pa.array(nfs, type=pa.int32())],
+                fields=list(meta_arr.type))
             yield batch.set_column(
-                meta_idx, batch.schema.field(meta_idx),
-                pa.array(metas, type=meta_arr.type))
+                meta_idx, batch.schema.field(meta_idx), meta)
 
     return (df.select("media_id", "media", "media_meta",
                       *[f.name for f in extras])
@@ -368,30 +376,34 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
 
     # mapInArrow for the same reason as decode_media: media/media_meta
     # are rebuilt, media_id and every sidecar pass through as the
-    # original Arrow arrays with exact types.
+    # original Arrow arrays with exact types. Unchanged struct
+    # children (format, n_frames) are reused zero-copy; width/height/
+    # byte_len are constants, so the per-row Python work is exactly
+    # one blake2b.
     def resize(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        suffix = f":{width}x{height}".encode()
         for batch in batches:
             media_idx = batch.schema.get_field_index("media")
             meta_idx = batch.schema.get_field_index("media_meta")
             meta_arr = batch.column(meta_idx)
-            payloads, metas = [], []
-            for payload, meta in zip(batch.column(media_idx).to_pylist(),
-                                     meta_arr.to_pylist()):
-                payload = payload if payload is not None else b""
-                stub = hashlib.blake2b(
-                    payload + f":{width}x{height}".encode(),
+            payloads = [
+                hashlib.blake2b(
+                    (p if p is not None else b"") + suffix,
                     digest_size=32).digest()
-                payloads.append(stub)
-                metas.append({"format": meta["format"],
-                              "byte_len": len(stub),
-                              "width": width, "height": height,
-                              "n_frames": meta["n_frames"]})
+                for p in batch.column(media_idx).to_pylist()]
+            n = batch.num_rows
+            meta = pa.StructArray.from_arrays(
+                [meta_arr.field("format"),
+                 pa.array([32] * n, type=pa.int64()),
+                 pa.array([width] * n, type=pa.int32()),
+                 pa.array([height] * n, type=pa.int32()),
+                 meta_arr.field("n_frames")],
+                fields=list(meta_arr.type))
             out = batch.set_column(
                 media_idx, batch.schema.field(media_idx),
                 pa.array(payloads, type=batch.column(media_idx).type))
             yield out.set_column(
-                meta_idx, out.schema.field(meta_idx),
-                pa.array(metas, type=meta_arr.type))
+                meta_idx, out.schema.field(meta_idx), meta)
 
     return (df.select("media_id", "media", "media_meta",
                       *[f.name for f in extras])
