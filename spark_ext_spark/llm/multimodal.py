@@ -89,7 +89,7 @@ def attach_media(df: DataFrame, id_col: str, bin_col: str,
         F.lit(None).cast("int").alias("n_frames"))
     return df.select(F.col(id_col).alias("media_id"), b.alias("media"),
                      meta.alias("media_meta"),
-                     *[F.col(c) for c in keep])
+                     *[_qcol(c) for c in keep])
 
 
 def _sidecars(df: DataFrame) -> list:
@@ -97,6 +97,29 @@ def _sidecars(df: DataFrame) -> list:
     every stage unchanged (see attach_media ``keep``)."""
     return [f for f in df.schema.fields
             if f.name not in ("media_id", "media", "media_meta")]
+
+
+def _qcol(name: str) -> "F.Column":
+    """Column reference by EXACT name: backtick-quoted so sidecars
+    named with spaces/reserved words resolve as columns (embedded
+    backticks escape by doubling, as in Spark SQL)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _reject_dotted(extras, stage: str) -> None:
+    """mapInArrow/mapInPandas cannot EMIT a dotted output column name
+    — Spark resolves the declared output schema's field names as
+    multipart references even when backtick-quoted or given as a
+    StructType (probed on 4.1: `a.b` fails UNRESOLVED_COLUMN while
+    plain select of the same column succeeds). Fail by name at the
+    media stage instead of surfacing Spark's confusing resolver
+    error."""
+    dotted = sorted(f.name for f in extras if "." in f.name)
+    if dotted:
+        raise ValueError(
+            f"{stage}: sidecar columns {dotted} contain '.' — Spark "
+            "cannot emit dotted column names from mapInArrow; rename "
+            "the sidecars before the media stages")
 
 
 def _sidecar_ddl(fields) -> str:
@@ -231,6 +254,7 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     # (string/UUID ids included), so a hardcoded bigint here would die
     # at Arrow conversion on the executors
     extras = _sidecars(df)
+    _reject_dotted(extras, "decode_media")
     out_schema = (f"media_id {df.schema['media_id'].dataType.simpleString()}"
                   ", media binary, media_meta " + MEDIA_META_SCHEMA
                   + _sidecar_ddl(extras))
@@ -286,7 +310,7 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                 meta_idx, batch.schema.field(meta_idx), meta)
 
     return (df.select("media_id", "media", "media_meta",
-                      *[f.name for f in extras])
+                      *[_qcol(f.name) for f in extras])
             .mapInArrow(decode, schema=out_schema))
 
 
@@ -353,7 +377,7 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
                                     F.col("frame_idx").cast("string")
                                     .cast("binary")), 256)
                     .alias("frame_stub"),
-                    *[F.col(c) for c in extras]))
+                    *[_qcol(c) for c in extras]))
 
 
 def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
@@ -370,6 +394,7 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     ``Image.resize`` bytes in production; schema, batch shape and
     column pruning are identical."""
     extras = _sidecars(df)
+    _reject_dotted(extras, "resize_media")
     out_schema = (f"media_id {df.schema['media_id'].dataType.simpleString()}"
                   ", media binary, media_meta " + MEDIA_META_SCHEMA
                   + _sidecar_ddl(extras))
@@ -406,5 +431,5 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
                 meta_idx, out.schema.field(meta_idx), meta)
 
     return (df.select("media_id", "media", "media_meta",
-                      *[f.name for f in extras])
+                      *[_qcol(f.name) for f in extras])
             .mapInArrow(resize, schema=out_schema))

@@ -422,7 +422,16 @@ def _hourly_grid(ev: DataFrame, max_hours: int = 1_000_000) -> DataFrame:
     ``max_hours`` (default ~114 years) telling the operator to filter
     or repair, instead of an unexplained executor OOM three stages
     later. Empty input stays empty: a NULL lo short-circuits the guard
-    and sequence(NULL, NULL) explodes to no rows."""
+    and sequence(NULL, NULL) explodes to no rows.
+
+    NULL event_type: the grid keeps a NULL-type series (DISTINCT
+    retains it on both engines), but the downstream left join is
+    null-UNSAFE on BOTH engines identically (Spark equi-join ==
+    SQL ``USING``), so that series shows the fill values, never its
+    observed counts — an unattributable series stays empty by pinned
+    cross-engine contract (nullish sweep); contrast theta_distinct's
+    join-back, which null-safe-matches because there the NULL group's
+    counts ARE the answer (r12 fix)."""
     bounds = ev.agg(F.min(F.date_trunc("hour", "ts")).alias("lo"),
                     F.max(F.date_trunc("hour", "ts")).alias("hi"))
     span_ok = (F.col("lo").isNull()

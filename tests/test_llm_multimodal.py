@@ -208,6 +208,19 @@ def test_sidecar_quoted_names_and_frame_collision_guard(spark):
     assert row["frame_idx"] == 7
     with pytest.raises(ValueError, match="frame_idx"):
         sample_frames(out)
+    # DOTTED sidecar names cannot cross mapInArrow at all — Spark
+    # resolves the declared output schema's field names as multipart
+    # references (probed: fails UNRESOLVED_COLUMN even backtick-quoted
+    # or via StructType). attach_media carries them (plain select),
+    # decode/resize fail BY NAME instead of surfacing the resolver
+    # error three stages later.
+    dotted = attach_media(
+        spark.createDataFrame([(1, b"png", "d")],
+                              ["doc_id", "payload", "a.b"]),
+        "doc_id", "payload", keep=["a.b"])
+    assert dotted.collect()[0]["a.b"] == "d"
+    with pytest.raises(ValueError, match=r"a\.b"):
+        decode_media(dotted)
 
 
 def test_resize_media_stub(spark):
