@@ -57,6 +57,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the two bench-suspect names token_counts/
         # theta_user_rollup). After this window no query's last
         # driver contact is older than r10.
+        #
+        # ROUND-13 WINDOW (pinned now, same policy): the 35 remaining
+        # rows whose last contact was the r10 window (global_agg,
+        # topk_users, distinct_pairs, union_all_counts,
+        # left_join_order_counts, semi_join_urgent,
+        # anti_join_no_orders, hourly_rollup, shipping_priority,
+        # intersect_buyers, except_non_urgent, fingerprints,
+        # media_byte_stats, collect_array_distinct,
+        # gather_encoder_distfit, doc_chunks, doc_lm_scores,
+        # f_measure, lift_curve, recall_by_threshold,
+        # gather_encoder_top_allother, gather_encoder_index,
+        # downsampling_hash, gains_curve, precision_by_threshold,
+        # simhash_pairs, winnow_pairs, tfidf_top_terms, doc_quality,
+        # gather_encoder_top, binning, roc_curve_binned, s2_cells,
+        # string_indexer, exact_dedup), plus these 15 r11 core
+        # re-checks to fill 50 (heavy/flagship rows incl. the
+        # rows-only rotation sketch_user_rollup): collect_array,
+        # gather, auc_metrics, lr_newton_steps, minhash_lsh,
+        # dup_clusters, semantic_clusters, ann_lsh_topk, ann_ivf_topk,
+        # asof_join_orders_chunked, table_profile, kmv_user_stats,
+        # sketch_user_rollup, media_pipeline, tpch_q9_product_profit.
+        # After that window no query's last contact is older than r11.
         # --- 1-35: last contact r9 -----------------------------------
         "language_id": lq.doc_language_id,
         "sequence_packing": lq.sequence_packing,
