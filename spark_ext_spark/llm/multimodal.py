@@ -12,10 +12,12 @@ codec, and the default path produces deterministic fake metadata
 derived from the bytes (magic sniffing + sha256-based dimensions) so
 pipelines are end-to-end testable everywhere.
 
-At 100 TB: binary payloads dominate row size — operators here always
-select only (id, media) before mapInPandas (column pruning survives),
-and callers should size spark.sql.files.maxPartitionBytes so one Arrow
-batch of payloads fits executor memory.
+At 100 TB: binary payloads dominate row size — the media stages carry
+the media triple plus any row-aligned sidecar columns (the attach_media
+``keep`` contract; sidecars ride along instead of a join-back shuffle),
+so callers control scan width by what they attach/select upstream, and
+should size spark.sql.files.maxPartitionBytes so one Arrow batch of
+payloads fits executor memory.
 """
 
 from __future__ import annotations
@@ -29,14 +31,29 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_media", "sniff_format",
-           "decode_media", "media_features", "resize_media",
-           "sample_frames"]
+__all__ = ["MEDIA_META_SCHEMA", "MEDIA_META_TYPE", "attach_media",
+           "sniff_format", "decode_media", "media_features",
+           "resize_media", "sample_frames"]
 
-# The typed metadata carried alongside every media payload.
-MEDIA_META_SCHEMA = ("struct<format:string, byte_len:bigint, "
-                     "width:int, height:int, n_frames:int>")
+# The typed metadata carried alongside every media payload. The
+# StructType is the source of truth — the media stages declare their
+# mapInArrow output schema programmatically (no DDL round-trip, so a
+# sidecar whose NESTED field names need quoting still works; only
+# top-level dotted names stay impossible, see _reject_dotted); the
+# DDL string is derived from it for callers that want one.
+MEDIA_META_TYPE = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType())])
+MEDIA_META_SCHEMA = MEDIA_META_TYPE.simpleString()
+
+# Stub-resize output payload size; byte_len reports the SAME constant,
+# so changing the digest size cannot silently desynchronize the two.
+_RESIZE_DIGEST_SIZE = 32
 
 # One-time-per-process flag for the round-7 on_error default change
 # (injected decoders: 'null' → 'raise'); see decode_media.
@@ -122,13 +139,46 @@ def _reject_dotted(extras, stage: str) -> None:
             "the sidecars before the media stages")
 
 
-def _sidecar_ddl(fields) -> str:
-    # backtick-quoted: sidecar names with spaces/hyphens/reserved words
-    # are legal Spark columns and must parse in the DDL schema string
-    # (backticks inside a name escape by doubling, as in Spark SQL)
-    return "".join(
-        f", `{f.name.replace('`', '``')}` {f.dataType.simpleString()}"
-        for f in fields)
+def _media_out_schema(df: DataFrame, extras) -> "T.StructType":
+    """Declared output schema for decode_media/resize_media: the media
+    triple (media_id keeps the caller's id type — string/UUID ids are
+    legal) plus every sidecar with its exact input type. Built as a
+    StructType, not a DDL string, so names anywhere in the tree that
+    would need quoting (spaces, hyphens, reserved words — including
+    NESTED struct field names, which simpleString() cannot quote)
+    never go through a parser."""
+    return T.StructType(
+        [T.StructField("media_id", df.schema["media_id"].dataType),
+         T.StructField("media", T.BinaryType()),
+         T.StructField("media_meta", MEDIA_META_TYPE)]
+        + [T.StructField(f.name, f.dataType, f.nullable) for f in extras])
+
+
+def _rebuild_meta(meta_arr: "pa.Array", byte_len: "pa.Array",
+                  width: "pa.Array", height: "pa.Array",
+                  n_frames: "pa.Array") -> "pa.StructArray":
+    """Rebuild the media_meta struct column around new child arrays.
+
+    Children are looked up BY NAME and emitted in the canonical
+    MEDIA_META_TYPE order, so an input struct whose fields arrive in a
+    different order (hand-built, schema-evolved parquet) cannot get
+    width/height silently swapped by positional pairing. The
+    struct-level validity mask is propagated: a row whose media_meta
+    IS NULL stays null instead of becoming a fabricated non-null
+    struct (the mapInPandas-era code failed loudly on such rows; the
+    Arrow rebuild must not silently invent metadata for them)."""
+    fmt = meta_arr.field("format").cast(pa.string())
+    children = [fmt, byte_len.cast(pa.int64()), width.cast(pa.int32()),
+                height.cast(pa.int32()), n_frames.cast(pa.int32())]
+    mask = meta_arr.is_null() if meta_arr.null_count else None
+    return pa.StructArray.from_arrays(
+        children,
+        fields=[pa.field("format", pa.string()),
+                pa.field("byte_len", pa.int64()),
+                pa.field("width", pa.int32()),
+                pa.field("height", pa.int32()),
+                pa.field("n_frames", pa.int32())],
+        mask=mask)
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -181,6 +231,11 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     type (see attach_media ``keep``). Before round 11 extra columns
     were silently dropped by an internal ``.select`` — callers that
     relied on that pruning must select the triple themselves.
+
+    A row whose ``media_meta`` IS NULL (possible after outer joins —
+    attach_media itself never emits one) stays null: the struct's
+    validity mask is propagated through the rebuild, never replaced
+    with fabricated dimensions.
 
     ``real_decode=True`` decodes with Pillow when importable (raises
     NotImplementedError naming the missing dependency otherwise);
@@ -255,9 +310,7 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     # at Arrow conversion on the executors
     extras = _sidecars(df)
     _reject_dotted(extras, "decode_media")
-    out_schema = (f"media_id {df.schema['media_id'].dataType.simpleString()}"
-                  ", media binary, media_meta " + MEDIA_META_SCHEMA
-                  + _sidecar_ddl(extras))
+    out_schema = _media_out_schema(df, extras)
 
     # mapInArrow, not mapInPandas: only media_meta is rebuilt — the
     # payloads and every sidecar column pass through as the ORIGINAL
@@ -300,14 +353,12 @@ def decode_media(df: DataFrame, real_decode: bool = False,
                     "decode_media: %d/%d payloads undecodable in this "
                     "batch (last error: %s)", n_err, batch.num_rows,
                     last_err)
-            meta = pa.StructArray.from_arrays(
-                [meta_arr.field("format"), meta_arr.field("byte_len"),
-                 pa.array(ws, type=pa.int32()),
-                 pa.array(hs, type=pa.int32()),
-                 pa.array(nfs, type=pa.int32())],
-                fields=list(meta_arr.type))
+            meta = _rebuild_meta(meta_arr, meta_arr.field("byte_len"),
+                                 pa.array(ws, type=pa.int32()),
+                                 pa.array(hs, type=pa.int32()),
+                                 pa.array(nfs, type=pa.int32()))
             yield batch.set_column(
-                meta_idx, batch.schema.field(meta_idx), meta)
+                meta_idx, pa.field("media_meta", meta.type), meta)
 
     return (df.select("media_id", "media", "media_meta",
                       *[_qcol(f.name) for f in extras])
@@ -342,9 +393,7 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     # this stage's output columns (duplicate names downstream) — fail
     # by name here instead; pipelines that never sample frames may
     # carry such sidecars freely
-    clash = {"frame_idx", "frame_stub"} & {
-        c for c in df.columns if c not in ("media_id", "media",
-                                           "media_meta")}
+    clash = {"frame_idx", "frame_stub"} & {f.name for f in _sidecars(df)}
     if clash:
         raise ValueError(
             f"sample_frames: sidecar columns {sorted(clash)} collide "
@@ -395,9 +444,7 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     column pruning are identical."""
     extras = _sidecars(df)
     _reject_dotted(extras, "resize_media")
-    out_schema = (f"media_id {df.schema['media_id'].dataType.simpleString()}"
-                  ", media binary, media_meta " + MEDIA_META_SCHEMA
-                  + _sidecar_ddl(extras))
+    out_schema = _media_out_schema(df, extras)
 
     # mapInArrow for the same reason as decode_media: media/media_meta
     # are rebuilt, media_id and every sidecar pass through as the
@@ -414,21 +461,20 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
             payloads = [
                 hashlib.blake2b(
                     (p if p is not None else b"") + suffix,
-                    digest_size=32).digest()
+                    digest_size=_RESIZE_DIGEST_SIZE).digest()
                 for p in batch.column(media_idx).to_pylist()]
             n = batch.num_rows
-            meta = pa.StructArray.from_arrays(
-                [meta_arr.field("format"),
-                 pa.array([32] * n, type=pa.int64()),
-                 pa.array([width] * n, type=pa.int32()),
-                 pa.array([height] * n, type=pa.int32()),
-                 meta_arr.field("n_frames")],
-                fields=list(meta_arr.type))
+            meta = _rebuild_meta(
+                meta_arr,
+                pa.array([_RESIZE_DIGEST_SIZE] * n, type=pa.int64()),
+                pa.array([width] * n, type=pa.int32()),
+                pa.array([height] * n, type=pa.int32()),
+                meta_arr.field("n_frames"))
             out = batch.set_column(
                 media_idx, batch.schema.field(media_idx),
                 pa.array(payloads, type=batch.column(media_idx).type))
             yield out.set_column(
-                meta_idx, out.schema.field(meta_idx), meta)
+                meta_idx, pa.field("media_meta", meta.type), meta)
 
     return (df.select("media_id", "media", "media_meta",
                       *[_qcol(f.name) for f in extras])

@@ -4,6 +4,7 @@ decode determinism, pseudo-features, frame sampling shapes."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import types as T
 
 from spark_ext_spark.llm.multimodal import (attach_media, decode_media,
                                             media_features, sample_frames)
@@ -221,6 +222,82 @@ def test_sidecar_quoted_names_and_frame_collision_guard(spark):
     assert dotted.collect()[0]["a.b"] == "d"
     with pytest.raises(ValueError, match=r"a\.b"):
         decode_media(dotted)
+
+
+def test_null_media_meta_rows_stay_null(spark):
+    """A row whose media_meta IS NULL (outer joins produce these;
+    attach_media never does) must stay null through decode and resize
+    — the Arrow struct rebuild propagates the validity mask instead of
+    fabricating a non-null struct of invented dimensions (the
+    mapInPandas-era code failed loudly on such rows; silently
+    inventing metadata is the one behavior that is never right)."""
+    from spark_ext_spark.llm.multimodal import (MEDIA_META_TYPE,
+                                                resize_media)
+    attached = attach_media(
+        spark.createDataFrame([(1, b"\x89PNG\r\n\x1a\nx")],
+                              "doc_id long, payload binary"),
+        "doc_id", "payload")
+    orphan_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META_TYPE)])
+    nulled = attached.unionByName(spark.createDataFrame(
+        [(2, b"orphan", None)], orphan_schema))
+    for stage in (decode_media(nulled),
+                  resize_media(decode_media(nulled))):
+        got = {r["media_id"]: r["media_meta"] for r in stage.collect()}
+        assert got[1] is not None
+        assert got[2] is None, stage
+
+
+def test_reordered_meta_struct_fields_rebuild_by_name(spark):
+    """decode/resize must pair media_meta children BY NAME: a caller
+    whose struct carries the same fields in a different order (hand-
+    built, schema-evolved parquet) must not get width/height swapped
+    by positional pairing, and the output must come out in the
+    canonical MEDIA_META_TYPE order."""
+    from spark_ext_spark.llm.multimodal import resize_media
+    payload = b"\x89PNG\r\n\x1a\nreordered"
+    df = spark.createDataFrame(
+        [(1, payload, ("png", 17, None, None, None))],
+        "media_id long, media binary, media_meta struct<"
+        "format:string, byte_len:bigint, height:int, width:int, "
+        "n_frames:int>")  # height/width SWAPPED vs canonical
+    decoded = decode_media(df)
+    assert [f.name for f in decoded.schema["media_meta"].dataType.fields] \
+        == ["format", "byte_len", "width", "height", "n_frames"]
+    meta = decoded.collect()[0]["media_meta"]
+    # the deterministic fake dims for this payload, by name
+    import hashlib
+    d = hashlib.sha256(payload).digest()
+    assert meta["width"] == 16 + d[0] % 240
+    assert meta["height"] == 16 + d[1] % 240
+    resized = resize_media(decoded, width=40, height=20)
+    rmeta = resized.collect()[0]["media_meta"]
+    assert (rmeta["width"], rmeta["height"]) == (40, 20)
+    assert rmeta["byte_len"] == 32
+
+
+def test_nested_quoted_sidecar_field_names_cross_media_stages(spark):
+    """A sidecar STRUCT whose inner field name needs quoting (spaces)
+    must cross decode/resize: the output schema is built
+    programmatically, not via a simpleString() DDL round-trip that
+    cannot quote nested names."""
+    from spark_ext_spark.llm.multimodal import resize_media
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\nx", (("en", 4),))],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta2", T.StructType([
+                T.StructField("inner", T.StructType([
+                    T.StructField("lang code", T.StringType()),
+                    T.StructField("n tokens", T.IntegerType())]))]))]))
+    out = resize_media(decode_media(attach_media(
+        df, "doc_id", "payload", keep=["meta2"])))
+    row = out.collect()[0]
+    assert row["meta2"]["inner"]["lang code"] == "en"
+    assert row["meta2"]["inner"]["n tokens"] == 4
 
 
 def test_resize_media_stub(spark):
