@@ -40,9 +40,9 @@ __all__ = ["MEDIA_META_SCHEMA", "MEDIA_META_TYPE", "attach_media",
 # The typed metadata carried alongside every media payload. The
 # StructType is the source of truth — the media stages declare their
 # mapInArrow output schema programmatically (no DDL round-trip, so a
-# sidecar whose NESTED field names need quoting still works; only
-# top-level dotted names stay impossible, see _reject_dotted); the
-# DDL string is derived from it for callers that want one.
+# sidecar whose NESTED field names need quoting still works; dotted
+# top-level names cross via internal aliases, see _dotted_aliases);
+# the DDL string is derived from it for callers that want one.
 MEDIA_META_TYPE = T.StructType([
     T.StructField("format", T.StringType()),
     T.StructField("byte_len", T.LongType()),
@@ -123,26 +123,34 @@ def _qcol(name: str) -> "F.Column":
     return F.col("`" + name.replace("`", "``") + "`")
 
 
-def _reject_dotted(extras, stage: str) -> None:
+def _dotted_aliases(df: DataFrame, extras) -> dict[str, str]:
     """mapInArrow/mapInPandas cannot EMIT a dotted output column name
     — Spark resolves the declared output schema's field names as
     multipart references even when backtick-quoted or given as a
     StructType (probed on 4.1: `a.b` fails UNRESOLVED_COLUMN while
-    plain select of the same column succeeds). Fail by name at the
-    media stage instead of surfacing Spark's confusing resolver
-    error."""
-    dotted = sorted(f.name for f in extras if "." in f.name)
-    if dotted:
-        raise ValueError(
-            f"{stage}: sidecar columns {dotted} contain '.' — Spark "
-            "cannot emit dotted column names from mapInArrow; rename "
-            "the sidecars before the media stages")
+    plain select/alias of the same column succeeds). Instead of
+    rejecting such sidecars, the media stages alias each dotted name
+    to a collision-free plain internal name for the Arrow hop and
+    restore the original name immediately after (a zero-cost
+    projection). Returns {original: internal} for the dotted names."""
+    taken = set(df.columns)
+    out: dict[str, str] = {}
+    for i, f in enumerate(sorted(
+            (f for f in extras if "." in f.name), key=lambda f: f.name)):
+        safe = f"__sidecar_{i}"
+        while safe in taken:
+            safe += "_"
+        taken.add(safe)
+        out[f.name] = safe
+    return out
 
 
-def _media_out_schema(df: DataFrame, extras) -> "T.StructType":
+def _media_out_schema(df: DataFrame, extras,
+                      aliases: dict[str, str]) -> "T.StructType":
     """Declared output schema for decode_media/resize_media: the media
     triple (media_id keeps the caller's id type — string/UUID ids are
-    legal) plus every sidecar with its exact input type. Built as a
+    legal) plus every sidecar with its exact input type (dotted names
+    under their internal alias, see _dotted_aliases). Built as a
     StructType, not a DDL string, so names anywhere in the tree that
     would need quoting (spaces, hyphens, reserved words — including
     NESTED struct field names, which simpleString() cannot quote)
@@ -151,7 +159,26 @@ def _media_out_schema(df: DataFrame, extras) -> "T.StructType":
         [T.StructField("media_id", df.schema["media_id"].dataType),
          T.StructField("media", T.BinaryType()),
          T.StructField("media_meta", MEDIA_META_TYPE)]
-        + [T.StructField(f.name, f.dataType, f.nullable) for f in extras])
+        + [T.StructField(aliases.get(f.name, f.name), f.dataType,
+                         f.nullable) for f in extras])
+
+
+def _through_arrow(df: DataFrame, extras, fn, out_schema,
+                   aliases: dict[str, str]) -> DataFrame:
+    """Run ``fn`` via mapInArrow over the media triple + sidecars,
+    aliasing dotted sidecar names to plain internal names for the
+    Arrow hop and restoring them after (see _dotted_aliases)."""
+    sel = [(_qcol(f.name).alias(aliases[f.name])
+            if f.name in aliases else _qcol(f.name)) for f in extras]
+    res = (df.select("media_id", "media", "media_meta", *sel)
+           .mapInArrow(fn, schema=out_schema))
+    if aliases:
+        res = res.select(
+            "media_id", "media", "media_meta",
+            *[(F.col(aliases[f.name]).alias(f.name)
+               if f.name in aliases else _qcol(f.name))
+              for f in extras])
+    return res
 
 
 def _rebuild_meta(meta_arr: "pa.Array", byte_len: "pa.Array",
@@ -309,8 +336,8 @@ def decode_media(df: DataFrame, real_decode: bool = False,
     # (string/UUID ids included), so a hardcoded bigint here would die
     # at Arrow conversion on the executors
     extras = _sidecars(df)
-    _reject_dotted(extras, "decode_media")
-    out_schema = _media_out_schema(df, extras)
+    aliases = _dotted_aliases(df, extras)
+    out_schema = _media_out_schema(df, extras, aliases)
 
     # mapInArrow, not mapInPandas: only media_meta is rebuilt — the
     # payloads and every sidecar column pass through as the ORIGINAL
@@ -360,9 +387,7 @@ def decode_media(df: DataFrame, real_decode: bool = False,
             yield batch.set_column(
                 meta_idx, pa.field("media_meta", meta.type), meta)
 
-    return (df.select("media_id", "media", "media_meta",
-                      *[_qcol(f.name) for f in extras])
-            .mapInArrow(decode, schema=out_schema))
+    return _through_arrow(df, extras, decode, out_schema, aliases)
 
 
 def media_features(df: DataFrame, dim: int = 16) -> DataFrame:
@@ -443,8 +468,8 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     ``Image.resize`` bytes in production; schema, batch shape and
     column pruning are identical."""
     extras = _sidecars(df)
-    _reject_dotted(extras, "resize_media")
-    out_schema = _media_out_schema(df, extras)
+    aliases = _dotted_aliases(df, extras)
+    out_schema = _media_out_schema(df, extras, aliases)
 
     # mapInArrow for the same reason as decode_media: media/media_meta
     # are rebuilt, media_id and every sidecar pass through as the
@@ -476,6 +501,4 @@ def resize_media(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
             yield out.set_column(
                 meta_idx, pa.field("media_meta", meta.type), meta)
 
-    return (df.select("media_id", "media", "media_meta",
-                      *[_qcol(f.name) for f in extras])
-            .mapInArrow(resize, schema=out_schema))
+    return _through_arrow(df, extras, resize, out_schema, aliases)

@@ -209,19 +209,25 @@ def test_sidecar_quoted_names_and_frame_collision_guard(spark):
     assert row["frame_idx"] == 7
     with pytest.raises(ValueError, match="frame_idx"):
         sample_frames(out)
-    # DOTTED sidecar names cannot cross mapInArrow at all — Spark
-    # resolves the declared output schema's field names as multipart
-    # references (probed: fails UNRESOLVED_COLUMN even backtick-quoted
-    # or via StructType). attach_media carries them (plain select),
-    # decode/resize fail BY NAME instead of surfacing the resolver
-    # error three stages later.
+    # DOTTED sidecar names cannot be DECLARED as mapInArrow output
+    # columns (Spark resolves the declared schema's field names as
+    # multipart references — probed: fails UNRESOLVED_COLUMN even
+    # backtick-quoted or via StructType), so the media stages alias
+    # them to plain internal names for the Arrow hop and restore the
+    # original name right after; a caller-visible dotted sidecar
+    # crosses decode+resize unchanged. An existing column at the
+    # internal alias name must not collide.
     dotted = attach_media(
-        spark.createDataFrame([(1, b"png", "d")],
-                              ["doc_id", "payload", "a.b"]),
-        "doc_id", "payload", keep=["a.b"])
+        spark.createDataFrame([(1, b"png", "d", "occupied")],
+                              ["doc_id", "payload", "a.b",
+                               "__sidecar_0"]),
+        "doc_id", "payload", keep=["a.b", "__sidecar_0"])
     assert dotted.collect()[0]["a.b"] == "d"
-    with pytest.raises(ValueError, match=r"a\.b"):
-        decode_media(dotted)
+    out2 = resize_media(decode_media(dotted))
+    row2 = out2.collect()[0]
+    assert row2["a.b"] == "d"
+    assert row2["__sidecar_0"] == "occupied"
+    assert out2.columns.count("a.b") == 1
 
 
 def test_null_media_meta_rows_stay_null(spark):
