@@ -15,9 +15,11 @@ uses ``localCheckpoint`` (fast, dies with an executor) and
 session's checkpoint directory — the mode a multi-hour 100 TB run
 wants, since it survives executor loss.
 
-100 TB notes: per-round cost is one shuffle of E (edges) + two of V
-(labels); V shrinks to #nodes-in-pairs which for dedup workloads is a
-small fraction of the corpus. Label table is (long, long) — compact.
+100 TB notes: per-round cost is one shuffle of E (edges, labeling the
+neighbor proposals) + one E+V-row min-aggregate (map-side combined)
++ two V-sized shuffles for the pointer jump; V shrinks to
+#nodes-in-pairs which for dedup workloads is a small fraction of the
+corpus. Label table is (long, long) — compact.
 The convergence count is a cheap action over the compacted label table,
 not the edge set.
 """
@@ -101,11 +103,11 @@ def connected_components(edges: DataFrame, src: str, dst: str,
             return df.localCheckpoint()
     # assumes pairs are unique (a < b), as every *_pairs producer in
     # llm/ guarantees — duplicated edges would only cost, not corrupt.
-    # Materialize the DIRECTED edge table once, then symmetrize from
-    # the checkpointed data: checkpointing the union instead would run
-    # the whole upstream pair-producing pipeline (e.g. the shingle
+    # Materialize the DIRECTED edge table first, then symmetrize from
+    # the checkpointed data: symmetrizing the raw plan instead would
+    # run the whole upstream pair-producing pipeline (e.g. the shingle
     # join) twice, once per union branch (measured 10.2 s vs 4.6 s at
-    # sf0.1). The repartition before the checkpoint lets AQE size the
+    # sf0.1). The repartitions before the checkpoints let AQE size the
     # edge partitions by bytes — a few-hundred-edge graph collapses to
     # one partition, so the per-round joins don't fan out into dozens
     # of near-empty tasks (measured 3.2 s → 1.8 s for 4 rounds), while
@@ -114,6 +116,14 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     e1 = _ckpt(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
                .repartition("u"))
     e1_file = _ckpt_file(e1) if reliable else None
+    # NOTE (r12 optimization round, measured dead end): checkpointing
+    # the SYMMETRIZED table repartitioned by v — hoping the per-round
+    # neighbor join would reuse that partitioning — buys nothing:
+    # localCheckpoint/checkpoint scan back as ExistingRDD with
+    # UnknownPartitioning, so EnsureRequirements re-shuffles anyway,
+    # and at bench scale the label side broadcasts so the edge side is
+    # never shuffled per round in the first place. Keep the single
+    # directed checkpoint + lazy union.
     sym = e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # init = the first neighbor-min round, fused into one aggregate:
     # label(u) = min(u, min(neighbors)) — saves a full round's three
@@ -125,30 +135,39 @@ def connected_components(edges: DataFrame, src: str, dst: str,
 
     cached = labels
     for _ in range(max_iter):
-        # (a) neighbor-min: smallest label among each node's neighbors
-        nbr = (sym.join(labels.select(F.col("node").alias("v"),
-                                      F.col("comp").alias("vcomp")), "v")
-               .groupBy("u").agg(F.min("vcomp").alias("nmin")))
-        stepped = (labels.join(nbr, labels["node"] == nbr["u"], "left")
-                   .select("node",
-                           F.least("comp", F.coalesce("nmin", "comp"))
-                           .alias("comp")))
+        # (a) neighbor-min fused with the label merge (r12 optimization
+        # round): the round-start labels ride the SAME min-aggregate as
+        # the neighbor proposals — one union + one groupBy replaces the
+        # previous [join labels onto edges → groupBy → left-join back
+        # onto labels] pair, and since every node contributes exactly
+        # one self row, the round-start label comes out of the same
+        # aggregate (min over the self rows) instead of a third join.
+        # stepped.comp = min(L(u), min over neighbor labels) — the
+        # identical value the join formulation produced.
+        props = (labels.select(
+                     "node", F.col("comp").alias("cand"),
+                     F.lit(True).alias("__self"))
+                 .unionByName(
+                     sym.join(labels.select(F.col("node").alias("v"),
+                                            F.col("comp").alias("cand")),
+                              "v")
+                     .select(F.col("u").alias("node"), "cand",
+                             F.lit(False).alias("__self"))))
+        stepped = (props.groupBy("node")
+                   .agg(F.min("cand").alias("comp"),
+                        F.min(F.when(F.col("__self"), F.col("cand")))
+                        .alias("old_comp")))
         # (b) pointer jump: comp ← comp[comp] (chain halving)
         parent = stepped.select(F.col("node").alias("pnode"),
                                 F.col("comp").alias("pcomp"))
-        old = labels.select("node", F.col("comp").alias("old_comp"))
         # the changed flag rides inside the one materialization job, so
         # the convergence test below is a scan of the cached table —
         # not a second join job per round
+        jumped = F.least("comp", F.coalesce("pcomp", "comp"))
         nxt = (stepped.join(parent, stepped["comp"] == parent["pnode"],
                             "left")
-               .select("node",
-                       F.least("comp", F.coalesce("pcomp", "comp"))
-                       .alias("comp"))
-               .join(old, "node")
-               .select("node", "comp",
-                       (F.col("comp") != F.col("old_comp"))
-                       .alias("changed")))
+               .select("node", jumped.alias("comp"),
+                       (jumped != F.col("old_comp")).alias("changed")))
         nxt = _ckpt(nxt)
         changed = nxt.where("changed").count()
         cached.unpersist()

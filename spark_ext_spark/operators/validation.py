@@ -39,26 +39,44 @@ def profile_columns(df: DataFrame, cols: list[str],
     Distinct counts are HLL++ approximations (±5% rsd) by default;
     pass ``exact_distinct=True`` for exact cardinalities.
 
-    Why approximate by default: exact multi-column count_distinct makes Catalyst
-    Expand the scan once per distinct column (a k-column profile reads
-    k+1× the rows) — the wrong default for a 100 TB acceptance gate.
-    Pass ``exact_distinct=True`` when the report feeds a reconciliation
-    that needs exact cardinalities and the table is small enough to
-    pay the expansion."""
+    Why approximate by default: exact distinct counts cost one extra
+    single-column pass per profiled column (a k-column profile
+    processes k+1× the rows) — the wrong default for a 100 TB
+    acceptance gate. Pass ``exact_distinct=True`` when the report
+    feeds a reconciliation that needs exact cardinalities and the
+    table is small enough to pay the extra passes."""
     if not cols:
         raise ValueError("profile_columns: cols must be non-empty")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         col = F.col(c)
-        distinct = (F.count_distinct(col) if exact_distinct
-                    else F.approx_count_distinct(col))
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"__null_{i}"),
-            distinct.alias(f"__dist_{i}"),
             F.min(col).cast("string").alias(f"__min_{i}"),
             F.max(col).cast("string").alias(f"__max_{i}"),
         ]
+        if not exact_distinct:
+            aggs.append(F.approx_count_distinct(col).alias(f"__dist_{i}"))
     one = df.agg(*aggs)
+    if exact_distinct:
+        # Per-column two-level distinct (groupBy value → count rows)
+        # crossed into the one-row frame, instead of k count_distinct
+        # calls in one aggregate. The single-aggregate form makes
+        # Catalyst Expand the scan k+1× and push every replica through
+        # ONE wide hash-aggregate; the per-column subtrees each scan
+        # only their own column (parquet prunes the rest), partial-
+        # aggregate map-side to distinct values, and schedule as
+        # independent stages of the same job. Same exact counts —
+        # count_distinct ignores NULLs, so the NULL group is filtered
+        # before counting. Total rows read stay k+1× the table (the
+        # documented exact-mode price); bytes read DROP from k+1 full
+        # stripes to one wide scan + k single columns.
+        for i, c in enumerate(cols):
+            d = (df.select(F.col(c).alias("__v"))
+                 .where(F.col("__v").isNotNull())
+                 .distinct()
+                 .agg(F.count(F.lit(1)).alias(f"__dist_{i}")))
+            one = one.crossJoin(F.broadcast(d))
     rows = [F.struct(
         F.lit(c).alias("column"),
         F.col("__n").alias("n_rows"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_ext_spark.plans.relational import _lattice_avg_4dp_sql, load
 
@@ -778,8 +779,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape (adapted — observed lineitem unit price stands in for
     ps_supplycost): for each LARGE part, the EUROPE supplier(s) whose
     average unit price equals the per-part minimum among EUROPE
-    suppliers. The correlated MIN subquery becomes groupBy(part).min
-    joined back on equality of the ROUNDED cost (same float-order
+    suppliers. The correlated MIN subquery becomes a per-part window
+    minimum filtered on equality of the ROUNDED cost (same float-order
     discipline as Q15). Dimension chain supplier→nation→region is
     broadcast; the (part, supplier) aggregate is the only data-sized
     shuffle."""
@@ -810,11 +811,16 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
             .join(F.broadcast(euro_supp),
                   F.col("l_suppkey") == F.col("s_suppkey")))
-    min_cost = (cand.groupBy(F.col("l_partkey").alias("mk"))
-                .agg(F.min("unit_cost").alias("min_cost")))
+    # per-part minimum as a window over the candidate rows instead of a
+    # groupBy + equality self-join back (r12 optimization round): same
+    # kept rows — a candidate survives iff its rounded unit_cost equals
+    # its part's minimum — with one partition-keyed exchange where the
+    # join-back plan paid the min-aggregate exchange PLUS a (partkey,
+    # cost)-keyed shuffle of cand and a sort-merge join.
+    w_part = Window.partitionBy("l_partkey")
     return (cand
-            .join(min_cost, (F.col("l_partkey") == F.col("mk"))
-                  & (F.col("unit_cost") == F.col("min_cost")))
+            .withColumn("__min_cost", F.min("unit_cost").over(w_part))
+            .filter(F.col("unit_cost") == F.col("__min_cost"))
             .select(F.col("l_partkey").alias("p_partkey"),
                     F.col("l_suppkey").alias("s_suppkey"),
                     "s_name", "unit_cost"))

@@ -169,7 +169,10 @@ def test_no_query_plans_cartesian(spark, sf_small):
                         # 1-row fitted-beta attach per Newton iteration
                         "lr_newton_steps",
                         # 1-row sketch-estimate × 1-row base-stats attach
-                        "theta_user_rollup"}
+                        "theta_user_rollup",
+                        # 1-row exact-distinct aggregates crossed into
+                        # the 1-row profile frame (r12: replaces Expand)
+                        "table_profile"}
     offenders = {}
     for name, fn in entrymod.queries().items():
         p = plan_of(fn(spark, sf_small))

@@ -88,8 +88,10 @@ def test_validation_hostile_names_and_values(spark):
 
 def test_profile_default_avoids_expand(spark):
     """The approx default must profile in ONE flat aggregate — no
-    Expand (exact multi-distinct re-reads the scan once per column);
-    opting into exact_distinct brings Expand back."""
+    Expand. The exact path must not Expand either (r12 optimization):
+    each distinct count is its own two-level single-column aggregate
+    crossed into the one-row frame, so no plan ever pushes k+1
+    replicas of every row through one wide hash-aggregate."""
     df = spark.range(1000).selectExpr("id", "id % 7 AS k", "id % 3 AS j")
     approx_plan = profile_columns(df, ["id", "k", "j"]) \
         ._jdf.queryExecution().executedPlan().toString()
@@ -97,7 +99,9 @@ def test_profile_default_avoids_expand(spark):
     exact_plan = profile_columns(df, ["id", "k", "j"],
                                  exact_distinct=True) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in exact_plan
+    assert "Expand" not in exact_plan
+    # one keyed (partial-aggregating) distinct subtree per column
+    assert exact_plan.count("keys=[__v") >= 3
 
 
 def test_expectation_ok_is_never_null(spark):
