@@ -210,12 +210,19 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str,
-                profiles: dict[str, list[str]] | None = None) -> DataFrame:
+                profiles: dict[str, list[str]] | None = None,
+                carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stopword-profile language ID: explode tokens, broadcast-join the
     (word → lang) profile table, argmax hit count per doc with
     deterministic tie-break (count desc, lang asc); 'und' when no
     profile word occurs. Scales as one explode + broadcast join +
-    two-level agg."""
+    two-level agg.
+
+    ``carry_cols``: extra per-row columns to pass through to the
+    output (r12 optimization round). They ride the operator's OWN
+    final doc join — NOT the exploded token rows, which stay narrow —
+    so a caller that needs (lang_pred, source, …) per doc gets them
+    without a second doc-sized join back onto its input."""
     profiles = profiles or STOPWORDS
     spark = df.sparkSession
     profile_rows = [(w, lang) for lang, ws in profiles.items() for w in ws]
@@ -232,8 +239,8 @@ def language_id(df: DataFrame, id_col: str, text_col: str,
                 .orderBy(F.desc("hits"), F.asc("lang"))))
             .filter(F.col("rk") == 1)
             .select(id_col, F.col("lang").alias("lang_pred"), "hits"))
-    return (df.select(id_col).join(best, id_col, "left")
-            .select(id_col,
+    return (df.select(id_col, *carry_cols).join(best, id_col, "left")
+            .select(id_col, *carry_cols,
                     F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
                     F.coalesce("hits", F.lit(0)).alias("hits")))
 

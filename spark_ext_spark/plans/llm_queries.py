@@ -330,13 +330,14 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
 def language_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source language distribution — the corpus-composition table
     a multilingual training run logs: (source, lang_pred, n_docs,
-    share-of-source). Composes language_id with a broadcast source
-    join and one aggregation; the share's denominator is a window
-    count, no second scan."""
+    share-of-source). ``source`` rides language_id's carry_cols seam
+    (r12: it travels the operator's own final doc join instead of a
+    second doc-sized join back onto documents); the share's
+    denominator is a window count, no second scan."""
     from pyspark.sql.window import Window
     docs = load(spark, sf_dir, "documents")
-    lang = text.language_id(docs, "doc_id", "text")
-    joined = docs.select("doc_id", "source").join(lang, "doc_id")
+    joined = text.language_id(docs, "doc_id", "text",
+                              carry_cols=("source",))
     agg = (joined.groupBy("source", "lang_pred")
            .agg(F.count(F.lit(1)).alias("n_docs")))
     w = Window.partitionBy("source")

@@ -49,6 +49,23 @@ def test_language_id(docs):
     assert langs[4] == "und"     # no stopword hits
 
 
+def test_language_id_carry_cols(docs, spark):
+    """carry_cols passes per-row columns through the operator's own
+    final join — values must equal the join-based composition, for
+    hit docs and 'und' docs alike, without adding a column to the
+    exploded token rows."""
+    from pyspark.sql import functions as F
+    tagged = docs.withColumn("src", F.col("doc_id") % 2)
+    carried = language_id(tagged, "doc_id", "text",
+                          carry_cols=("src",))
+    assert carried.columns == ["doc_id", "src", "lang_pred", "hits"]
+    joined = (tagged.select("doc_id", "src")
+              .join(language_id(tagged, "doc_id", "text"), "doc_id")
+              .select("doc_id", "src", "lang_pred", "hits"))
+    assert sorted(map(tuple, carried.collect())) == \
+        sorted(map(tuple, joined.collect()))
+
+
 def test_fingerprint_normalization_and_bag(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "world hello")],
