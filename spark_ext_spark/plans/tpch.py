@@ -692,8 +692,15 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("late",
                       F.col("l_shipdate")
                       > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    # size(collect_set) instead of count_distinct (r12 optimization
+    # round): a distinct aggregate mixed with non-distinct ones makes
+    # Catalyst Expand every joined lineitem row ×2 through the
+    # per-order hash-aggregate; collect_set computes the same value
+    # (both ignore NULLs) in the single pass the late-supplier set
+    # already pays, and per-order group sizes are bounded (≤ lines per
+    # order), so the set buffer is as safe as late_supps below.
     per_order = (lo.groupBy("l_orderkey")
-                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                 .agg(F.size(F.collect_set("l_suppkey")).alias("n_supp"),
                       F.collect_set(F.when(F.col("late"),
                                            F.col("l_suppkey")))
                       .alias("late_supps"),
