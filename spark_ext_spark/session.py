@@ -24,6 +24,17 @@ DEFAULT_CONF: dict[str, str] = {
     # Auto-broadcast small dimension tables (region/nation/... at any SF
     # below ~10; explicit broadcast() hints are still used in operators).
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Let the planner pick shuffled-hash over sort-merge when its size
+    # conditions hold (one side per-partition small): skips both sort
+    # passes on joins whose build side fits, at any scale — the
+    # guide's recommended batch baseline. AQE additionally rewrites a
+    # planned SMJ to shuffled-hash at runtime when every build-side
+    # partition is under the local-map threshold (default 0 = off).
+    # Both are planner hints gated on size checks, not local-core
+    # tuning; sort-merge remains the fallback whenever the build side
+    # is too big to hash.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64MB",
     "spark.sql.files.maxPartitionBytes": "128MB",
     # The testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark
     # rejects by default; read as long and normalize in sources.load.
