@@ -547,9 +547,15 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: yearly revenue that would vanish if sub-20%-of-average
     quantity orders were dropped, for one brand. The correlated AVG
-    subquery becomes an aggregate-then-rejoin: per-part averages are a
-    tiny table (one row per brand part) joined back broadcast-side, so
-    lineitem is scanned twice but never shuffled on a quadratic key."""
+    subquery becomes a per-part window average over the brand-filtered
+    lines (r12: previously an aggregate-then-rejoin that re-scanned
+    lineitem — the window shuffles only the brand subset once instead
+    of reading the full fact table twice).
+
+    The cutoff is an order-dependent double accumulation: compare
+    against a ROUNDED threshold so a quantity within 1 ULP of
+    0.2·avg can't flip membership on one engine only (same
+    discipline as important_parts)."""
     part = (load(spark, sf_dir, "part")
             .filter(F.col("p_brand") == "Brand#4")
             .select("p_partkey"))
@@ -557,16 +563,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice")
     brand_lines = lineitem.join(F.broadcast(part),
                                 F.col("l_partkey") == F.col("p_partkey"))
-    # the cutoff is an order-dependent double accumulation: compare
-    # against a ROUNDED threshold so a quantity within 1 ULP of
-    # 0.2·avg can't flip membership on one engine only (same
-    # discipline as important_parts)
-    part_avg = (brand_lines.groupBy("p_partkey")
-                .agg(F.round(F.lit(0.2) * F.avg("l_quantity"), 4)
-                     .alias("qty_cut")))
+    w_part = Window.partitionBy("l_partkey")
     return (brand_lines
-            .join(F.broadcast(part_avg.withColumnRenamed("p_partkey", "ap")),
-                  F.col("l_partkey") == F.col("ap"))
+            .withColumn("qty_cut",
+                        F.round(F.lit(0.2) * F.avg("l_quantity").over(w_part),
+                                4))
             .filter(F.col("l_quantity") < F.col("qty_cut"))
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
                  .alias("avg_yearly"),
