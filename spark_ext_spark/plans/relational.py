@@ -1041,15 +1041,18 @@ GROUP BY 1
 
 
 def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-per-group join-back (the TPC-H Q2 inner shape): the grouped
-    min is computed once, then joined back to recover the full row(s)
-    attaining it. Ties keep every attaining row in both engines —
-    identical double bits from the same parquet make the equality join
+    """Min-per-group row recovery (the TPC-H Q2 inner shape): rows
+    attaining their group's minimum. Expressed as a per-customer
+    window minimum + equality filter (r12: previously groupBy + join
+    back — the window does it in ONE customer-keyed exchange, where
+    the join-back paid the min-aggregate exchange plus a re-shuffle of
+    orders). Ties keep every attaining row in both engines —
+    identical double bits from the same parquet make the equality
     cross-engine safe."""
     orders = load(spark, sf_dir, "orders")
-    mins = (orders.groupBy("o_custkey")
-            .agg(F.min("o_totalprice").alias("min_price")))
-    return (orders.join(mins, "o_custkey")
+    w = Window.partitionBy("o_custkey")
+    return (orders
+            .withColumn("min_price", F.min("o_totalprice").over(w))
             .filter(F.col("o_totalprice") == F.col("min_price"))
             .select("o_custkey", "o_orderkey",
                     F.round("min_price", 4).alias("min_price")))
