@@ -1051,7 +1051,13 @@ def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine safe."""
     orders = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    # NULL-custkey rows are excluded EXPLICITLY: the join-back this
+    # replaces dropped them via equi-join null semantics (as does the
+    # oracle's JOIN), but a window PARTITION BY groups NULLs together
+    # and would have let them through (caught by the hostile OLAP
+    # parity sweep, seed 5 — one extra Spark row).
     return (orders
+            .filter(F.col("o_custkey").isNotNull())
             .withColumn("min_price", F.min("o_totalprice").over(w))
             .filter(F.col("o_totalprice") == F.col("min_price"))
             .select("o_custkey", "o_orderkey",
