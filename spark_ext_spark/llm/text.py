@@ -186,7 +186,7 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str,
     alpha_ratio = F.round(alpha_words / nzw, 4)
     n_stop = F.size(F.array_intersect(
         F.array_distinct(tokens(text_col)),
-        F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+        F.lit(list(STOPWORDS["en"]))))
     ok_words = (n_words >= min_words) & (n_words <= max_words)
     ok_mean_len = ((mean_len >= min_mean_word_len)
                    & (mean_len <= max_mean_word_len))

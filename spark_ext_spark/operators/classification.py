@@ -249,7 +249,7 @@ class LocalLogisticRegressionModel(Model, _LLRParams,
     def _transform(self, dataset: DataFrame) -> DataFrame:
         features = self.getOrDefault(self.featuresCol)
         arr = vector_to_array(F.col(features))
-        coefs = F.array(*[F.lit(float(c)) for c in self.coefficients])
+        coefs = F.lit([float(c) for c in self.coefficients])
         margin = F.lit(self.intercept) + F.aggregate(
             F.zip_with(arr, coefs, lambda x, c: x * c),
             F.lit(0.0), lambda acc, v: acc + v)
