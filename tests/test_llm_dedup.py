@@ -243,3 +243,43 @@ def test_blocked_pair_counts_core(spark):
         assert con[key] == round(s / min(na, nb), 4)
     # doc 3 is a strict subset of 1 and 2: containment 1.0, jaccard low
     assert con[(1, 3)] == 1.0 and jac[(1, 3)] < 0.5
+
+
+def test_blocked_pair_counts_single_join_plan(spark):
+    """The candidate core's only join is the shingle self-join (r12
+    optimization): the df cap and the per-doc sizes are count()
+    windows riding the colocating exchanges the old groupBy →
+    join-back pairs re-shuffled for, and with one consumer left there
+    is no cache materialization either."""
+    from spark_ext_spark.llm.dedup import blocked_pair_counts
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        "doc_id long, text string")
+    import re
+    plan = blocked_pair_counts(docs, "doc_id", "text", n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the static (pre-AQE) plan duplicates the window chain per
+    # self-join side — runtime exchange reuse collapses it — so pin
+    # "windows exist" and "no aggregate join-backs", not an exact count
+    assert plan.count("Window") >= 2
+    # exactly one join operator (the shingle self-join)
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+                       r"|BroadcastNestedLoopJoin|CartesianProduct)", plan)
+    assert len(joins) == 1, joins
+    assert "InMemoryTableScan" not in plan
+
+
+def test_blocked_pair_counts_null_ids_dropped(spark):
+    """NULL document ids never reach the pair table — the explicit
+    isNotNull filter reproduces the old sizes equi-join's null
+    semantics BEFORE the self-join (a NULL id must not fan out
+    against every doc sharing a shingle)."""
+    from spark_ext_spark.llm.dedup import blocked_pair_counts
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (None, "a b c d e h")],
+        "doc_id long, text string")
+    rows = blocked_pair_counts(docs, "doc_id", "text", n=3,
+                               unique_ids=False).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+    assert all(r["doc_a"] is not None and r["doc_b"] is not None
+               for r in rows)
