@@ -43,149 +43,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compare fails on equal values. Wrap integer aggregates in
     ``CAST(... AS BIGINT)``; enforced by tests/test_oracle_types.py."""
     return {
-        # --- Round-12 window (entries 1-50 = driver hash-checked) ---
+        # --- Round-13 window (entries 1-50 = driver hash-checked) ---
         # Rotation policy (from r10 on): re-check whatever has gone
         # longest without driver contact. History: r9 = completion
         # (cumulative 135/135), r10 = first freshness rotation,
-        # r11 = the 7 remaining r7 rows + 29 r8 rows + 14 r9 core
-        # re-checks (49 hash-green + 1 rows-only, zero surprises).
+        # r11 = 7 r7 + 29 r8 + 14 r9 core re-checks, r12 = the 35
+        # remaining r9 rows + 15 r10 core re-checks (48 hash-green +
+        # 2 rows-only, zero surprises).
         #
-        # r12 = exactly the set pinned in round 11: the 35 remaining
-        # rows whose last contact was the r9 window, plus 15 r10
-        # core re-checks to fill 50 (heavy/flagship rows including
-        # BOTH rows-only rotations local_lr_model/approx_user_stats
-        # and the two bench-suspect names token_counts/
-        # theta_user_rollup). After this window no query's last
-        # driver contact is older than r10.
-        #
-        # ROUND-13 WINDOW (pinned now, same policy): the 35 remaining
-        # rows whose last contact was the r10 window (global_agg,
-        # topk_users, distinct_pairs, union_all_counts,
-        # left_join_order_counts, semi_join_urgent,
-        # anti_join_no_orders, hourly_rollup, shipping_priority,
-        # intersect_buyers, except_non_urgent, fingerprints,
-        # media_byte_stats, collect_array_distinct,
-        # gather_encoder_distfit, doc_chunks, doc_lm_scores,
-        # f_measure, lift_curve, recall_by_threshold,
-        # gather_encoder_top_allother, gather_encoder_index,
-        # downsampling_hash, gains_curve, precision_by_threshold,
-        # simhash_pairs, winnow_pairs, tfidf_top_terms, doc_quality,
-        # gather_encoder_top, binning, roc_curve_binned, s2_cells,
-        # string_indexer, exact_dedup), plus these 15 r11 core
+        # r13 = exactly the set pinned in round 12: the 35 remaining
+        # rows whose last contact was the r10 window, plus 15 r11 core
         # re-checks to fill 50 (heavy/flagship rows incl. the
-        # rows-only rotation sketch_user_rollup): collect_array,
-        # gather, auc_metrics, lr_newton_steps, minhash_lsh,
-        # dup_clusters, semantic_clusters, ann_lsh_topk, ann_ivf_topk,
-        # asof_join_orders_chunked, table_profile, kmv_user_stats,
-        # sketch_user_rollup, media_pipeline, tpch_q9_product_profit.
-        # After that window no query's last contact is older than r11.
-        # --- 1-35: last contact r9 -----------------------------------
-        "language_id": lq.doc_language_id,
-        "sequence_packing": lq.sequence_packing,
-        "embedding_near_dups": lq.embedding_near_dup_pairs,
-        "pricing_summary": rel.pricing_summary,
-        "tpch_q6_forecast": tpch.forecast_revenue_change,
-        "moving_avg_7d": rel.moving_avg_7d,
-        "event_sessions": rel.event_sessions,
-        "hourly_gapfill": rel.hourly_gapfill,
-        "source_temperature_mix": lq.source_temperature_mix,
-        "pii_redaction": lq.pii_redaction,
-        "embedding_norms": lq.embedding_norms,
-        "score_thresholds": eq.score_thresholds,
-        "doc_repetition": lq.doc_repetition,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "user_value_deltas": rel.user_value_deltas,
-        "acctbal_deciles": rel.acctbal_deciles,
-        "above_class_avg": rel.above_class_average_orders,
-        "tpch_q4_late_priority": tpch.late_order_priority,
-        "tpch_q10_returned_items": tpch.returned_item_customers,
-        "tpch_q11_important_parts": tpch.important_parts,
-        "tpch_q12_priority_counts": tpch.linestatus_priority_counts,
-        "tpch_q14_promo": tpch.promo_revenue_share,
-        "tpch_q15_top_supplier": tpch.top_supplier,
-        "tpch_q16_parts_suppliers": tpch.parts_supplier_counts,
-        "tpch_q19_discounted": tpch.discounted_revenue,
-        "tpch_q22_idle_rich": tpch.idle_rich_customers,
-        "cheapest_order_per_customer": rel.cheapest_order_per_customer,
-        "doc_sentences": rel.doc_sentences,
-        "stratified_sample_events": rel.stratified_sample_events,
-        "value_statistics": rel.value_statistics,
-        "corpus_dedup_stats": lq.corpus_dedup_stats,
-        "length_batches": lq.length_batches,
-        "lineitem_measure_stats": rel.lineitem_measure_stats,
-        "hilbert_event_keys": rel.hilbert_event_keys,
-        "quality_top_fraction": lq.quality_top_fraction,
-        # --- 36-50: 15 r10 core re-checks ----------------------------
-        "join_revenue_by_nation": rel.revenue_by_nation,
-        "window_cumsum": rel.cumulative_user_value,
-        "rollup_revenue": rel.rollup_order_revenue,
-        "cube_order_stats": rel.cube_order_stats,
-        "price_percentiles": rel.price_percentiles,
-        "priority_pivot": rel.priority_pivot,
-        "gather_flat": gq.gather_user_events_flat,
-        "gather_count": gq.gather_user_event_counts,
-        "token_counts": lq.token_counts,
-        "local_lr_model": mq.local_lr_model,  # rows-only
-        "approx_user_stats": rel.approx_user_stats,  # rows-only
-        "roc_curve": eq.roc_curve,
-        "ngram_jaccard": lq.ngram_jaccard,
-        "theta_user_rollup": rel.theta_user_rollup,
-        "cosine_topk": lq.cosine_topk_bruteforce,
-        # --- 51+: bench/local-sweep coverage only (all green via
-        # tests/test_oracle_parity.py at sf0.001 and prior rounds'
-        # driver windows). cosine_topk above is entry #50, the last
-        # driver-checked position — count before moving this
-        # boundary; test_driver_window_composition pins the exact set.
-        "text_stats": lq.doc_text_stats,
-        "source_capped_corpus": lq.source_capped_corpus,
-        "doc_sample_k": lq.doc_sample_k,
-        "train_test_split": lq.train_test_split,
-        "embedding_quantize": lq.embedding_quantize,
-        "media_sniff_formats": lq.media_sniff_formats,
-        "asof_join_orders": lq.asof_join_orders,
-        "range_join_windows": rel.events_in_order_windows,
-        "salted_user_totals": rel.salted_user_totals,
-        "top_event_per_user": rel.top_event_per_user,
-        "props_variant_extract": rel.props_variant_extract,
-        "zorder_events": rel.zorder_event_keys,
-        "ngram_containment": lq.ngram_containment,
-        "repeated_ngrams": lq.repeated_ngrams,
-        "benchmark_contamination": lq.benchmark_contamination,
-        "lineitem_expectations": rel.lineitem_expectations,
-        "hourly_zscores": rel.hourly_zscores,
-        "dedup_reduction_report": lq.dedup_reduction_report,
-        "sql_grouping_sets": rel.sql_grouping_sets,
-        "props_json_extract": rel.props_json_extract,
-        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
-        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
-        "tpch_q5_local_supplier": tpch.local_supplier_volume,
-        "tpch_q7_volume_shipping": tpch.volume_shipping,
-        "tpch_q8_market_share": tpch.market_share,
-        "tpch_q9_product_profit": tpch.product_type_profit,
-        "tpch_q13_order_histogram": tpch.customer_order_histogram,
-        "tpch_q17_small_qty": tpch.small_quantity_revenue,
-        "tpch_q18_large_orders": tpch.large_volume_orders,
-        "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
-        "hourly_interpolate": rel.hourly_interpolate,
-        "value_robust_stats": rel.value_robust_stats,
-        "mixture_report": lq.mixture_report,
-        "language_mix_report": lq.language_mix_report,
-        "doc_gopher_rules": lq.doc_gopher_rules,
-        "daily_active_users": rel.daily_active_users,
-        "collect_array": rel.user_event_types,
-        "gather": gq.gather_user_events,
-        "auc_metrics": eq.auc_metrics,
-        "lr_newton_steps": mq.lr_newton_steps,
-        "minhash_lsh": lq.minhash_lsh,
-        "dup_clusters": lq.dup_clusters,
-        "ann_lsh_topk": lq.ann_lsh_topk,
-        "ann_ivf_topk": lq.ann_ivf_topk,
-        "media_pipeline": lq.media_pipeline,
-        "asof_join_orders_chunked": lq.asof_join_orders_chunked,
-        "table_profile": rel.table_profile,
-        "semantic_clusters": lq.semantic_clusters,
-        "kmv_user_stats": rel.kmv_user_stats,
-        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only (past the window this round)
+        # rows-only rotation sketch_user_rollup). After this window no
+        # query's last driver contact is older than r11.
+        #
+        # ROUND-14 WINDOW (pinned now, same policy): the 35 remaining
+        # rows whose last contact was the r11 window (text_stats,
+        # source_capped_corpus, doc_sample_k, train_test_split,
+        # embedding_quantize, media_sniff_formats, asof_join_orders,
+        # range_join_windows, salted_user_totals, top_event_per_user,
+        # props_variant_extract, zorder_events, ngram_containment,
+        # repeated_ngrams, benchmark_contamination,
+        # lineitem_expectations, hourly_zscores, dedup_reduction_report,
+        # sql_grouping_sets, props_json_extract,
+        # tpch_q21_waiting_suppliers, tpch_q2_min_cost_supplier,
+        # tpch_q5_local_supplier, tpch_q7_volume_shipping,
+        # tpch_q8_market_share, tpch_q13_order_histogram,
+        # tpch_q17_small_qty, tpch_q18_large_orders,
+        # tpch_q20_promo_suppliers, hourly_interpolate,
+        # value_robust_stats, mixture_report, language_mix_report,
+        # doc_gopher_rules, daily_active_users), plus these 15 r12 core
+        # re-checks to fill 50 (heavy/flagship rows incl. BOTH
+        # rows-only rotations local_lr_model/approx_user_stats):
+        # pricing_summary, ngram_jaccard, cosine_topk, token_counts,
+        # theta_user_rollup, local_lr_model, approx_user_stats,
+        # roc_curve, embedding_near_dups, language_id,
+        # cheapest_order_per_customer, tpch_q14_promo,
+        # tpch_q10_returned_items, gather_flat, price_percentiles.
+        # After that window no query's last contact is older than r12.
+        # --- 1-35: last contact r10 ----------------------------------
         "global_agg": rel.global_agg,
         "topk_users": rel.top_users_by_value,
         "distinct_pairs": rel.distinct_user_event_pairs,
@@ -221,6 +117,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": mq.s2_cells,
         "string_indexer": fq.string_indexer,
         "exact_dedup": lq.exact_dedup,
+        # --- 36-50: 15 r11 core re-checks ------------------------------
+        "collect_array": rel.user_event_types,
+        "gather": gq.gather_user_events,
+        "auc_metrics": eq.auc_metrics,
+        "lr_newton_steps": mq.lr_newton_steps,
+        "minhash_lsh": lq.minhash_lsh,
+        "dup_clusters": lq.dup_clusters,
+        "semantic_clusters": lq.semantic_clusters,
+        "ann_lsh_topk": lq.ann_lsh_topk,
+        "ann_ivf_topk": lq.ann_ivf_topk,
+        "asof_join_orders_chunked": lq.asof_join_orders_chunked,
+        "table_profile": rel.table_profile,
+        "kmv_user_stats": rel.kmv_user_stats,
+        "sketch_user_rollup": rel.sketch_user_rollup,  # rows-only (in-window this round)
+        "media_pipeline": lq.media_pipeline,
+        "tpch_q9_product_profit": tpch.product_type_profit,
+        # --- 51+: bench/local-sweep coverage only (all green via
+        # tests/test_oracle_parity.py at sf0.001 and prior rounds'
+        # driver windows). tpch_q9_product_profit above is entry #50,
+        # the last driver-checked position — count before moving this
+        # boundary; test_driver_window_composition pins the exact set.
+        "language_id": lq.doc_language_id,
+        "sequence_packing": lq.sequence_packing,
+        "embedding_near_dups": lq.embedding_near_dup_pairs,
+        "pricing_summary": rel.pricing_summary,
+        "tpch_q6_forecast": tpch.forecast_revenue_change,
+        "moving_avg_7d": rel.moving_avg_7d,
+        "event_sessions": rel.event_sessions,
+        "hourly_gapfill": rel.hourly_gapfill,
+        "source_temperature_mix": lq.source_temperature_mix,
+        "pii_redaction": lq.pii_redaction,
+        "embedding_norms": lq.embedding_norms,
+        "score_thresholds": eq.score_thresholds,
+        "doc_repetition": lq.doc_repetition,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "user_value_deltas": rel.user_value_deltas,
+        "acctbal_deciles": rel.acctbal_deciles,
+        "above_class_avg": rel.above_class_average_orders,
+        "tpch_q4_late_priority": tpch.late_order_priority,
+        "tpch_q10_returned_items": tpch.returned_item_customers,
+        "tpch_q11_important_parts": tpch.important_parts,
+        "tpch_q12_priority_counts": tpch.linestatus_priority_counts,
+        "tpch_q14_promo": tpch.promo_revenue_share,
+        "tpch_q15_top_supplier": tpch.top_supplier,
+        "tpch_q16_parts_suppliers": tpch.parts_supplier_counts,
+        "tpch_q19_discounted": tpch.discounted_revenue,
+        "tpch_q22_idle_rich": tpch.idle_rich_customers,
+        "cheapest_order_per_customer": rel.cheapest_order_per_customer,
+        "doc_sentences": rel.doc_sentences,
+        "stratified_sample_events": rel.stratified_sample_events,
+        "value_statistics": rel.value_statistics,
+        "corpus_dedup_stats": lq.corpus_dedup_stats,
+        "length_batches": lq.length_batches,
+        "lineitem_measure_stats": rel.lineitem_measure_stats,
+        "hilbert_event_keys": rel.hilbert_event_keys,
+        "quality_top_fraction": lq.quality_top_fraction,
+        "join_revenue_by_nation": rel.revenue_by_nation,
+        "window_cumsum": rel.cumulative_user_value,
+        "rollup_revenue": rel.rollup_order_revenue,
+        "cube_order_stats": rel.cube_order_stats,
+        "price_percentiles": rel.price_percentiles,
+        "priority_pivot": rel.priority_pivot,
+        "gather_flat": gq.gather_user_events_flat,
+        "gather_count": gq.gather_user_event_counts,
+        "token_counts": lq.token_counts,
+        "local_lr_model": mq.local_lr_model,  # rows-only
+        "approx_user_stats": rel.approx_user_stats,  # rows-only
+        "roc_curve": eq.roc_curve,
+        "ngram_jaccard": lq.ngram_jaccard,
+        "theta_user_rollup": rel.theta_user_rollup,
+        "cosine_topk": lq.cosine_topk_bruteforce,
+        "text_stats": lq.doc_text_stats,
+        "source_capped_corpus": lq.source_capped_corpus,
+        "doc_sample_k": lq.doc_sample_k,
+        "train_test_split": lq.train_test_split,
+        "embedding_quantize": lq.embedding_quantize,
+        "media_sniff_formats": lq.media_sniff_formats,
+        "asof_join_orders": lq.asof_join_orders,
+        "range_join_windows": rel.events_in_order_windows,
+        "salted_user_totals": rel.salted_user_totals,
+        "top_event_per_user": rel.top_event_per_user,
+        "props_variant_extract": rel.props_variant_extract,
+        "zorder_events": rel.zorder_event_keys,
+        "ngram_containment": lq.ngram_containment,
+        "repeated_ngrams": lq.repeated_ngrams,
+        "benchmark_contamination": lq.benchmark_contamination,
+        "lineitem_expectations": rel.lineitem_expectations,
+        "hourly_zscores": rel.hourly_zscores,
+        "dedup_reduction_report": lq.dedup_reduction_report,
+        "sql_grouping_sets": rel.sql_grouping_sets,
+        "props_json_extract": rel.props_json_extract,
+        "tpch_q21_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_q2_min_cost_supplier": tpch.min_cost_supplier,
+        "tpch_q5_local_supplier": tpch.local_supplier_volume,
+        "tpch_q7_volume_shipping": tpch.volume_shipping,
+        "tpch_q8_market_share": tpch.market_share,
+        "tpch_q13_order_histogram": tpch.customer_order_histogram,
+        "tpch_q17_small_qty": tpch.small_quantity_revenue,
+        "tpch_q18_large_orders": tpch.large_volume_orders,
+        "tpch_q20_promo_suppliers": tpch.promotion_suppliers,
+        "hourly_interpolate": rel.hourly_interpolate,
+        "value_robust_stats": rel.value_robust_stats,
+        "mixture_report": lq.mixture_report,
+        "language_mix_report": lq.language_mix_report,
+        "doc_gopher_rules": lq.doc_gopher_rules,
+        "daily_active_users": rel.daily_active_users,
     }
 
 

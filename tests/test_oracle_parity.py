@@ -69,47 +69,41 @@ def test_semantic_clusters_exact_variant(spark, duck):
 
 
 # The driver hash-checks exactly these 50 entries (dict order).
-# Round 12 executes the FRESHNESS rotation pinned in round 11 (with
+# Round 13 executes the FRESHNESS rotation pinned in round 12 (with
 # 135/135 cumulative coverage, re-check whatever has gone longest
 # without driver contact): entries 1-35 are the thirty-five remaining
-# rows whose last contact was the round-9 window, entries 36-50
-# fifteen round-10 core re-checks covering the heavy/flagship
-# families — including BOTH rows-only rotations (local_lr_model,
-# approx_user_stats) and the two bench-suspect names (token_counts,
-# theta_user_rollup) so their driver evidence renews alongside the
-# quiet-box A/B adjudication. After this window no query's last
-# driver contact is older than round 10.
+# rows whose last contact was the round-10 window, entries 36-50
+# fifteen round-11 core re-checks covering the heavy/flagship
+# families — including the rows-only rotation sketch_user_rollup, so
+# its driver evidence renews on the same cadence as the oracled rows.
+# After this window no query's last driver contact is older than
+# round 11.
 DRIVER_WINDOW = [
-    "language_id", "sequence_packing", "embedding_near_dups",
-    "pricing_summary", "tpch_q6_forecast", "moving_avg_7d",
-    "event_sessions", "hourly_gapfill", "source_temperature_mix",
-    "pii_redaction", "embedding_norms", "score_thresholds",
-    "doc_repetition", "top_orders_per_customer", "user_value_deltas",
-    "acctbal_deciles", "above_class_avg", "tpch_q4_late_priority",
-    "tpch_q10_returned_items", "tpch_q11_important_parts",
-    "tpch_q12_priority_counts", "tpch_q14_promo",
-    "tpch_q15_top_supplier", "tpch_q16_parts_suppliers",
-    "tpch_q19_discounted", "tpch_q22_idle_rich",
-    "cheapest_order_per_customer", "doc_sentences",
-    "stratified_sample_events", "value_statistics",
-    "corpus_dedup_stats", "length_batches", "lineitem_measure_stats",
-    "hilbert_event_keys", "quality_top_fraction",
-    "join_revenue_by_nation", "window_cumsum", "rollup_revenue",
-    "cube_order_stats", "price_percentiles", "priority_pivot",
-    "gather_flat", "gather_count", "token_counts", "local_lr_model",
-    "approx_user_stats", "roc_curve", "ngram_jaccard",
-    "theta_user_rollup", "cosine_topk",
+    "global_agg", "topk_users", "distinct_pairs", "union_all_counts",
+    "left_join_order_counts", "semi_join_urgent", "anti_join_no_orders",
+    "hourly_rollup", "shipping_priority", "intersect_buyers",
+    "except_non_urgent", "fingerprints", "media_byte_stats",
+    "collect_array_distinct", "gather_encoder_distfit", "doc_chunks",
+    "doc_lm_scores", "f_measure", "lift_curve", "recall_by_threshold",
+    "gather_encoder_top_allother", "gather_encoder_index", "downsampling_hash",
+    "gains_curve", "precision_by_threshold", "simhash_pairs", "winnow_pairs",
+    "tfidf_top_terms", "doc_quality", "gather_encoder_top", "binning",
+    "roc_curve_binned", "s2_cells", "string_indexer", "exact_dedup",
+    "collect_array", "gather", "auc_metrics", "lr_newton_steps", "minhash_lsh",
+    "dup_clusters", "semantic_clusters", "ann_lsh_topk", "ann_ivf_topk",
+    "asof_join_orders_chunked", "table_profile", "kmv_user_stats",
+    "sketch_user_rollup", "media_pipeline", "tpch_q9_product_profit",
 ]
 
-# The two deliberately rows-only window rows — everything else in the
+# The one deliberately rows-only window row — everything else in the
 # window must carry a DuckDB oracle.
-WINDOW_ROWS_ONLY = {"local_lr_model", "approx_user_stats"}
+WINDOW_ROWS_ONLY = {"sketch_user_rollup"}
 
 
 def test_driver_window_composition():
     """The driver hash-checks only the FIRST 50 queries() entries.
     Pin the exact set AND order: every window row oracle-covered
-    except the two pinned rows-only sketch queries (their driver
+    except the pinned rows-only sketch query (its driver
     evidence is the weaker rows-only check — deliberate, recorded),
     every operator family represented. Reordering queries(),
     inserting an oracle-less query before position 50, or
