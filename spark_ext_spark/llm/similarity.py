@@ -544,7 +544,8 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
              storage: str = "cache",
              artifact_table: str | None = None,
              persisted_out: list | None = None,
-             check_unique_ids: bool = True) -> DataFrame:
+             check_unique_ids: bool = True,
+             dim: int | None = None) -> DataFrame:
     """Approximate top-k within LSH buckets; multiprobe also searches
     the n_planes 1-bit-adjacent buckets (recall boost without widening
     the join fan-out asymptotically).
@@ -553,7 +554,16 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     queries ('q' rows) are co-grouped per bucket, and each group does
     ONE numpy GEMM (queries × members) emitting per-query bucket-local
     top-k; a final groupBy merges bucket-local candidates into global
-    top-k. Vectors materialize once per probe, never per pair."""
+    top-k. Vectors materialize once per probe, never per pair.
+
+    ``dim`` pins the embedding dimensionality up front (the planes are
+    dim-sized plan literals). When omitted it is probed with a one-row
+    ``first()`` job per invocation — callers that know their corpus
+    (every declared bench query: the embeddings table is dim-64 at all
+    SFs, the same constant already baked into the DuckDB oracles)
+    should pass it so candidate generation is fully lazy. Results are
+    identical either way; a wrong ``dim`` fails loudly at the
+    per-row _finite_vec guard instead of mis-projecting."""
     import pandas as pd
 
     # materialized: the candidate explode and the block grid's
@@ -562,7 +572,7 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int = 8, seed: int = 42,
     # 100 TB lifecycle); storage="cache" + persisted_out gives the
     # caller an explicit unpersist handle.
     b = _materialize_artifact(
-        lsh_buckets(df, n_planes, seed, id_col, vec_col),
+        lsh_buckets(df, n_planes, seed, id_col, vec_col, dim=dim),
         storage, artifact_table, persisted_out)
     if check_unique_ids:
         _assert_unique_ids(b, "lsh_topk")

@@ -413,7 +413,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, and post-round ranking (see ANN_LSH_TOPK_SQL). Recall vs
     exact is additionally asserted in tests/test_llm_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, k=5, n_planes=8, round_to=4)
+    # dim=64 == the testdata embeddings dimensionality at every SF —
+    # the same constant the DuckDB oracle (_ann_lsh_oracle) bakes into
+    # its plane literals. Passing it skips the per-invocation
+    # _infer_dim first() probe job (r13 optimization round); a
+    # mismatched corpus fails loudly at the _finite_vec guard.
+    return similarity.lsh_topk(emb, k=5, n_planes=8, round_to=4, dim=64)
 
 
 def _lsh_bucket_ctes(dim: int = 64, n_planes: int = 8,
@@ -515,8 +520,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, so repeat invocations must not re-run Lloyd."""
     emb = load(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_CENTROIDS:
+        # dim=64 (testdata embeddings at every SF, the oracle's
+        # constant) skips the fit's _infer_dim first() probe job —
+        # see ann_lsh_topk
         _IVF_CENTROIDS[sf_dir] = similarity.fit_ivf_centroids_quantized(
-            emb, n_centroids=16, n_iter=3)
+            emb, n_centroids=16, n_iter=3, dim=64)
     return similarity.ivf_topk_deterministic(
         emb, k=5, n_centroids=16, n_probes=3, round_to=4,
         centroids=_IVF_CENTROIDS[sf_dir])

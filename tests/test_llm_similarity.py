@@ -375,3 +375,18 @@ def test_near_dups_exact_rejects_artifact_args(vecs):
                             artifact_table="t_x")
     with pytest.raises(ValueError, match="storage"):
         embedding_near_dups(vecs, method="lsh", storage="s3")
+
+
+def test_lsh_topk_explicit_dim_matches_probe(vecs):
+    """``dim=`` pins the plane dimensionality without the _infer_dim
+    first() probe job (r13: the declared ANN queries pass their known
+    corpus dim so candidate generation is fully lazy). Results must be
+    identical to the probed path, and a WRONG dim must fail loudly at
+    the _finite_vec guard instead of mis-projecting."""
+    probed = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+              for r in lsh_topk(vecs, k=3, n_planes=6).collect()}
+    pinned = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+              for r in lsh_topk(vecs, k=3, n_planes=6, dim=DIM).collect()}
+    assert probed == pinned
+    with pytest.raises(Exception, match="lsh_buckets"):
+        lsh_topk(vecs, k=3, n_planes=6, dim=DIM + 1).collect()
