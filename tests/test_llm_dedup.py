@@ -246,11 +246,20 @@ def test_blocked_pair_counts_core(spark):
 
 
 def test_blocked_pair_counts_single_join_plan(spark):
-    """The candidate core's only join is the shingle self-join (r12
-    optimization): the df cap and the per-doc sizes are count()
-    windows riding the colocating exchanges the old groupBy →
-    join-back pairs re-shuffled for, and with one consumer left there
-    is no cache materialization either."""
+    """The candidate core's join surface (r12+r13 optimizations): the
+    per-doc sizes are a count() window riding the doc exchange, the df
+    cap is a map-side-combined groupBy → broadcast LEFT ANTI join of
+    the tiny hot-shingle list (r13 skew-proofing — a window partition
+    cannot be AQE-split, a hot stop-shingle can be arbitrarily large),
+    and there is no cache materialization. Joins: exactly the shingle
+    self-join plus exactly one broadcast anti-join for the cap.
+
+    NOTE: this is a PLAN-PINNING regression test tied to current
+    Spark-4.x physical-operator names and this session's defaults
+    (exchange reuse on). A Spark upgrade or a conf like
+    ``spark.sql.exchange.reuse=false`` can fail it without any real
+    regression — if it fires alone (values/oracles green), re-pin the
+    expected shape rather than reverting the operator."""
     from spark_ext_spark.llm.dedup import blocked_pair_counts
     docs = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
@@ -258,14 +267,17 @@ def test_blocked_pair_counts_single_join_plan(spark):
     import re
     plan = blocked_pair_counts(docs, "doc_id", "text", n=3) \
         ._jdf.queryExecution().executedPlan().toString()
-    # the static (pre-AQE) plan duplicates the window chain per
-    # self-join side — runtime exchange reuse collapses it — so pin
-    # "windows exist" and "no aggregate join-backs", not an exact count
-    assert plan.count("Window") >= 2
-    # exactly one join operator (the shingle self-join)
+    # per-doc sizes stay a window (the static pre-AQE plan duplicates
+    # it per self-join side; runtime exchange reuse collapses that)
+    assert plan.count("Window") >= 1
+    # the shingle self-join + the broadcast anti-join of the hot list
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
                        r"|BroadcastNestedLoopJoin|CartesianProduct)", plan)
-    assert len(joins) == 1, joins
+    anti = re.findall(r"(\w+Join) \[[^\n]*?\bLeftAnti\b", plan)
+    assert anti and all(j == "BroadcastHashJoin" for j in anti), anti
+    # static plan may duplicate the anti-join per self-join side
+    # (collapsed by reuse at runtime): 1 self-join + 1-2 anti-joins
+    assert 2 <= len(joins) <= 3, joins
     assert "InMemoryTableScan" not in plan
 
 
@@ -283,3 +295,25 @@ def test_blocked_pair_counts_null_ids_dropped(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
     assert all(r["doc_a"] is not None and r["doc_b"] is not None
                for r in rows)
+
+
+def test_null_id_docs_do_not_count_toward_df_cap(spark):
+    """Boundary semantics pin (r13, ADVICE note): NULL-id docs are
+    dropped BEFORE the df cap, so they do NOT count toward shingle
+    document frequency. Here the shared shingle has df=3 counting the
+    NULL-id doc but df=2 without it; with max_shingle_df=2 the r12+
+    semantics KEEP it (the pair survives). Under the pre-r12 plan —
+    NULL ids dropped only at the sizes equi-join, after the cap — the
+    shingle would have been capped away and no pair emitted. A NULL id
+    names no retrievable document, so it carries no dedup evidence;
+    this is the deliberately chosen (and here pinned) behavior, not an
+    equivalence with the old plan."""
+    from spark_ext_spark.llm.dedup import blocked_pair_counts
+    docs = spark.createDataFrame(
+        [(1, "s1 s2 s3"), (2, "s1 s2 s3 x"), (None, "s1 s2 s3 y")],
+        "doc_id long, text string")
+    rows = blocked_pair_counts(docs, "doc_id", "text", n=3,
+                               max_shingle_df=2,
+                               unique_ids=False).collect()
+    assert [(r["doc_a"], r["doc_b"], r["shared"], r["n_a"], r["n_b"])
+            for r in rows] == [(1, 2, 1, 1, 2)]
