@@ -31,6 +31,25 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "duplicate_clusters"]
 
+# Crossover for checkpointing the per-round stepped aggregate (see the
+# loop below): the self-join reads `stepped` twice, and only the MAP
+# side of its aggregation is shared between the two reads (via
+# ReusedExchange) — the reduce-side final aggregation over E+V rows
+# runs once per join input. Materializing `stepped` first trades one
+# extra V-row checkpoint job per round for that second reduce pass.
+# Measured crossover at r13 (synthetic 64-node-chain graphs,
+# local[32], forced-mode interleaved A/B with warmup — SCALE.md "CC
+# stepped checkpoint" row): ckpt/lazy median 0.95 at 100k edges, 0.98
+# at 400k (flat — job latency cancels the saved pass), 0.93 at 1.6M,
+# 0.88 at 4M and still improving — the saved work scales with E+V
+# while the added work is a V-row materialization. On a cluster the
+# lazy form additionally FETCHES the reused exchange twice over the
+# network (both join inputs re-run the reduce pass), so the crossover
+# there is lower, not higher. Bench graphs: V ≈ 300 → never fires.
+# Node count rides the convergence action for free (one agg, same
+# single job as the old where().count()), so dispatch costs nothing.
+STEPPED_CHECKPOINT_MIN_NODES = 1_000_000
+
 
 def _ckpt_file(df: DataFrame) -> str | None:
     """Checkpoint location of a reliably-checkpointed DataFrame (the
@@ -134,6 +153,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     label_file = _ckpt_file(labels) if reliable else None
 
     cached = labels
+    n_nodes: int | None = None  # known after round 1's convergence agg
     for _ in range(max_iter):
         # (a) neighbor-min fused with the label merge (r12 optimization
         # round): the round-start labels ride the SAME min-aggregate as
@@ -157,6 +177,18 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                    .agg(F.min("cand").alias("comp"),
                         F.min(F.when(F.col("__self"), F.col("cand")))
                         .alias("old_comp")))
+        # Measured-crossover dispatch (r13, VERDICT item 5): past
+        # STEPPED_CHECKPOINT_MIN_NODES labels, materialize `stepped`
+        # so the pointer-jump self-join below reads a checkpointed
+        # table twice instead of re-running the reduce-side final
+        # aggregation per join input. Below the crossover (every bench
+        # graph) the extra per-round job is a pure latency loss — keep
+        # the lazy form and let ReusedExchange share the map side.
+        s_frame = s_file = None
+        if n_nodes is not None and n_nodes >= STEPPED_CHECKPOINT_MIN_NODES:
+            stepped = _ckpt(stepped)
+            s_frame = stepped
+            s_file = _ckpt_file(stepped) if reliable else None
         # (b) pointer jump: comp ← comp[comp] (chain halving)
         parent = stepped.select(F.col("node").alias("pnode"),
                                 F.col("comp").alias("pcomp"))
@@ -169,7 +201,19 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                .select("node", jumped.alias("comp"),
                        (jumped != F.col("old_comp")).alias("changed")))
         nxt = _ckpt(nxt)
-        changed = nxt.where("changed").count()
+        # one action returns BOTH the convergence flag and the label
+        # count (same single scan job as the old where().count()); the
+        # count feeds the stepped-checkpoint dispatch above from the
+        # next round on, so sizing costs no extra job
+        stats = nxt.agg(
+            F.count_if(F.col("changed")).alias("ch"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        changed, n_nodes = int(stats["ch"]), int(stats["n"])
+        if s_frame is not None:
+            # nxt is eagerly materialized — the stepped checkpoint is
+            # dead weight now
+            s_frame.unpersist()
+            _delete_ckpt_file(s_frame, s_file)
         cached.unpersist()
         if reliable:
             # nxt is eagerly materialized, so the previous round's

@@ -162,3 +162,25 @@ def test_randomized_components_match_union_find(spark, seed):
         got = {r["node"]: r["comp"] for r in connected_components(
             _edges(spark, pairs), "a", "b").collect()}
         assert got == expected, (seed, n_nodes, n_edges)
+
+
+def test_stepped_checkpoint_dispatch_is_label_identical(spark, monkeypatch):
+    """The r13 measured-crossover dispatch (checkpoint the per-round
+    stepped aggregate past STEPPED_CHECKPOINT_MIN_NODES labels) must be
+    invisible in the labels: force the dispatch ON (threshold 0) and
+    OFF (threshold 2^60) over the same multi-round graph and compare
+    exact label maps. Also pins that the dispatch fires from round 2
+    (node count is only known after round 1's convergence aggregate) —
+    a graph needing several pointer-jump rounds exercises both arms."""
+    import spark_ext_spark.llm.clusters as cl
+    # chain of 40 → needs multiple rounds; plus a disjoint triangle
+    pairs = [(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)]
+    edges = _edges(spark, pairs)
+    monkeypatch.setattr(cl, "STEPPED_CHECKPOINT_MIN_NODES", 1 << 60)
+    lazy = {r["node"]: r["comp"]
+            for r in cl.connected_components(edges, "a", "b").collect()}
+    monkeypatch.setattr(cl, "STEPPED_CHECKPOINT_MIN_NODES", 0)
+    ckpt = {r["node"]: r["comp"]
+            for r in cl.connected_components(edges, "a", "b").collect()}
+    assert lazy == ckpt
+    assert lazy[40] == 0 and lazy[102] == 100
