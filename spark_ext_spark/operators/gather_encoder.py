@@ -194,19 +194,28 @@ class GatherEncoder(Estimator, _GatherEncoderParams,
             if exclude:
                 counts = counts.filter(~F.col("key").isin(list(exclude)))
             cover = self.getOrDefault(self.cover)
-            threshold = F.lit(cover / 100.0) * F.col("__total")
             if n_fit > 1:
                 # distributed: exclusive coverage cumsum AND the slot
                 # index (exclusive count of preceding rows = rank-1)
-                # share one range shuffle
+                # share one range shuffle. The coverage TOTAL rides the
+                # prefix operator's own offsets collect as a plan
+                # literal (r13) — the with_total() broadcast cross join
+                # below would re-aggregate the counts table a second
+                # time, which this path never needs (it already syncs
+                # on the driver for the offsets). Counts are longs, so
+                # the total is exact either way.
+                tot = {"__total": "cum"}  # keyed by the values entry
+                # whose summed column is `count`
                 cs = partitioned_cumulative_sums(
-                    with_total(counts), order,
+                    counts, order,
                     {"cum": "count", "slot": F.lit(1)},
                     num_partitions=n_fit, inclusive=False,
-                    persisted_out=persisted_out)
+                    persisted_out=persisted_out, grand_totals=tot)
+                threshold = F.lit(cover / 100.0) * F.lit(tot["__total"])
                 return (cs.filter(F.col("cum") < threshold)
                         .select("key", "count",
                                 F.col("slot").cast("int").alias("slot")))
+            threshold = F.lit(cover / 100.0) * F.col("__total")
             w_excl = (Window.orderBy(*order)
                       .rowsBetween(Window.unboundedPreceding, -1))
             selected = (with_total(counts)

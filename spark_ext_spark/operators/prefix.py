@@ -3,16 +3,20 @@
 A global ``Window.orderBy(...)`` funnels every row through ONE task —
 fine for a compacted dictionary table, a cliff at ~1e7+ rows. This is
 the scale-out replacement: range-partition on the ordering, cumsum
-within each partition, then add each partition's prefix offset computed
-from a bounded (one row per partition) driver collect. Exactly the
-technique the reference hand-rolls over RDDs for its cumulative
-confusion matrices (BinaryModelMetrics.scala:198-216: per-partition
-totals → driver scanLeft → mapPartitionsWithIndex offset add), here as
-a reusable DataFrame operator.
+within each partition, then add each partition's prefix offset — an
+exclusive prefix sum over the one-row-per-partition totals aggregate,
+computed as a tiny in-plan window and broadcast back (r13; previously
+a driver collect + Python scanLeft + createDataFrame, one extra
+driver-sync job per call). The technique is the one the reference
+hand-rolls over RDDs for its cumulative confusion matrices
+(BinaryModelMetrics.scala:198-216: per-partition totals → scanLeft →
+mapPartitionsWithIndex offset add), here as a reusable DataFrame
+operator with the scanLeft kept distributed.
 
 Cost: one range shuffle (with its sampling pass) + one hash shuffle for
-the per-partition window + a #partitions-row collect. Use the plain
-global window below roughly 1e6 rows — it's one shuffle cheaper.
+the per-partition window + a #partitions-row aggregate/broadcast. Use
+the plain global window below roughly 1e6 rows — it's one shuffle
+cheaper.
 """
 
 from __future__ import annotations
@@ -28,7 +32,8 @@ def partitioned_cumulative_sums(df: DataFrame, order_cols: list,
                                 values: dict[str, Column | str],
                                 num_partitions: int | None = None,
                                 inclusive: bool = True,
-                                persisted_out: list | None = None
+                                persisted_out: list | None = None,
+                                grand_totals: dict | None = None
                                 ) -> DataFrame:
     """Append one exact running-sum column per ``values`` entry
     (``{out_name: summed column}``), all over the same global ordering
@@ -52,6 +57,12 @@ def partitioned_cumulative_sums(df: DataFrame, order_cols: list,
     unpersist()) should ``.unpersist()`` it once the output is
     materialized; otherwise it lives until session cache eviction
     (MEMORY_AND_DISK).
+
+    ``grand_totals`` ({out_name: key in ``values``}) is REPLACED in
+    place with each named value's global sum ({out_name: total}), read off
+    the offsets collect this operator already performs — free for
+    callers that need the total (e.g. a coverage threshold) and would
+    otherwise aggregate the input a second time.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions",
@@ -87,6 +98,15 @@ def partitioned_cumulative_sums(df: DataFrame, order_cols: list,
     off_df = spark.createDataFrame(offsets, StructType(
         [StructField("__pid", totals_frame.schema.fields[0].dataType)]
         + [StructField(f"__off_{f.name}", f.dataType) for f in val_fields]))
+    if grand_totals is not None:
+        # the loop's final accumulator IS each value's global sum —
+        # callers needing the total (coverage thresholds) take it from
+        # the offsets collect this path already pays, as plan
+        # LITERALS, instead of attaching a second full aggregation of
+        # the input + a broadcast cross join (r13: the gather-encoder
+        # distfit plan dropped that whole subtree)
+        for out_name, val_name in grand_totals.items():
+            grand_totals[out_name] = acc[val_name]
 
     end = 0 if inclusive else -1
     w = (Window.partitionBy("__pid").orderBy(*order_cols)
