@@ -200,6 +200,13 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                             "left")
                .select("node", jumped.alias("comp"),
                        (jumped != F.col("old_comp")).alias("changed")))
+        # Re-measured dead end (r13): a LAZY per-round localCheckpoint
+        # — sound here, since the convergence aggregate below is a
+        # full single-consumer scan that would materialize every
+        # partition before the next round's join reads it — saved one
+        # job per round on paper but read 1.09× WORSE median (parity
+        # at best) in a 4-round interleaved A/B over the three cluster
+        # queries at sf0.1. Eager stays.
         nxt = _ckpt(nxt)
         # one action returns BOTH the convergence flag and the label
         # count (same single scan job as the old where().count()); the
