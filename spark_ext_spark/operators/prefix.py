@@ -3,20 +3,23 @@
 A global ``Window.orderBy(...)`` funnels every row through ONE task —
 fine for a compacted dictionary table, a cliff at ~1e7+ rows. This is
 the scale-out replacement: range-partition on the ordering, cumsum
-within each partition, then add each partition's prefix offset — an
-exclusive prefix sum over the one-row-per-partition totals aggregate,
-computed as a tiny in-plan window and broadcast back (r13; previously
-a driver collect + Python scanLeft + createDataFrame, one extra
-driver-sync job per call). The technique is the one the reference
-hand-rolls over RDDs for its cumulative confusion matrices
-(BinaryModelMetrics.scala:198-216: per-partition totals → scanLeft →
-mapPartitionsWithIndex offset add), here as a reusable DataFrame
-operator with the scanLeft kept distributed.
+within each partition, then add each partition's prefix offset computed
+from a bounded (one row per partition) driver collect. Exactly the
+technique the reference hand-rolls over RDDs for its cumulative
+confusion matrices (BinaryModelMetrics.scala:198-216: per-partition
+totals → driver scanLeft → mapPartitionsWithIndex offset add), here as
+a reusable DataFrame operator.
+
+(r13 note: an all-in-plan variant — offsets as a tiny window over the
+totals aggregate, broadcast back, no driver sync — was implemented and
+MEASURED WORSE on the distfit consumer: 19→20 jobs, 65→76 stages; the
+new single-row AQE stage materializations outweigh the saved collect.
+The driver collect stays; what r13 did add is ``grand_totals``, which
+lets callers read each value's global sum off this collect for free.)
 
 Cost: one range shuffle (with its sampling pass) + one hash shuffle for
-the per-partition window + a #partitions-row aggregate/broadcast. Use
-the plain global window below roughly 1e6 rows — it's one shuffle
-cheaper.
+the per-partition window + a #partitions-row collect. Use the plain
+global window below roughly 1e6 rows — it's one shuffle cheaper.
 """
 
 from __future__ import annotations
